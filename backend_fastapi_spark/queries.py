@@ -1,0 +1,479 @@
+"""Query registry: every operator exposed as (spark_fn, oracle_sql) pairs.
+
+This is the engine's public query surface, mirroring SURVEY §2's operator
+inventory over the driver's testdata tables. Each entry is:
+
+    name -> QuerySpec(fn: (spark, sf_dir) -> DataFrame, oracle: str | None)
+
+Determinism rules (so the DuckDB oracle hash-matches bit-for-bit):
+- Sums/averages of doubles go through DECIMAL (exact, order-independent),
+  then CAST back to DOUBLE. Both engines round double->decimal half-away-
+  from-zero, and decimal->double is exact for our magnitudes.
+- Every top-k has a total tie-break order (unique key last).
+- No dropDuplicates with arbitrary survivor choice — group-min instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark.plans.user_context import user_context
+from backend_fastapi_spark.operators import relational as R
+from backend_fastapi_spark.sources.parquet import read_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def dsum(c, scale: int = 2):
+    """Order-independent SUM of a double column: exact decimal accumulate,
+    then exact cast back to double."""
+    return F.sum(F.col(c).cast(f"decimal(30,{scale})")).cast("double")
+
+
+def davg(c, scale: int = 6):
+    """Order-independent AVG: exact decimal sum / count, divided as doubles
+    (IEEE division is deterministic)."""
+    return (
+        F.sum(F.col(c).cast(f"decimal(30,{scale})")).cast("double")
+        / F.count(F.col(c))
+    )
+
+
+# SQL-side twins of dsum/davg for the DuckDB oracle.
+def SQL_DSUM(c: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({c} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+
+
+def SQL_DAVG(c: str, scale: int = 6) -> str:
+    return (
+        f"CAST(SUM(CAST({c} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+        f" / COUNT({c})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: user-context star (SURVEY §3.1 analog, J2 + O1 + A2 + A9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_context_star",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate, o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ), recent AS (
+      SELECT * FROM ranked WHERE rn <= 10
+    ), per_user AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_recent,
+             {SQL_DSUM('o_totalprice')} AS recent_spend,
+             string_agg(
+               strftime(o_orderdate, '%Y-%m-%d') || ' ' || o_orderstatus || ' '
+                 || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               chr(10) ORDER BY rn) AS context
+      FROM recent GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, c_mktsegment, n_recent, recent_spend, context
+    FROM customer JOIN per_user ON c_custkey = o_custkey
+    """,
+)
+def q_user_context_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_context(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM('l_quantity')} AS sum_qty,
+           {SQL_DSUM('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sum_disc_price,
+           {SQL_DAVG('l_quantity')} AS avg_qty,
+           {SQL_DAVG('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan→filter→partial agg→final agg; filter and the two
+    needed-column projection push into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(30,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,4)")
+            ).cast("double").alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "region_revenue",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation,
+           {SQL_DSUM('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 star join: fact(orders)→customer→nation→region, dims broadcast so
+    the only shuffle is the final group-by."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    region = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    out = R.star_join(
+        orders,
+        [(customer, ["o_custkey"]), (nation, ["c_nationkey"]), (region, ["n_regionkey"])],
+    )
+    return out.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "order_status_histogram",
+    oracle="SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+)
+def q_order_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 group-count."""
+    return _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "brand_price_stats",
+    oracle=f"""
+    SELECT p_brand,
+           CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           {SQL_DAVG('p_retailprice')} AS avg_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A7 min/max/avg per group (grocery store-price analog)."""
+    return _t(spark, sf_dir, "part").groupBy("p_brand").agg(
+        F.min(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("min_price"),
+        F.max(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("max_price"),
+        davg("p_retailprice").alias("avg_price"),
+    )
+
+
+@register(
+    "daily_value_by_type",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           {SQL_DAVG('value')} AS avg_value,
+           {SQL_DSUM('value', 6)} AS sum_value,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 time-bucket mean (resample 'D' analog) over the events stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        davg("value").alias("avg_value"),
+        dsum("value", 6).alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "union_all_counts",
+    oracle="""
+    SELECT 'orders' AS tbl, COUNT(*) AS n FROM orders
+    UNION ALL SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+    UNION ALL SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem
+    """,
+)
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 UNION ALL of aggregate rows (init-db.sql:79-82 status report)."""
+    parts = []
+    for name in ("orders", "customer", "lineitem"):
+        parts.append(
+            _t(spark, sf_dir, name).agg(
+                F.lit(name).alias("tbl"), F.count(F.lit(1)).alias("n")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (P1-P12)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filtered_projection",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def q_filtered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4: projection + conjunctive equality/range/date predicates, all
+    pushed into the parquet scan by Catalyst."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 150000)
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "keyword_or_filter",
+    oracle="""
+    SELECT doc_id, text
+    FROM documents
+    WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%stream%'
+    """,
+)
+def q_keyword_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 comma-split OR-containment keyword filter (news_service_rss.py:190-203)."""
+    keywords = ["vector", "stream"]
+    docs = _t(spark, sf_dir, "documents")
+    cond = None
+    for kw in keywords:
+        c = F.lower(F.col("text")).contains(kw)
+        cond = c if cond is None else (cond | c)
+    return docs.filter(cond).select("doc_id", "text")
+
+
+@register(
+    "null_normalization",
+    oracle="""
+    SELECT doc_id, coalesce(lang, '') AS lang_norm,
+           CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars_norm
+    FROM documents
+    """,
+)
+def q_null_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 null→''/0 normalization on fetched rows."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang_norm"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_subquery_join",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_name = 'Customer#000000042')
+    """,
+)
+def q_scalar_subquery_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 scalar-subquery equi-join (db_llm_service.py:144-148) → broadcast
+    semi-join on the one-row dimension side."""
+    orders = _t(spark, sf_dir, "orders")
+    target = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_name") == "Customer#000000042")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return orders.join(F.broadcast(target), "o_custkey", "left_semi").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 existence semi-join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return R.semi_join(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 anti-join (delete-path analog)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return R.anti_join(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k / windows (O1-O7, W1-W2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_orders_recent",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_top_orders_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 recency top-n → TakeOrderedAndProject (no global sort)."""
+    return R.top_n_recent(
+        _t(spark, sf_dir, "orders").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+        ),
+        "o_orderdate",
+        10,
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "multi_key_sort",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type
+    FROM events
+    ORDER BY user_id ASC, ts ASC, event_id ASC LIMIT 100
+    """,
+)
+def q_multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 multi-key sort + limit (ORDER BY event_date, event_time LIMIT 5)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.col("user_id").asc(), F.col("ts").asc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+@register(
+    "per_customer_top3_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_per_customer_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 per-group cap (per_title_cap analog)."""
+    return R.per_group_top_n(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "diversified_docs",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS grp_rank
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM ranked
+    WHERE grp_rank <= 3
+    ORDER BY grp_rank ASC, n_chars DESC, doc_id ASC LIMIT 12
+    """,
+)
+def q_diversified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 round-robin diversification (per-source cap 3, round-robin to 12)."""
+    return R.diversify_round_robin(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        group_col="source",
+        score_col="n_chars",
+        per_group_cap=3,
+        top_k=12,
+        tie_col="doc_id",
+    )
+
+
+@register(
+    "dedup_min_event",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS first_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q_dedup_min_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 dedup on key — deterministic survivor via group-min rather than
+    dropDuplicates' arbitrary pick."""
+    return _t(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

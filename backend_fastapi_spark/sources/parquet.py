@@ -1,0 +1,37 @@
+"""Parquet source with schema normalization.
+
+The driver's ``events`` table is written with Parquet TIMESTAMP(NANOS),
+which Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read
+nanos as INT64 (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+a microsecond timestamp — lossless for this data and what the DuckDB
+oracle sees too (DuckDB TIMESTAMP is microseconds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Tables known to carry nanosecond timestamps, with the columns to fix.
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan ``{sf_dir}/{name}.parquet``, normalizing nanosecond timestamps.
+
+    Pins the session timezone to UTC: parquet timestamps are instants, and
+    every downstream date/day computation (and the DuckDB oracle, which is
+    UTC-naive) assumes UTC wall-clock semantics regardless of the caller's
+    session default.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in _NANOS_TS_COLS[name]:
+            if isinstance(df.schema[c].dataType, T.LongType):
+                # integer division: double division loses precision at ns scale
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
