@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is executed to completion (count() forces the full plan; results
+stay distributed — no driver-side collect of payload rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from backend_fastapi_spark.core.session import get_spark
+from backend_fastapi_spark import queries as Q
+
+# Headline set: one per major operator family (join/agg/window/sort/vector/
+# text). Kept stable across rounds so BENCH_r{N}.json is comparable.
+HEADLINE = [
+    "user_context_star",
+    "pricing_summary",
+    "region_revenue",
+    "per_customer_top3_orders",
+    "daily_value_by_type",
+    "diversified_docs",
+    "multi_key_sort",
+    "keyword_or_filter",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = Q.REGISTRY.get(name)
+        if spec is None:
+            continue
+        spec.fn(spark, sf_dir).count()  # warmup: JIT/codegen, parquet footers
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
