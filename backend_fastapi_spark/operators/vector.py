@@ -1,0 +1,166 @@
+"""Vector / embedding operators — SURVEY §2.9 (J4/V1-V5) Spark-first.
+
+The reference serves kNN from FAISS/Chroma indexes
+(``src/services/enhanced_internal_db_service.py:602-727``,
+``src/services/rag_service.py:40-95``). Our engine expresses similarity
+search as DataFrame programs over a ``(id, embedding ARRAY<FLOAT>, ...)``
+table:
+
+- **Exact kNN**: broadcast the query vector(s), score with JVM-side
+  ``zip_with``/``aggregate`` expressions (whole-stage codegen — no Python in
+  the hot path), then ``TakeOrderedAndProject`` top-k. At 100 TB this is one
+  scan + a k-row-per-partition reduce: no shuffle of the corpus at all.
+- **Batch kNN join**: many queries × corpus via broadcast nested-loop with
+  the small side broadcast, per-query top-k by window. The corpus never
+  moves; cost is (|Q| × |corpus|) score evaluations spread across executors.
+- **Scale path**: MLlib ``BucketedRandomProjectionLSH`` (see ``lsh.py``)
+  prunes candidates to colliding buckets — the switchover when |Q|×|corpus|
+  becomes the bottleneck.
+
+Scoring determinism: oracle-checked queries use **fixed-point** arithmetic
+(round(x·1e6) as int64), making scores exactly reproducible in any engine —
+float accumulation order never matters. Production scoring (``cosine_sim``)
+stays in doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+FIXED_SCALE = 1_000_000  # 1e6 per element → dot values ≤ 1e12·dim, safe in int64
+
+
+def _fx(x: Column) -> Column:
+    """Quantize one float to fixed-point int64 (half-away-from-zero, matching
+    DuckDB/Spark ROUND). Explicit double cast first: float32 arithmetic would
+    round differently across engines."""
+    return F.round(x.cast("double") * FIXED_SCALE, 0).cast("long")
+
+
+def fixed_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two float arrays (≈ cosine for unit vectors,
+    scaled by 1e12)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _fx(x) * _fx(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def fixed_l2sq(a: Column, b: Column) -> Column:
+    """Exact int64 squared-L2 distance (scaled by 1e12)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (_fx(x) - _fx(y)) * (_fx(x) - _fx(y))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Production double-precision cosine (vectors assumed L2-normalized,
+    as the reference normalizes at encode time, embedding_handler.py:45-49)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_to_sim(dist: Column) -> Column:
+    """Reference's L2 distance→similarity mapping 1/(1+d)
+    (enhanced_internal_db_service.py:704-714)."""
+    return F.lit(1.0) / (F.lit(1.0) + dist)
+
+
+def knn_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_embedding",
+    metric: str = "dot",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch exact kNN: broadcast ``queries`` against the corpus, per-query
+    top-k. Returns (q_id, vec_id, score_i64) ranked best-first per query.
+
+    J4/V3 analog: the reference's 1×N FAISS scan generalizes to Q×N with the
+    corpus staying partitioned in place.
+    """
+    q = F.broadcast(queries)
+    joined = corpus.crossJoin(q)
+    if metric == "dot":
+        score = fixed_dot(F.col(vec_col), F.col(query_vec_col))
+        order = [F.col("score_i64").desc(), F.col(corpus_id).asc()]
+    elif metric == "l2":
+        score = fixed_l2sq(F.col(vec_col), F.col(query_vec_col))
+        order = [F.col("score_i64").asc(), F.col(corpus_id).asc()]
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    scored = joined.withColumn("score_i64", score)
+    if exclude_self:
+        scored = scored.filter(F.col(corpus_id) != F.col(query_id))
+    # Two-phase top-k: a window partitioned only by q_id would funnel the
+    # whole corpus through |Q| partitions. Phase 1 takes a local top-k per
+    # (q_id, salt) — parallel across the cluster and a superset of the global
+    # top-k; phase 2 reduces the surviving |Q|·salt·k rows.
+    n_salt = 32
+    salt = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_salt))
+    w_local = Window.partitionBy(F.col(query_id), salt).orderBy(*order)
+    w_final = Window.partitionBy(query_id).orderBy(*order)
+    return (
+        scored.withColumn("_rn1", F.row_number().over(w_local))
+        .filter(F.col("_rn1") <= k)
+        .withColumn("_rn", F.row_number().over(w_final))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn1", "_rn")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Dot product of two pre-quantized int64 arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold_i64: int,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (i < j) with fixed-dot ≥
+    threshold. ``block_col`` prunes the self-join to equal-block pairs
+    (label blocking); at scale swap blocking for LSH buckets (lsh.py) —
+    same shape, hash-derived block key.
+
+    Vectors are quantized ONCE before the join (O(n·dim) rounds instead of
+    O(pairs·dim)) — the pair loop is then pure integer multiply-add inside
+    whole-stage codegen.
+    """
+    quantized = df.withColumn("_qvec", F.transform(F.col(vec_col), _fx))
+    left = quantized.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_qvec").alias("vec_a"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    right = quantized.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_qvec").alias("vec_b"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    joined = (
+        left.join(right, on="_blk") if block_col else left.crossJoin(right)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("sim_i64", int_dot(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim_i64") >= threshold_i64)
+        .select("id_a", "id_b", "sim_i64")
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from backend_fastapi_spark.plans.user_context import user_context
 from backend_fastapi_spark.operators import relational as R
+from backend_fastapi_spark.operators import vector as V
 from backend_fastapi_spark.sources.parquet import read_table
 
 
@@ -468,6 +469,142 @@ def q_dedup_min_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates' arbitrary pick."""
     return _t(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector layer (SURVEY §2.9, J4/V3/V5): exact kNN via broadcast + codegen'd
+# fixed-point scoring; margin cut; near-dup similarity join.
+# ---------------------------------------------------------------------------
+
+# CAST(list_sum AS BIGINT): DuckDB's list_sum yields DOUBLE; our sums stay
+# < 2^53 so the round-trip is exact.
+_DOT_I64_SQL = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(ROUND(CAST(x[1] AS DOUBLE)*1000000) AS BIGINT) * CAST(ROUND(CAST(x[2] AS DOUBLE)*1000000) AS BIGINT))) AS BIGINT)"
+)
+_L2_I64_SQL = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (CAST(ROUND(CAST(x[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(ROUND(CAST(x[2] AS DOUBLE)*1000000) AS BIGINT))"
+    " * (CAST(ROUND(CAST(x[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(ROUND(CAST(x[2] AS DOUBLE)*1000000) AS BIGINT)))) AS BIGINT)"
+)
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str, max_id: int) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < max_id)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding"))
+    )
+
+
+@register(
+    "knn_top10_dot",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT q_id, vec_id, label,
+             {_DOT_I64_SQL.format(a='embedding', b='qe')} AS score_i64
+      FROM embeddings, q WHERE vec_id <> q_id)
+    SELECT q_id, vec_id, label, score_i64 FROM scored
+    ORDER BY score_i64 DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_knn_top10_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3/J4: single-query exact kNN, cosine (unit vectors → dot)."""
+    corpus = _t(spark, sf_dir, "embeddings")
+    return V.knn_exact(corpus, _query_vectors(spark, sf_dir, 1), k=10).select(
+        "q_id", "vec_id", "label", "score_i64"
+    )
+
+
+@register(
+    "knn_top10_l2",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT q_id, vec_id, label,
+             {_L2_I64_SQL.format(a='embedding', b='qe')} AS score_i64
+      FROM embeddings, q WHERE vec_id <> q_id)
+    SELECT q_id, vec_id, label, score_i64 FROM scored
+    ORDER BY score_i64 ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_knn_top10_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: L2-metric branch of the score handling."""
+    corpus = _t(spark, sf_dir, "embeddings")
+    return V.knn_exact(
+        corpus, _query_vectors(spark, sf_dir, 1), k=10, metric="l2"
+    ).select("q_id", "vec_id", "label", "score_i64")
+
+
+@register(
+    "knn_batch_top5",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q_id, vec_id,
+             {_DOT_I64_SQL.format(a='embedding', b='qe')} AS score_i64
+      FROM embeddings, q WHERE vec_id <> q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score_i64 DESC, vec_id ASC) AS rn
+      FROM scored)
+    SELECT q_id, vec_id, score_i64 FROM ranked WHERE rn <= 5
+    """,
+)
+def q_knn_batch_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: many queries broadcast against the in-place corpus."""
+    corpus = _t(spark, sf_dir, "embeddings")
+    return V.knn_exact(corpus, _query_vectors(spark, sf_dir, 5), k=5).select(
+        "q_id", "vec_id", "score_i64"
+    )
+
+
+@register(
+    "knn_margin_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             CAST({_DOT_I64_SQL.format(a='embedding', b='qe')} AS DOUBLE) / 1e12 AS sim
+      FROM embeddings, q WHERE vec_id <> q_id),
+    floored AS (SELECT * FROM scored WHERE sim >= 0.15),
+    cut AS (
+      SELECT *, GREATEST(MAX(sim) OVER () - 0.25, MAX(sim) OVER () * 0.75) AS c
+      FROM floored)
+    SELECT vec_id, sim FROM cut WHERE sim >= c
+    ORDER BY sim DESC, vec_id ASC LIMIT 5
+    """,
+)
+def q_knn_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7+P8+O5: over-fetch → sim floor → relative margin cut → top-k
+    (the reference's full retrieval refinement, enhanced:689-727)."""
+    corpus = _t(spark, sf_dir, "embeddings")
+    hits = V.knn_exact(corpus, _query_vectors(spark, sf_dir, 1), k=20).withColumn(
+        "sim", F.col("score_i64").cast("double") / F.lit(1e12)
+    )
+    return R.topk_margin(
+        hits, "sim", k=5, margin=0.25, floor=0.15, tie_col="vec_id"
+    ).select("vec_id", "sim")
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_DOT_I64_SQL.format(a='a.embedding', b='b.embedding')} AS sim_i64
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DOT_I64_SQL.format(a='a.embedding', b='b.embedding')} >= 250000000000
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, label-blocked self-join
+    (LLM-pipeline dedup; scale path swaps blocks for LSH buckets)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return V.near_dup_pairs(
+        emb, threshold_i64=250_000_000_000, block_col="label"
     )
 
 

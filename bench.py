@@ -29,6 +29,8 @@ HEADLINE = [
     "diversified_docs",
     "multi_key_sort",
     "keyword_or_filter",
+    "knn_batch_top5",
+    "embedding_near_dup",
 ]
 
 
