@@ -1,0 +1,136 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (its dedup is a keyword-uniqueness check,
+``news_service_rss.py:214-221``); these are the standard corpus-dedup
+family re-expressed as Spark DataFrame programs, sized for 100 TB:
+
+- **exact**: md5-hash group-by — one shuffle on a 32-char key.
+- **n-gram Jaccard**: shingle-set self-join. The shingle join is the
+  scale-killer if done naively; we explode *distinct* shingles only and
+  aggregate intersections before computing Jaccard.
+- **MinHash + LSH banding**: per-doc signatures via min(md5(seed|shingle))
+  — an aggregation, not a join; banding turns near-dup search into an
+  equi-join on band keys. This is the 100 TB path: cost is
+  O(n·shingles·seeds) map-side + an equi-join on colliding bands only.
+
+Hash choice: md5 (identical builtin in Spark and DuckDB) rather than
+xxhash64/murmur (engine-specific seeds) — keeps every operator
+oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark.operators.text import shingles, words
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash: (text_hash, n_dups,
+    canonical_id = min id). Only groups with >1 member."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the shared substrate for Jaccard and
+    MinHash."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(words(F.col(text_col)), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (i < j) with J ≥ threshold.
+
+    jaccard emitted as a ratio of int64 counts (deterministic division).
+    """
+    sh = shingle_table(df, text_col, id_col, n).cache()
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed s, sig_s = min(md5('s|'+shingle)).
+
+    One aggregation pass over the shingle table — no joins. Documents with
+    high shingle-Jaccard agree on each sig_s with probability ≈ J.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"sig_{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding over MinHash signatures: candidate pairs = docs agreeing
+    on ALL rows of at least one band. Equi-join per band on the concatenated
+    band key — the only rows that meet are actual collisions.
+    """
+    sigs = minhash_signatures(df, n_hashes, text_col, id_col, n).cache()
+    n_bands = n_hashes // band_rows
+    pairs = None
+    for b in range(n_bands):
+        cols = [f"sig_{b * band_rows + r}" for r in range(band_rows)]
+        key = F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_key")
+        left = sigs.select(F.col(id_col).alias("id_a"), key)
+        right = sigs.select(F.col(id_col).alias("id_b"), key)
+        p = (
+            left.join(right, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()

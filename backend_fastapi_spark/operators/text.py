@@ -1,0 +1,112 @@
+"""Text / document operators — SURVEY §2.8 + the LLM-data-pipeline text
+analysis suite (language scoring, quality, token stats, fingerprints).
+
+Reference analogs: tokenization + anchor extraction
+(``enhanced_internal_db_service.py:729-763``), chunking
+(``rag_service.py:78-83``, ``enhanced:591-600``), truncation/packing
+(``internal_db_service.py:378-403``), doc assembly (``internal:285-313``).
+
+Everything here is built from JVM-side column expressions (split /
+transform / sequence / md5 / regexp) so it whole-stage-codegens; the only
+Python boundary is the LangChain-parity recursive chunker (pandas UDF,
+kept out of the oracle path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# A small English stopword list (public, ubiquitous); used for the language
+# and quality heuristics. Kept tiny + sorted so the oracle SQL can inline it.
+STOPWORDS = sorted(
+    ["the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "as"]
+)
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (exact twin of DuckDB
+    ``string_split(lower(text), ' ')``)."""
+    return F.split(F.lower(text), " ")
+
+
+def shingles(w: Column, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingle set (distinct). Empty array when < n words."""
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(sep, *[F.element_at(w, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Fixed-size character chunking with overlap (size-stride), the
+    distributed analog of the reference's chunk split (size 700/800, overlap
+    80/120). One narrow transform — no shuffle; rows fan out in place.
+
+    Returns (id, chunk_idx, chunk).
+    """
+    nchars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    starts = F.sequence(F.lit(1), nchars, F.lit(stride))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(starts).alias("_start"),
+        )
+        .select(
+            F.col(id_col),
+            ((F.col("_start") - 1) / stride).cast("long").alias("chunk_idx"),
+            F.expr(f"substring({text_col}, _start, {size})").alias("chunk"),
+        )
+    )
+
+
+def stopword_ratio(w: Column) -> Column:
+    """Fraction of tokens that are stopwords (language-ID heuristic).
+    Integer counts divided as doubles — deterministic."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
+    return n_stop.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def distinct_ratio(w: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens."""
+    return F.size(F.array_distinct(w)).cast("double") / F.greatest(
+        F.size(w), F.lit(1)
+    ).cast("double")
+
+
+def doc_fingerprint(w: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set. Word-permuted near-duplicates collide; any token change
+    breaks the hash."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(w))))
+
+
+def pack_by_budget(
+    df: DataFrame,
+    group_col: str,
+    len_col: Column,
+    order_cols: list[Column],
+    budget: int,
+) -> DataFrame:
+    """Greedy char-budget packing per group (context assembly,
+    internal_db_service.py:378-403): keep rows, in priority order, while the
+    running length total stays within budget."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        df.withColumn("_cum", F.sum(len_col).over(w))
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+    )

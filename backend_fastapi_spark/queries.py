@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from backend_fastapi_spark.plans.user_context import user_context
 from backend_fastapi_spark.operators import relational as R
 from backend_fastapi_spark.operators import vector as V
+from backend_fastapi_spark.operators import text as TX
+from backend_fastapi_spark.operators import dedup as D
 from backend_fastapi_spark.sources.parquet import read_table
 
 
@@ -605,6 +607,225 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return V.near_dup_pairs(
         emb, threshold_i64=250_000_000_000, block_col="label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text / document pipeline (SURVEY §2.8) + LLM-data-pipeline dedup & analysis
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTEs: whitespace tokens and distinct word-3-gram shingles.
+_TOKS_CTE = "toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)"
+_SHINGLES_CTE = (
+    "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle "
+    "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t "
+    "WHERE len(w) >= 3)"
+)
+_STOP_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    SELECT doc_id, CAST((i-1)//150 AS BIGINT) AS chunk_idx, substr(text, i, 200) AS chunk
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(1, greatest(length(text),1), 150)) AS i) t
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 chunking: fixed-size char chunks, overlap 50 (size 200 / stride
+    150) — narrow fan-out, no shuffle."""
+    return TX.char_chunks(
+        _t(spark, sf_dir, "documents"), size=200, stride=150
+    )
+
+
+@register(
+    "exact_dup_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash group-by."""
+    return D.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_dupes",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_inter,
+           CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
+    FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.8
+    """,
+)
+def q_ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8)."""
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+_SIG_COLS_SQL = ", ".join(
+    f"min(md5('{s}|' || shingle)) AS sig_{s}" for s in range(8)
+)
+_BAND_JOINS_SQL = " UNION ".join(
+    f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b "
+    f"ON a.sig_{2*b} = b.sig_{2*b} AND a.sig_{2*b+1} = b.sig_{2*b+1} "
+    f"AND a.doc_id < b.doc_id"
+    for b in range(4)
+)
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id)
+    {_BAND_JOINS_SQL}
+    """,
+)
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH banding (4 bands × 2 rows): near-dup candidate pairs
+    via band-key equi-joins — the 100 TB dedup path (no all-pairs join)."""
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint_groups",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM toks GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q_doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the sorted distinct token set —
+    catches word-order-permuted duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.doc_fingerprint(TX.words(F.col("text"))).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_alnum_tokens
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, chars, regex
+    (BPE-ish pre-tokenizer) tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_alnum_tokens"),
+    )
+
+
+@register(
+    "lang_quality_score",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+             / CAST(greatest(len(w), 1) AS DOUBLE) AS stop_ratio,
+           CAST(len(list_distinct(w)) AS DOUBLE)
+             / CAST(greatest(len(w), 1) AS DOUBLE) AS distinct_ratio,
+           CASE WHEN CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                     / CAST(greatest(len(w), 1) AS DOUBLE) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM toks
+    """,
+)
+def q_lang_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword ratio) + lexical-diversity quality
+    signals — the text-analysis columns of a training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    stop = TX.stopword_ratio(w)
+    return docs.select(
+        "doc_id",
+        stop.alias("stop_ratio"),
+        TX.distinct_ratio(w).alias("distinct_ratio"),
+        F.when(stop >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+@register(
+    "pack_docs_budget",
+    oracle="""
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents)
+    WHERE cum <= 1800
+    """,
+)
+def q_pack_docs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget packing (1800 chars, reference max_context_chars) per
+    source group — running-sum window + filter."""
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return TX.pack_by_budget(
+        docs,
+        "source",
+        F.col("n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        budget=1800,
+    )
+
+
+@register(
+    "doc_template_assembly",
+    oracle="""
+    SELECT doc_id,
+           '[id=' || CAST(doc_id AS VARCHAR) || '] [src=' || source || '] '
+             || CASE WHEN length(text) > 120 THEN substr(text, 1, 120) || '…'
+                     ELSE text END AS doc_line
+    FROM documents
+    """,
+)
+def q_doc_template_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 doc assembly + truncation: marker-formatted context lines
+    (enhanced:800-808 《S{i}》 analog)."""
+    docs = _t(spark, sf_dir, "documents")
+    truncated = F.when(
+        F.length("text") > 120, F.concat(F.substring("text", 1, 120), F.lit("…"))
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("[id="),
+            F.col("doc_id").cast("string"),
+            F.lit("] [src="),
+            F.col("source"),
+            F.lit("] "),
+            truncated,
+        ).alias("doc_line"),
     )
 
 

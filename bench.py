@@ -31,6 +31,10 @@ HEADLINE = [
     "keyword_or_filter",
     "knn_batch_top5",
     "embedding_near_dup",
+    "chunk_documents",
+    "ngram_jaccard_dupes",
+    "minhash_lsh_candidates",
+    "lang_quality_score",
 ]
 
 
