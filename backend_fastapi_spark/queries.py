@@ -829,6 +829,244 @@ def q_doc_template_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Time-series pipeline (SURVEY §1.5/§2.5 W3-W8, A4/A6) over events
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTEs: per-user daily-mean series on a dense date spine.
+_DAILY_CTE = """
+daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS val
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1)),
+series AS (
+  SELECT s.user_id, s.day, d.val
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+"""
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from backend_fastapi_spark.operators import timeseries as TS
+
+    return TS.daily_resample(_t(spark, sf_dir, "events"), "user_id", "ts", "value")
+
+
+@register(
+    "ts_daily_resample",
+    oracle=f"""
+    WITH {_DAILY_CTE}
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, val FROM series
+    """,
+)
+def q_ts_daily_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 resample('D'): per-user daily mean on a dense date spine (gap days
+    NULL) — the input shape for interpolation/windowing."""
+    return _daily_series(spark, sf_dir).select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), "val"
+    )
+
+
+@register(
+    "ts_interpolated",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    marked AS (
+      SELECT user_id, day, val,
+        last_value(val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM series)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      CASE WHEN val IS NOT NULL THEN val
+           WHEN pv IS NOT NULL AND nv IS NOT NULL
+                AND date_diff('day', pd, nd) <= 3
+           THEN pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                  / CAST(date_diff('day', pd, nd) AS DOUBLE))
+      END AS val_filled
+    FROM marked
+    """,
+)
+def q_ts_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 bounded interpolation: linear fill for gaps ≤ 3 days, longer gaps
+    and edges stay NULL."""
+    from backend_fastapi_spark.operators import timeseries as TS
+
+    out = TS.bounded_interpolate(
+        _daily_series(spark, sf_dir), "user_id", max_gap=3
+    )
+    return out.select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), "val_filled"
+    )
+
+
+@register(
+    "ts_longest_run",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    nn AS (SELECT user_id, day FROM series WHERE val IS NOT NULL),
+    islands AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+               AS island
+      FROM nn),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS run_len, MIN(day) AS run_start
+      FROM islands GROUP BY 1, 2),
+    best AS (
+      SELECT user_id, run_len, run_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY run_len DESC, run_start ASC) AS rn
+      FROM runs)
+    SELECT user_id, run_len, strftime(run_start, '%Y-%m-%d') AS run_start
+    FROM best WHERE rn = 1
+    """,
+)
+def q_ts_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 gaps-and-islands: longest contiguous observed run per user."""
+    from backend_fastapi_spark.operators import timeseries as TS
+
+    out = TS.longest_valid_run(_daily_series(spark, sf_dir), "user_id")
+    return out.select(
+        "user_id", "run_len", F.date_format("run_start", "yyyy-MM-dd").alias("run_start")
+    )
+
+
+@register(
+    "ts_seasonal_features",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(date_part('doy', day) AS INTEGER) AS doy,
+           CAST(date_part('isodow', day) - 1 AS INTEGER) AS dow,
+           ROUND(sin(CAST(date_part('doy', day) AS DOUBLE) * (2 * pi() / 365.25)), 6) AS sin_doy,
+           ROUND(cos(CAST(date_part('doy', day) AS DOUBLE) * (2 * pi() / 365.25)), 6) AS cos_doy,
+           ROUND(sin(CAST(date_part('isodow', day) - 1 AS DOUBLE) * (2 * pi() / 7)), 6) AS sin_dow,
+           ROUND(cos(CAST(date_part('isodow', day) - 1 AS DOUBLE) * (2 * pi() / 7)), 6) AS cos_dow
+    FROM days
+    """,
+)
+def q_ts_seasonal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal sin/cos features with the pandas dow convention (0=Monday) —
+    the SURVEY §7 dayofweek off-by-one handled explicitly."""
+    from backend_fastapi_spark.operators import timeseries as TS
+
+    days = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    out = TS.seasonal_features(days)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "doy",
+        "dow",
+        "sin_doy",
+        "cos_doy",
+        "sin_dow",
+        "cos_dow",
+    )
+
+
+@register(
+    "ts_sliding_windows",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    win AS (
+      SELECT user_id, day,
+             list(val) OVER (PARTITION BY user_id ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS window_vals,
+             COUNT(val) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n,
+             MIN(day) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS d0
+      FROM series)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, window_vals
+    FROM win WHERE n = 7 AND date_diff('day', d0, day) = 6
+    """,
+)
+def q_ts_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 sliding lookback windows (7 days, fully observed) — the (X, y)
+    sample generator as a window collect."""
+    from backend_fastapi_spark.operators import timeseries as TS
+
+    out = TS.sliding_windows(_daily_series(spark, sf_dir), "user_id", lookback=7)
+    return out.select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), "window_vals"
+    )
+
+
+@register(
+    "ts_ratio_split",
+    oracle=f"""
+    WITH {_DAILY_CTE}
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY day) * 10
+                     <= COUNT(*) OVER (PARTITION BY user_id) * 7 THEN 'train'
+                WHEN row_number() OVER (PARTITION BY user_id ORDER BY day) * 10
+                     <= COUNT(*) OVER (PARTITION BY user_id) * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM series
+    """,
+)
+def q_ts_ratio_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 positional 7:2:1 split per series, integer arithmetic only."""
+    from backend_fastapi_spark.operators import timeseries as TS
+
+    out = TS.ratio_split(_daily_series(spark, sf_dir), "user_id")
+    return out.select(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), "split"
+    )
+
+
+@register(
+    "ts_forecast_metrics",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    pairs AS (
+      SELECT user_id, day, val AS actual,
+             lag(val) OVER (PARTITION BY user_id ORDER BY day) AS pred
+      FROM series WHERE val IS NOT NULL),
+    terms AS (
+      SELECT user_id,
+             CAST(ROUND((pred - actual) * (pred - actual) * 1e6) AS BIGINT) AS sq_q,
+             CAST(ROUND((abs(pred - actual) /
+               (CASE WHEN (abs(actual) + abs(pred)) / 2 = 0 THEN 1e-8
+                     ELSE (abs(actual) + abs(pred)) / 2 END)) * 1e6) AS BIGINT) AS smape_q
+      FROM pairs WHERE pred IS NOT NULL)
+    SELECT user_id,
+           sqrt((CAST(SUM(sq_q) AS DOUBLE) / 1e6) / COUNT(*)) AS rmse,
+           (CAST(SUM(smape_q) AS DOUBLE) / 1e6) / COUNT(*) AS smape,
+           COUNT(*) AS n_obs
+    FROM terms GROUP BY user_id
+    """,
+)
+def q_ts_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 RMSE + sMAPE (zero-denominator guard) of a naive lag-1 forecast —
+    decimal-accumulated, order-independent."""
+    from backend_fastapi_spark.operators import timeseries as TS
+
+    series = _daily_series(spark, sf_dir).filter(F.col("val").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("day")
+    pairs = (
+        series.withColumn("pred", F.lag("val").over(w))
+        .filter(F.col("pred").isNotNull())
+        .withColumnRenamed("val", "actual")
+    )
+    return TS.forecast_metrics(pairs, "user_id", "actual", "pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

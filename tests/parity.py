@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = (
@@ -36,11 +37,13 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
         return v
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
