@@ -1067,6 +1067,252 @@ def q_ts_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.forecast_metrics(pairs, "user_id", "actual", "pred")
 
 
+# ---------------------------------------------------------------------------
+# Multidim aggregation (rollup/cube/pivot — free via Spark, SURVEY §2.4 note),
+# JSON extraction, sessionization, event-time windows (batch analogs of §2.11)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_region_nation",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation,
+           {SQL_DSUM('o_totalprice')} AS revenue, COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    region = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    joined = R.star_join(
+        orders,
+        [(customer, ["o_custkey"]), (nation, ["c_nationkey"]), (region, ["n_regionkey"])],
+    )
+    return (
+        joined.withColumnRenamed("r_name", "region")
+        .withColumnRenamed("n_name", "nation")
+        .rollup("region", "nation")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status columns per priority row); missing combos filled 0 to
+    match conditional-count semantics."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+@register(
+    "json_extract_stats",
+    oracle="""
+    SELECT event_type,
+           MIN(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS min_k,
+           MAX(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS max_k,
+           SUM(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON extraction: pull props.k and aggregate (regexp form keeps
+    both engines on identical semantics; Spark's native path is
+    get_json_object/from_json)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k":\\s*(-?\\d+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.min(k).alias("min_k"), F.max(k).alias("max_k"), F.sum(k).alias("sum_k")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the batch analog of a
+    session window; one shuffle on user_id, islands via running sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((F.unix_micros("ts") - prev_us) > 1_800_000_000), 1
+    ).otherwise(0)
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = ev.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(wc)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "tumbling_hourly_counts",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {SQL_DSUM('value', 6)} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-analog: tumbling 1h event-time window aggregate (batch form of the
+    Structured Streaming windowed count)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 6).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
+    FROM events,
+         LATERAL (SELECT time_bucket(INTERVAL '30 minutes', ts)
+                         - o.off * INTERVAL '30 minutes' AS ws
+                  FROM (VALUES (0), (1)) o(off)) w
+    GROUP BY ws
+    """,
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m event-time windows (each event in exactly 2 windows)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
+@register(
+    "ar_rollout_forecast",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    stats AS (
+      SELECT user_id,
+             (CAST(SUM(CAST(ROUND(val * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+               / COUNT(val) AS m
+      FROM series WHERE val IS NOT NULL GROUP BY 1),
+    lastv AS (
+      SELECT user_id, val AS l FROM (
+        SELECT user_id, val,
+               row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+        FROM series WHERE val IS NOT NULL) WHERE rn = 1),
+    base AS (SELECT s.user_id, l, m FROM stats s JOIN lastv v ON s.user_id = v.user_id),
+    p1 AS (SELECT user_id, l, m, 0.8 * l + 0.2 * m AS p FROM base),
+    p2 AS (SELECT user_id, l, m, 0.8 * p + 0.2 * m AS p FROM p1),
+    p3 AS (SELECT user_id, l, m, 0.8 * p + 0.2 * m AS p FROM p2)
+    SELECT user_id, 1 AS step, p AS pred FROM p1
+    UNION ALL SELECT user_id, 2 AS step, p AS pred FROM p2
+    UNION ALL SELECT user_id, 3 AS step, p AS pred FROM p3
+    """,
+)
+def q_ar_rollout_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 recursive rollout: per-series sequential 3-step AR(1) forecast
+    (p ← 0.8·p + 0.2·mean) via applyInPandas — the inherently-iterative
+    operator runs as one Arrow batch per series; priors (last value, mean)
+    are computed in Spark expressions so the Python stage is pure rollout.
+    """
+    import pandas as pd
+
+    series = _daily_series(spark, sf_dir).filter(F.col("val").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("day").desc())
+    last = (
+        series.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("val").alias("l"))
+    )
+    mean = series.groupBy("user_id").agg(
+        (
+            (F.sum(F.round(F.col("val") * F.lit(1e6), 0).cast("long")).cast("double") / F.lit(1e6))
+            / F.count("val")
+        ).alias("m")
+    )
+    base = last.join(mean, "user_id")
+
+    def rollout(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            p = r["l"]
+            for step in (1, 2, 3):
+                p = 0.8 * p + 0.2 * r["m"]
+                rows.append((int(r["user_id"]), step, p))
+        return pd.DataFrame(rows, columns=["user_id", "step", "pred"])
+
+    return base.groupBy("user_id").applyInPandas(
+        rollout, schema="user_id long, step int, pred double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
