@@ -1,0 +1,131 @@
+"""Structured Streaming tests: stateful sentence segmentation across
+micro-batches (state carry-over) and watermarked windowed counts."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from backend_fastapi_spark.streaming.sentence_stream import (
+    segment_sentences_stream,
+    split_complete,
+    should_flush_partial,
+    windowed_event_counts,
+)
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.StringType()),
+        T.StructField("chunk_seq", T.LongType()),
+        T.StructField("chunk", T.StringType()),
+    ]
+)
+
+
+def test_split_complete_pure():
+    done, rest = split_complete("Hello world. How are")
+    assert done == ["Hello world."]
+    assert rest == " How are"
+    done, rest = split_complete("One! Two? Three。Partial")
+    assert done == ["One!", "Two?", "Three。"]
+    assert rest == "Partial"
+    assert split_complete("no delimiters here") == ([], "no delimiters here")
+
+
+def test_flush_policy():
+    assert should_flush_partial("so then,")
+    assert should_flush_partial("a" * 20)
+    assert not should_flush_partial("short")
+    assert not should_flush_partial("   ")
+
+
+def test_stateful_segmentation_across_batches(spark):
+    """Sentences split across micro-batches must be reassembled via state."""
+    tmp = tempfile.mkdtemp(prefix="seg_src_")
+    out = tempfile.mkdtemp(prefix="seg_chk_")
+    try:
+        # batch 1: partial sentence; batch 2: completion + another sentence
+        b1 = pd.DataFrame(
+            [("s1", 0, "Hello wor"), ("s2", 0, "Full sentence. And a tail")]
+        , columns=["session_id", "chunk_seq", "chunk"])
+        b2 = pd.DataFrame(
+            [("s1", 1, "ld. Next one! trailing"), ("s2", 1, " end.")]
+        , columns=["session_id", "chunk_seq", "chunk"])
+        spark.createDataFrame(b1, CHUNK_SCHEMA).write.parquet(f"{tmp}/b1")
+
+        stream = spark.readStream.schema(CHUNK_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{tmp}/b*")
+        q = (
+            segment_sentences_stream(stream)
+            .writeStream.format("memory")
+            .queryName("seg_out")
+            .outputMode("append")
+            .option("checkpointLocation", out)
+            .start()
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(b2, CHUNK_SCHEMA).write.parquet(f"{tmp}/b2")
+        q.processAllAvailable()
+        rows = {
+            (r.session_id, r.seq): r.sentence
+            for r in spark.sql("SELECT * FROM seg_out").collect()
+        }
+        q.stop()
+        assert rows[("s1", 0)] == "Hello world."
+        assert rows[("s1", 1)] == "Next one!"
+        assert rows[("s2", 0)] == "Full sentence."
+        assert rows[("s2", 1)] == "And a tail end."
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_watermarked_window_counts(spark):
+    """Windowed counts over a bounded stream equal the batch computation."""
+    tmp = tempfile.mkdtemp(prefix="win_src_")
+    chk = tempfile.mkdtemp(prefix="win_chk_")
+    try:
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "ts": pd.to_datetime(
+                        [
+                            "2024-01-01 00:05:00",
+                            "2024-01-01 00:55:00",
+                            "2024-01-01 01:10:00",
+                            "2024-01-01 02:20:00",
+                        ]
+                    ),
+                    "event_type": ["a", "a", "b", "a"],
+                }
+            )
+        )
+        ev.write.parquet(f"{tmp}/b1")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/b*")
+        q = (
+            windowed_event_counts(stream, "1 hour")
+            .writeStream.format("memory")
+            .queryName("win_out")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (str(r.window_start), r.event_type): r.n
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+        # append mode emits only windows the watermark has passed: max ts
+        # 02:20 − 30 min = 01:50, so only [00:00, 01:00) is closed — the
+        # 01:00 and 02:00 windows stay open
+        assert got == {("2024-01-01 00:00:00", "a"): 2}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
