@@ -1377,6 +1377,108 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sources (S5/S6) and approximate/embedded paths (rows-only where the
+# semantics aren't ANSI-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@register(
+    "grocery_best_store",
+    oracle="""
+    WITH flat AS (
+      SELECT category, product, unit, s.name AS store, s.price AS price
+      FROM (SELECT category, product, unit, unnest(stores) AS s
+            FROM read_json_auto('/root/repo/data/grocery_deals.json'))),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY product
+                                   ORDER BY price ASC, store ASC) AS rn
+      FROM flat),
+    agg AS (
+      SELECT product, MIN(price) AS min_price, MAX(price) AS max_price,
+             COUNT(*) AS n_stores
+      FROM flat GROUP BY 1)
+    SELECT r.category, r.product, r.unit, r.store AS best_store,
+           a.min_price, a.max_price, a.n_stores
+    FROM ranked r JOIN agg a ON r.product = a.product WHERE rn = 1
+    """,
+)
+def q_grocery_best_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/§1.4: nested JSON scan → explode(stores) → per-product best store
+    + min/max aggregates (grocery_rag_service.py:27-86)."""
+    from backend_fastapi_spark.sources.json_source import read_grocery_deals
+
+    flat = read_grocery_deals(spark)
+    w = Window.partitionBy("product").orderBy(
+        F.col("price").asc(), F.col("store").asc()
+    )
+    best = (
+        flat.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("category", "product", "unit", F.col("store").alias("best_store"))
+    )
+    agg = flat.groupBy("product").agg(
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.count(F.lit(1)).alias("n_stores"),
+    )
+    return best.join(agg, "product").select(
+        "category", "product", "unit", "best_store", "min_price", "max_price", "n_stores"
+    )
+
+
+@register("fruit_prices_daily", oracle=None)  # cp949 decode: not SQL-expressible
+def q_fruit_prices_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/§1.5: cp949 CSV with encoding fallback → comma-strip numeric parse
+    + dotted date parse → daily mean resample (rows-only check; correctness
+    covered by tests/test_sources.py against python-computed goldens)."""
+    from backend_fastapi_spark.sources.csv_source import (
+        parse_fruit_prices,
+        read_csv_with_fallback,
+    )
+
+    raw = read_csv_with_fallback(spark, "/root/repo/data/fruit_prices.csv")
+    parsed = parse_fruit_prices(raw)
+    return parsed.groupBy("series_id", "date").agg(
+        (F.sum(F.col("price").cast("decimal(30,6)")).cast("double") / F.count("price")).alias(
+            "price"
+        )
+    )
+
+
+@register("ann_lsh_top10", oracle=None)  # approximate by construction
+def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/V3 scale path: BucketedRandomProjectionLSH approximate top-10 for
+    one query vector (recall vs exact kNN asserted in tests/test_vector.py)."""
+    from backend_fastapi_spark.operators.lsh import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return ann_topk(emb, qvec, k=10)
+
+
+@register("doc_embed_knn", oracle=None)  # embedder is a UDF boundary
+def q_doc_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1+V3: deterministic hashing-projection embedding of document text
+    (pandas UDF, Arrow batches) → exact kNN against an embedded query
+    string — the full embed→index→search pipeline without a model server."""
+    from backend_fastapi_spark.functions.embedder import hashing_embedder
+
+    embed = hashing_embedder(dim=64)
+    docs = _t(spark, sf_dir, "documents").withColumn("embedding", embed("text"))
+    qdf = (
+        spark.createDataFrame([("q0", "vector search with spark")], ["q_id", "qtext"])
+        .withColumn("q_embedding", embed("qtext"))
+        .select("q_id", "q_embedding")
+    )
+    return V.knn_exact(
+        docs.select("doc_id", "embedding"),
+        qdf,
+        k=10,
+        corpus_id="doc_id",
+        exclude_self=False,
+    ).select("q_id", "doc_id", "score_i64")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

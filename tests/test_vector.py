@@ -1,0 +1,70 @@
+"""Vector-layer tests: LSH recall vs exact kNN, embedder determinism,
+multimodal feature plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark.functions.embedder import hashing_embedder
+from backend_fastapi_spark.operators import vector as V
+from backend_fastapi_spark.operators.lsh import ann_similarity_join, ann_topk
+from backend_fastapi_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+from tests.conftest import SF_ORACLE
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    qvec = [float(x) for x in qrow["embedding"]]
+
+    exact = V.knn_exact(
+        emb,
+        spark.createDataFrame([(0, qvec)], ["q_id", "q_embedding"]),
+        k=10,
+        metric="l2",
+    )
+    exact_ids = {r.vec_id for r in exact.collect()}
+    approx = ann_topk(emb, qvec, k=11)  # includes self
+    approx_ids = {r.vec_id for r in approx.collect()} - {0}
+    recall = len(exact_ids & approx_ids) / 10
+    assert recall >= 0.5, f"LSH recall too low: {recall} ({approx_ids} vs {exact_ids})"
+
+
+def test_lsh_similarity_join_finds_near_pairs(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(200)
+    pairs = ann_similarity_join(emb, max_dist=1.2)
+    assert pairs.count() > 0
+    # distances are genuine L2 — spot-check one against exact arithmetic
+    row = pairs.head()
+    a = emb.filter(F.col("vec_id") == row.id_a).head()["embedding"]
+    b = emb.filter(F.col("vec_id") == row.id_b).head()["embedding"]
+    exact = sum((float(x) - float(y)) ** 2 for x, y in zip(a, b)) ** 0.5
+    assert abs(exact - row.dist) < 1e-5
+
+
+def test_hashing_embedder_deterministic_and_normalized(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(50)
+    embed = hashing_embedder(dim=64)
+    a = docs.withColumn("e", embed("text")).select("doc_id", "e").collect()
+    b = docs.withColumn("e", embed("text")).select("doc_id", "e").collect()
+    assert [r.e for r in a] == [r.e for r in b]  # bit-identical across runs
+    norms = [sum(x * x for x in r.e) for r in a]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, "image", b"\x89PNG-fake-bytes", {"src": "cam0"}),
+        (2, "audio", b"RIFF-fake-audio", {"src": "mic1"}),
+        (3, "video", None, {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == len(b"\x89PNG-fake-bytes")
+    assert feats[1].duration_ms == 0  # images have no duration
+    assert feats[2].duration_ms > 0
+    assert feats[3].n_bytes == 0
+    # deterministic: same payload → same checksum/dims
+    again = {r.media_id: r for r in extract_features(media).collect()}
+    assert again[1].checksum == feats[1].checksum
+    assert (again[1].width, again[1].height) == (feats[1].width, feats[1].height)
