@@ -133,18 +133,25 @@ def seasonal_features(
     day-of-week, pandas convention (dow 0=Monday — Spark's dayofweek is
     1=Sunday, hence the +5 mod 7 offset, the SURVEY §7 off-by-one).
 
-    Trig outputs rounded to 6 dp: JVM Math.sin and libm sin may differ in
-    the last ulp, rounding makes the oracle comparison exact.
+    Trig outputs quantized to 6 dp via round(x·1e6)/1e6 — NOT round(x, 6):
+    multi-digit rounding of doubles disagrees between engines near
+    boundaries, while integer rounding of the identical product double
+    agrees everywhere (see .claude/skills/verify/SKILL.md).
     """
+    scale = float(10**round_to)
+
+    def q6(c: Column) -> Column:
+        return F.round(c * scale, 0) / scale
+
     doy = F.dayofyear(day_col).cast("double")
     dow = ((F.dayofweek(day_col) + F.lit(5)) % 7).cast("double")
     return (
         df.withColumn("doy", F.dayofyear(day_col))
         .withColumn("dow", ((F.dayofweek(day_col) + F.lit(5)) % 7))
-        .withColumn("sin_doy", F.round(F.sin(doy * (TWO_PI / 365.25)), round_to))
-        .withColumn("cos_doy", F.round(F.cos(doy * (TWO_PI / 365.25)), round_to))
-        .withColumn("sin_dow", F.round(F.sin(dow * (TWO_PI / 7.0)), round_to))
-        .withColumn("cos_dow", F.round(F.cos(dow * (TWO_PI / 7.0)), round_to))
+        .withColumn("sin_doy", q6(F.sin(doy * (TWO_PI / 365.25))))
+        .withColumn("cos_doy", q6(F.cos(doy * (TWO_PI / 365.25))))
+        .withColumn("sin_dow", q6(F.sin(dow * (TWO_PI / 7.0))))
+        .withColumn("cos_dow", q6(F.cos(dow * (TWO_PI / 7.0))))
     )
 
 

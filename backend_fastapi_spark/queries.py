@@ -950,10 +950,10 @@ def q_ts_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(day, '%Y-%m-%d') AS day,
            CAST(date_part('doy', day) AS INTEGER) AS doy,
            CAST(date_part('isodow', day) - 1 AS INTEGER) AS dow,
-           ROUND(sin(CAST(date_part('doy', day) AS DOUBLE) * (2 * pi() / 365.25)), 6) AS sin_doy,
-           ROUND(cos(CAST(date_part('doy', day) AS DOUBLE) * (2 * pi() / 365.25)), 6) AS cos_doy,
-           ROUND(sin(CAST(date_part('isodow', day) - 1 AS DOUBLE) * (2 * pi() / 7)), 6) AS sin_dow,
-           ROUND(cos(CAST(date_part('isodow', day) - 1 AS DOUBLE) * (2 * pi() / 7)), 6) AS cos_dow
+           ROUND(sin(CAST(date_part('doy', day) AS DOUBLE) * (2 * pi() / 365.25)) * 1e6) / 1e6 AS sin_doy,
+           ROUND(cos(CAST(date_part('doy', day) AS DOUBLE) * (2 * pi() / 365.25)) * 1e6) / 1e6 AS cos_doy,
+           ROUND(sin(CAST(date_part('isodow', day) - 1 AS DOUBLE) * (2 * pi() / 7)) * 1e6) / 1e6 AS sin_dow,
+           ROUND(cos(CAST(date_part('isodow', day) - 1 AS DOUBLE) * (2 * pi() / 7)) * 1e6) / 1e6 AS cos_dow
     FROM days
     """,
 )
@@ -1477,6 +1477,199 @@ def q_doc_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_id="doc_id",
         exclude_self=False,
     ).select("q_id", "doc_id", "score_i64")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (§2.8 math/string) as oracle-checked queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "minmax_rescale",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN mx = mn THEN 0.5
+                ELSE (o_totalprice - mn) / (mx - mn) END AS price_scaled
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             MIN(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+             MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+      FROM orders)
+    """,
+)
+def q_minmax_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 min-max score rescale per group (enhanced:704-714), degenerate
+    range → 0.5."""
+    w = Window.partitionBy("o_custkey")
+    mn, mx = F.min("o_totalprice").over(w), F.max("o_totalprice").over(w)
+    scaled = F.when(mx == mn, F.lit(0.5)).otherwise(
+        (F.col("o_totalprice") - mn) / (mx - mn)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", scaled.alias("price_scaled")
+    )
+
+
+@register(
+    "pct_change_daily",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    lagged AS (
+      SELECT user_id, day, val,
+             lag(val) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      FROM series WHERE val IS NOT NULL)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           ROUND((val - prev) * 1e2) / 1e2 AS change,
+           ROUND(((val - prev) / prev * 100) * 1e2) / 1e2 AS pct_change
+    FROM lagged WHERE prev IS NOT NULL AND prev <> 0
+    """,
+)
+def q_pct_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 math: change & percent change with round(x,2)
+    (tool_executor.py:314-329)."""
+    series = _daily_series(spark, sf_dir).filter(F.col("val").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = series.withColumn("prev", F.lag("val").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("prev") != 0)
+    )
+    return lagged.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.round((F.col("val") - F.col("prev")) * 100, 0) / 100).alias("change"),
+        (
+            F.round(((F.col("val") - F.col("prev")) / F.col("prev") * 100) * 100, 0)
+            / 100
+        ).alias("pct_change"),
+    )
+
+
+@register(
+    "weighted_recommend_score",
+    oracle="""
+    SELECT c_custkey, c_name,
+           50
+           + CASE WHEN c_mktsegment = 'BUILDING' THEN 30 ELSE 0 END
+           + CASE WHEN c_acctbal > 5000 THEN 25 ELSE 0 END
+           + CASE WHEN c_nationkey IN (0, 1, 2) THEN -20 ELSE 0 END AS score
+    FROM customer
+    ORDER BY score DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_weighted_recommend_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 weighted recommendation rubric (+30/−20/+25 when-chain,
+    llm_handler.py:289-332) + score sort."""
+    c = _t(spark, sf_dir, "customer")
+    score = (
+        F.lit(50)
+        + F.when(F.col("c_mktsegment") == "BUILDING", 30).otherwise(0)
+        + F.when(F.col("c_acctbal") > 5000, 25).otherwise(0)
+        + F.when(F.col("c_nationkey").isin(0, 1, 2), -20).otherwise(0)
+    )
+    return (
+        c.select("c_custkey", "c_name", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "rewrite_chain",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(substr(text, 1, 80), 'vector', '벡터', 'g'),
+               'query', '쿼리', 'g'),
+             '\\s+', ' ', 'g')) AS rewritten
+    FROM documents
+    """,
+)
+def q_rewrite_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 EN→KO term rewrite (regex table) + whitespace-collapse cleanup
+    (enhanced:876-909) as a chained regexp_replace."""
+    t = F.substring("text", 1, 80)
+    out = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(t, "vector", "벡터"), "query", "쿼리"),
+            "\\s+",
+            " ",
+        )
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", out.alias("rewritten"))
+
+
+@register(
+    "html_strip",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace('<p>' || substr(text, 1, 60) || '</p><a href="x">link</a>',
+                          '<[^<]+?>', '', 'g') AS clean
+    FROM documents
+    """,
+)
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 HTML tag strip (news_service_rss.py:155-161) — tags synthesized
+    around testdata text, then stripped with the reference's regex."""
+    wrapped = F.concat(
+        F.lit("<p>"), F.substring("text", 1, 60), F.lit('</p><a href="x">link</a>')
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(wrapped, "<[^<]+?>", "").alias("clean")
+    )
+
+
+@register(
+    "anchor_extraction",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           list_sort(list_distinct(list_filter(w,
+             x -> length(x) >= 2 AND NOT list_contains({_STOP_SQL}, x)))) AS anchors
+    FROM toks
+    """,
+)
+def q_anchor_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/§2.8 anchor set algebra: tokens len≥2 minus stopwords, distinct,
+    sorted (enhanced:729-755)."""
+    stop_arr = F.array(*[F.lit(s) for s in TX.STOPWORDS])
+    w = TX.words(F.col("text"))
+    anchors = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                w,
+                lambda x: (F.length(x) >= 2) & ~F.array_contains(stop_arr, x),
+            )
+        )
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", anchors.alias("anchors"))
+
+
+@register(
+    "union_then_global_topn",
+    oracle="""
+    WITH per_status AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM per_status WHERE rn <= 5
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_union_then_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: per-category result sets unioned then globally re-sorted/limited
+    (helpers.py:95-119 category news → global top-n)."""
+    per = R.per_group_top_n(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        5,
+    )
+    return (
+        per.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,93 @@
+"""Scalar-function tests: Korean particle / NFKC UDFs, sentence split,
+relational operator edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark.functions.korean import (
+    has_final_consonant,
+    nfkc_one,
+    nfkc_udf,
+    topic_particle,
+    with_topic_particle,
+)
+from backend_fastapi_spark.operators import relational as R
+
+
+def test_topic_particle_pure():
+    # 받침 present → 은; absent → 는 (reference enhanced:865-874)
+    assert topic_particle("메커니즘") == "은"
+    assert topic_particle("어텐션") == "은"
+    assert topic_particle("데이터") == "는"
+    assert topic_particle("스파크") == "는"
+    assert topic_particle("rag") == "는"  # non-Hangul → 는
+    assert topic_particle("") == "는"
+    assert has_final_consonant("합") and not has_final_consonant("하")
+
+
+def test_nfkc_pure():
+    assert nfkc_one("ﬁle") == "file"          # ligature
+    assert nfkc_one("①２３") == "123"          # circled/fullwidth digits
+    assert nfkc_one("ＡＢＣ") == "ABC"          # fullwidth latin
+    assert nfkc_one(None) is None
+
+
+def test_korean_udfs_on_dataframe(spark):
+    df = spark.createDataFrame(
+        [("어텐션 메커니즘",), ("스파크",), ("ﬁｌｅ①",)], ["term"]
+    )
+    got = df.select(
+        with_topic_particle(F.col("term")).alias("with_particle"),
+        nfkc_udf(F.col("term")).alias("norm"),
+    ).collect()
+    assert got[0].with_particle == "어텐션 메커니즘은"
+    assert got[1].with_particle == "스파크는"
+    assert got[2].norm == "file1"
+
+
+def test_sentence_split_two_sentence_guarantee(spark):
+    """§2.8 sentence split with 2-sentence fallback (enhanced:581-589):
+    split on terminal punctuation; if < 2 sentences, keep whole text."""
+    df = spark.createDataFrame(
+        [(1, "First one. Second here! Third?"), (2, "no terminal punct at all")],
+        ["id", "txt"],
+    )
+    sents = F.filter(
+        F.split(F.col("txt"), "(?<=[.!?。])\\s+"), lambda s: F.length(s) > 0
+    )
+    out = df.select(
+        "id",
+        F.when(F.size(sents) >= 2, F.slice(sents, 1, 2))
+        .otherwise(F.array(F.col("txt")))
+        .alias("first_two"),
+    ).collect()
+    by_id = {r.id: r.first_two for r in out}
+    assert by_id[1] == ["First one.", "Second here!"]
+    assert by_id[2] == ["no terminal punct at all"]
+
+
+def test_topk_margin_edges(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, 0.85), (3, 0.5), (4, 0.3), (5, 0.89)], ["id", "sim"]
+    )
+    # floor removes 0.3; margin 0.1 keeps >= max(0.8, 0.81) = 0.81
+    got = R.topk_margin(df, "sim", k=10, margin=0.1, floor=0.4, tie_col="id")
+    assert sorted(r.id for r in got.collect()) == [1, 2, 5]
+    # empty input stays empty
+    assert R.topk_margin(df.filter("sim > 2"), "sim", 5, 0.1, 0.4, "id").count() == 0
+
+
+def test_diversify_round_robin_order(spark):
+    rows = [
+        ("a", 1, 0.9), ("a", 2, 0.8), ("a", 3, 0.7),
+        ("b", 4, 0.95), ("b", 5, 0.6),
+        ("c", 6, 0.5),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "id", "sim"])
+    got = R.diversify_round_robin(
+        df, group_col="grp", score_col="sim", per_group_cap=2, top_k=5, tie_col="id"
+    ).collect()
+    # round 1: best of each group by sim desc (b .95, a .9, c .5),
+    # round 2: second of each group (a .8, b .6)
+    assert [r.id for r in got] == [4, 1, 6, 2, 5]
