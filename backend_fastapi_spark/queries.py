@@ -1672,6 +1672,119 @@ def q_union_then_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ingest_pipeline_chunks",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source AS title,
+             '제목: ' || source || chr(10) || 'passage: ' || text AS text
+      FROM documents)
+    SELECT doc_id, title, CAST((i-1)//580 AS BIGINT) AS chunk_idx,
+           substr(text, i, 700) AS chunk
+    FROM docs,
+         LATERAL (SELECT unnest(generate_series(1, greatest(length(text),1), 580)) AS i) t
+    """,
+)
+def q_ingest_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 ingest stages 1-4 (inference → assembly → chunking), the
+    deterministic prefix of the ingest plan (embedding stage excluded from
+    the oracle — it's the UDF boundary, covered rows-only by
+    ingest_pipeline_embedded)."""
+    from backend_fastapi_spark.plans.ingest import assemble_documents
+
+    docs = assemble_documents(_t(spark, sf_dir, "documents"), "docs_idx")
+    return TX.char_chunks(
+        docs.withColumnRenamed("doc_text", "text"),
+        size=700,
+        stride=580,
+    ).join(
+        docs.select("doc_id", "title"), "doc_id"
+    ).select("doc_id", "title", "chunk_idx", "chunk")
+
+
+@register("ingest_pipeline_embedded", oracle=None)  # embedder UDF boundary
+def q_ingest_pipeline_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 full ingest plan incl. embedding: the chunks+vectors table that
+    write_index() persists partitioned by index_name."""
+    from backend_fastapi_spark.plans.ingest import ingest_table
+
+    return ingest_table(_t(spark, sf_dir, "documents"), "docs_idx")
+
+
+@register(
+    "ts_last_valid_window",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    win AS (
+      SELECT user_id, day, list(val) OVER w AS window_vals,
+             COUNT(val) OVER w AS n, MIN(day) OVER w AS d0
+      FROM series
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    valid AS (
+      SELECT user_id, day, window_vals,
+             row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+      FROM win WHERE n = 7 AND date_diff('day', d0, day) = 6)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, window_vals
+    FROM valid WHERE rn = 1
+    """,
+)
+def q_ts_last_valid_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 trailing-window search: the most recent fully-valid lookback
+    window per series (predict.py:52-58 backward scan)."""
+    from backend_fastapi_spark.operators import timeseries as TS
+
+    wins = TS.sliding_windows(_daily_series(spark, sf_dir), "user_id", lookback=7)
+    w = Window.partitionBy("user_id").orderBy(F.col("day").desc())
+    return (
+        wins.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), "window_vals"
+        )
+    )
+
+
+@register(
+    "attribute_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND lower(p_type) LIKE '%brass%'
+      AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+    """,
+)
+def q_attribute_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 attribute filter over a dim table (RAM/GPU range + category +
+    keyword, routes.py:646-701)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.lower(F.col("p_type")).contains("brass")
+        & F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    ).select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+
+
+@register(
+    "paginated_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC
+    LIMIT 25 OFFSET 50
+    """,
+)
+def q_paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/O6 pagination (page 3, size 25): ordered offset+limit."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .offset(50)
+        .limit(25)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
