@@ -1146,7 +1146,8 @@ def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            MIN(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS min_k,
            MAX(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS max_k,
-           SUM(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
@@ -1172,8 +1173,9 @@ def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM marked)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(ts) AS session_start,

@@ -35,6 +35,9 @@ HEADLINE = [
     "ngram_jaccard_dupes",
     "minhash_lsh_candidates",
     "lang_quality_score",
+    "rag_retrieval_pipeline",
+    "sessionize_events",
+    "ts_interpolated",
 ]
 
 

@@ -67,6 +67,15 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
             f"{name}: column mismatch spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
         )
         return problems
+    # dtype-kind strictness: int vs float would pass Python ==, but the
+    # driver's value-hash sees the representation — catch it here
+    for c in sorted(sp.columns):
+        ks, ko = sp[c].dtype.kind, oracle_df[c].dtype.kind
+        if ks != ko and "O" not in (ks, ko):
+            problems.append(
+                f"{name}: dtype kind mismatch on {c}: "
+                f"spark={sp[c].dtype} oracle={oracle_df[c].dtype}"
+            )
     if len(sp) != len(oracle_df):
         problems.append(f"{name}: row count spark={len(sp)} oracle={len(oracle_df)}")
     a, b = normalize(sp), normalize(oracle_df)
