@@ -1,0 +1,75 @@
+"""Batch CRUD operators — SURVEY §2.1 S15 re-expressed for columnar storage.
+
+The reference mutates single rows in MariaDB (INSERT/UPDATE/DELETE per
+request, ``tool_executor.py:239-285,471-554``). A columnar engine applies
+the same semantics as *batch merges*: upsert = union + keep-newest-per-key,
+delete = anti-join. These compose with partitioned parquet sinks (rewrite
+the affected partitions) — the Spark-native CDC shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Union + keep the highest-version row per key (updates win ties via
+    the source marker). One shuffle on the key."""
+    tagged_base = base.withColumn("_src", F.lit(0))
+    tagged_updates = updates.withColumn("_src", F.lit(1))
+    unioned = tagged_base.unionByName(tagged_updates)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+def delete_where(base: DataFrame, cond: Column) -> DataFrame:
+    """Predicate delete — the trivial case."""
+    return base.filter(~cond)
+
+
+def delete_keys(base: DataFrame, keys: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Key-set delete with ownership semantics = left_anti join
+    (tool_executor.py:526-543 existence-check-then-delete)."""
+    return base.join(keys, key_cols, "left_anti")
+
+
+def salted_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column,
+    alias: str,
+    n_salt: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-safe aggregation: pre-aggregate on (group, salt) — spreading a
+    hot key over ``n_salt`` reducers — then combine. Result identical to a
+    plain groupBy-sum; the two-stage shape is the point (SURVEY §7 step 8
+    salting recipe; AQE handles join skew, this handles agg skew).
+
+    Note: Spark's partial aggregation already combines map-side; explicit
+    salting matters when per-key cardinality within partitions is low but
+    one reduce key is huge (e.g. groupBy on a power-law user_id with
+    high-cardinality payloads like collect_list).
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(salt_source) if salt_source else F.monotonically_increasing_id()),
+        F.lit(n_salt),
+    )
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(F.sum(value_col).alias("_partial"))
+    )
+    return stage1.groupBy(*group_cols).agg(F.sum("_partial").alias(alias))

@@ -1787,6 +1787,226 @@ def q_paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CRUD-as-batch (S15), skew-safe aggregation, customer-360 star, SimHash
+# ---------------------------------------------------------------------------
+
+@register(
+    "upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice,
+             o_orderdate + INTERVAL 1 DAY AS o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0),
+    unioned AS (
+      SELECT *, 0 AS src FROM orders
+      UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority, 1 AS src FROM updates),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY o_orderdate DESC, src DESC) AS rn
+      FROM unioned)
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM ranked WHERE rn = 1
+    """,
+)
+def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 batch upsert: synthetic update set (every 100th order bumped,
+    newer o_orderdate) merged keep-newest-per-key."""
+    from backend_fastapi_spark.operators.crud import upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("o_orderdate", F.date_add("o_orderdate", 1).cast("timestamp"))
+    )
+    merged = upsert(orders, updates, ["o_orderkey"], "o_orderdate")
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "delete_keys_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def q_delete_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 key-set delete (anti-join): drop orders of negative-balance
+    customers."""
+    from backend_fastapi_spark.operators.crud import delete_keys
+
+    orders = _t(spark, sf_dir, "orders")
+    bad = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return delete_keys(orders, bad, ["o_custkey"]).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "salted_skew_sum",
+    oracle=f"""
+    SELECT l_suppkey, {SQL_DSUM('l_extendedprice')} AS total, COUNT(*) AS n
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: salt → partial → combine. Result
+    identical to the plain groupBy (the oracle IS the plain groupBy)."""
+    from backend_fastapi_spark.operators.crud import salted_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    sums = salted_sum(
+        li,
+        ["l_suppkey"],
+        F.col("l_extendedprice").cast("decimal(30,2)"),
+        alias="_total_dec",
+        salt_source="l_orderkey",
+    ).select("l_suppkey", F.col("_total_dec").cast("double").alias("total"))
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    return sums.join(counts, "l_suppkey")
+
+
+@register(
+    "customer_360",
+    oracle=f"""
+    WITH order_stats AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             {SQL_DSUM('o_totalprice')} AS lifetime_spend,
+             MAX(o_orderdate) AS last_order_at
+      FROM orders GROUP BY 1),
+    item_stats AS (
+      SELECT o_custkey, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1),
+    event_stats AS (
+      SELECT user_id AS c_custkey, COUNT(*) AS n_events FROM events GROUP BY 1)
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.lifetime_spend, 0.0) AS lifetime_spend,
+           o.last_order_at,
+           coalesce(i.n_items, 0) AS n_items,
+           coalesce(i.total_qty, 0.0) AS total_qty,
+           coalesce(e.n_events, 0) AS n_events
+    FROM customer c
+    LEFT JOIN order_stats o ON c.c_custkey = o.o_custkey
+    LEFT JOIN item_stats i ON c.c_custkey = i.o_custkey
+    LEFT JOIN event_stats e ON c.c_custkey = e.c_custkey
+    """,
+)
+def q_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 at full width: the multi-child user-context star (orders,
+    line items, events) assembled for every customer in one plan —
+    aggregates reduced BEFORE the joins so the fact tables shuffle once
+    at child granularity, never at join granularity."""
+    c = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    order_stats = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("lifetime_spend"),
+        F.max("o_orderdate").alias("last_order_at"),
+    )
+    item_stats = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_quantity"),
+              orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double").alias("total_qty"),
+        )
+    )
+    event_stats = ev.groupBy(F.col("user_id").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        c.join(order_stats, "c_custkey", "left")
+        .join(item_stats, "c_custkey", "left")
+        .join(event_stats, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("lifetime_spend", F.lit(0.0)).alias("lifetime_spend"),
+            "last_order_at",
+            F.coalesce("n_items", F.lit(0)).alias("n_items"),
+            F.coalesce("total_qty", F.lit(0.0)).alias("total_qty"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_BIT_SQL = ", ".join(
+    f"CASE WHEN SUM(CASE WHEN substr(md5(shingle), {j+1}, 1) IN "
+    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+    f"THEN {1 << j} ELSE 0 END AS b{j}"
+    for j in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "simhash_pairs",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    bits AS (SELECT doc_id, {_SIMHASH_BIT_SQL} FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {" + ".join(f"b{j}" for j in range(_SIMHASH_BITS))} AS sig
+            FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= 2
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit, md5-nibble hyperplanes) near-dup pairs with Hamming
+    distance ≤ 2 — the third dedup family (bit-signature, constant-size)."""
+    sh = D.shingle_table(_t(spark, sf_dir, "documents"))
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(
+                    F.substring(F.md5("shingle"), j + 1, 1).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    1,
+                ).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << j),
+        )
+        .otherwise(0)
+        .alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    sigs = (
+        sh.groupBy("doc_id")
+        .agg(*bit_aggs)
+        .select(
+            "doc_id",
+            sum([F.col(f"b{j}") for j in range(_SIMHASH_BITS)], F.lit(0)).alias("sig"),
+        )
+    )
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")).cast("long"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,82 @@
+"""Plan-shape regression tests: the physical plans that make these queries
+scale must keep their shape (pushdown, broadcast, partial agg, no
+single-partition windows in kNN)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark import queries as Q
+from backend_fastapi_spark.operators.crud import delete_keys, upsert
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        Q.REGISTRY[name].fn(spark, SF_ORACLE).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark):
+    plan = _plan(spark, "filtered_projection")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+    # column pruning: l_comment-style unused columns never read
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "region_revenue")
+    # formatted mode prints each node in tree + detail: 3 joins → 6 mentions
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    plan = _plan(spark, "pricing_summary")
+    # partial (map-side) aggregate must appear before the exchange
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_knn_no_single_partition_window(spark):
+    """kNN's first window must partition by (q_id, salt), not q_id alone."""
+    plan = _plan(spark, "knn_batch_top5")
+    assert "pmod" in plan  # salted phase-1 window present
+
+
+def test_topn_uses_take_ordered(spark):
+    plan = _plan(spark, "top_orders_recent")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_upsert_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], ["k", "v", "ver"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 11), (3, "c_stale", 9), (4, "d", 10)], ["k", "v", "ver"]
+    )
+    got = {r.k: (r.v, r.ver) for r in upsert(base, updates, ["k"], "ver").collect()}
+    assert got == {
+        1: ("a", 10),       # untouched
+        2: ("b2", 11),      # newer version wins
+        3: ("c", 10),       # stale update loses
+        4: ("d", 10),       # insert
+    }
+    # equal version → update side wins (src tie-break)
+    up2 = spark.createDataFrame([(1, "a_new", 10)], ["k", "v", "ver"])
+    got2 = {r.k: r.v for r in upsert(base, up2, ["k"], "ver").collect()}
+    assert got2[1] == "a_new"
+
+
+def test_delete_keys_ownership(spark):
+    base = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "v"])
+    keys = spark.createDataFrame([(2,), (99,)], ["k"])  # 99 doesn't exist
+    got = sorted(r.k for r in delete_keys(base, keys, ["k"]).collect())
+    assert got == [1, 3]
