@@ -2007,6 +2007,85 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "percentile_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           quantile_cont(o_totalprice, 0.99) AS p99_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` and
+    DuckDB `quantile_cont` share linear-interpolation semantics —
+    verified bit-equal)."""
+    return _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99_price"),
+    )
+
+
+@register(
+    "watermark_late_drop",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, ts, user_id, event_type,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS high_water
+      FROM events)
+    SELECT event_id, ts, user_id, event_type
+    FROM marked
+    WHERE ts >= high_water - INTERVAL 10 MINUTE
+    """,
+)
+def q_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics as a batch op: drop events arriving (in
+    event_id arrival order) more than 10 min behind the running
+    event-time high-water mark — the §2.11 late-data policy made
+    inspectable/oracle-checkable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("_hw", F.max("ts").over(w))
+        .filter(F.col("ts") >= F.col("_hw") - F.expr("INTERVAL 10 MINUTES"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+@register(
+    "session_window_native",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-min gap) — same semantics as the
+    hand-built islands sessionization, one declarative op. Works identically
+    over readStream for true streaming sessions."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
