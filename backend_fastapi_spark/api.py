@@ -1,0 +1,108 @@
+"""Engine facade — the user-facing surface a reference user would switch to.
+
+One object wraps the capabilities the reference exposes over HTTP routes
+(§3 entry points) as DataFrame-returning methods:
+
+    eng = Engine.open(spark, "/root/testdata/sf0.01")
+    eng.sql("SELECT count(*) FROM lineitem")         # relational layer
+    eng.user_context()                                # /db-llm context
+    eng.knn(query_vec, k=5)                           # /internal-db/query (a)
+    eng.rag(query_vec, anchors=["vector"])            # /internal-db/query a-d
+    eng.ingest(df, "my_index", path)                  # /internal-db/ingest
+    eng.dedup_report()                                # pipeline extras
+
+Temp views are registered for every testdata table, so ``eng.sql`` covers
+the whole ad-hoc surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark.core.catalog import Catalog
+from backend_fastapi_spark.operators import dedup as D
+from backend_fastapi_spark.operators import vector as V
+from backend_fastapi_spark.plans.ingest import ingest_table, write_index
+from backend_fastapi_spark.plans.rag_retrieval import rag_retrieve
+from backend_fastapi_spark.plans.user_context import user_context
+
+
+@dataclass
+class Engine:
+    spark: SparkSession
+    catalog: Catalog
+
+    @classmethod
+    def open(cls, spark: SparkSession, sf_dir: str) -> "Engine":
+        cat = Catalog(spark, sf_dir)
+        cat.register_all()
+        return cls(spark, cat)
+
+    # -- relational -------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)
+
+    def user_context(self, recent_n: int = 10) -> DataFrame:
+        return user_context(
+            self.table("customer"), self.table("orders"), recent_n
+        )
+
+    # -- vector -----------------------------------------------------------
+    def _queries_df(self, query_vec: list[float]) -> DataFrame:
+        # numeric q_id (outside the corpus id space) so exclude-self
+        # comparisons against bigint corpus ids stay type-consistent
+        return self.spark.createDataFrame(
+            [(-1, [float(x) for x in query_vec])], ["q_id", "q_embedding"]
+        )
+
+    def knn(self, query_vec: list[float], k: int = 5, metric: str = "dot") -> DataFrame:
+        return V.knn_exact(
+            self.table("embeddings"),
+            self._queries_df(query_vec),
+            k=k,
+            metric=metric,
+            exclude_self=False,
+        )
+
+    def rag(
+        self,
+        query_vec: list[float],
+        anchors: list[str],
+        top_k: int = 5,
+        **kwargs,
+    ) -> DataFrame:
+        docs = self.table("documents").select("doc_id", "source", "text")
+        emb = self.table("embeddings")
+        chunks = docs.join(emb, docs.doc_id == emb.vec_id).select(
+            "doc_id", "source", "text", "embedding"
+        )
+        return rag_retrieve(
+            chunks, self._queries_df(query_vec), anchors, top_k=top_k, **kwargs
+        )
+
+    # -- ingest -----------------------------------------------------------
+    def ingest(self, df: DataFrame, index_name: str, path: str | None = None) -> DataFrame:
+        chunks = ingest_table(df, index_name)
+        if path:
+            write_index(chunks, path, mode="append")
+        return chunks
+
+    # -- pipeline extras --------------------------------------------------
+    def dedup_report(self, threshold: float = 0.8) -> DataFrame:
+        docs = self.table("documents")
+        exact = D.exact_dup_groups(docs).agg(
+            F.lit("exact").alias("method"), F.count(F.lit(1)).alias("n_groups")
+        )
+        jac = D.ngram_jaccard_pairs(docs, threshold).agg(
+            F.lit("jaccard").alias("method"), F.count(F.lit(1)).alias("n_groups")
+        )
+        lsh = D.minhash_lsh_pairs(docs).agg(
+            F.lit("minhash_lsh").alias("method"), F.count(F.lit(1)).alias("n_groups")
+        )
+        return exact.unionByName(jac).unionByName(lsh)

@@ -44,8 +44,11 @@ class Catalog:
         return os.path.join(self.base_dir, f"{name}.parquet")
 
     def table(self, name: str) -> DataFrame:
-        """Scan a table. Lazy — Catalyst prunes columns/filters at execution."""
-        return self.spark.read.parquet(self.path(name))
+        """Scan a table. Lazy — Catalyst prunes columns/filters at execution.
+        Routed through the source layer (nanos-timestamp + UTC handling)."""
+        from backend_fastapi_spark.sources.parquet import read_table
+
+        return read_table(self.spark, self.base_dir, name)
 
     def register_all(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
         """Create temp views for SQL access (SHOW TABLES analog)."""

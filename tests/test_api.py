@@ -1,0 +1,52 @@
+"""Engine facade + IVF ANN tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark.api import Engine
+from backend_fastapi_spark.operators import vector as V
+from backend_fastapi_spark.operators.ivf import build_ivf, ivf_search
+from tests.conftest import SF_ORACLE
+
+
+def test_engine_facade_surface(spark):
+    eng = Engine.open(spark, SF_ORACLE)
+    assert eng.sql("SELECT count(*) AS n FROM lineitem").head().n == 60000
+
+    ctx = eng.user_context()
+    assert ctx.count() == 1500 and "context" in ctx.columns
+
+    qvec = [float(x) for x in eng.table("embeddings").head()["embedding"]]
+    hits = eng.knn(qvec, k=5).collect()
+    assert len(hits) == 5 and hits[0].score_i64 >= hits[-1].score_i64
+
+    rag = eng.rag(qvec, anchors=["vector", "stream", "merge"]).collect()
+    assert 0 < len(rag) <= 5
+    assert rag[0].line.startswith("《S1》")
+
+    rep = {r.method: r.n_groups for r in eng.dedup_report().collect()}
+    assert set(rep) == {"exact", "jaccard", "minhash_lsh"}
+    assert rep["jaccard"] > 0  # driver planted near-dups
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    assigned, centroids = build_ivf(emb, k_clusters=8)
+    assert assigned.select("cluster").distinct().count() <= 8
+
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    queries = spark.createDataFrame(
+        [("q0", [float(x) for x in qrow["embedding"]])], ["q_id", "q_embedding"]
+    )
+    exact_ids = {
+        r.vec_id
+        for r in V.knn_exact(emb, queries, k=10, exclude_self=False).collect()
+    }
+    got = ivf_search(assigned, centroids, queries, k=10, nprobe=4).collect()
+    assert len(got) == 10
+    recall = len({r.vec_id for r in got} & exact_ids) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # nprobe = k_clusters degrades to exact
+    full = ivf_search(assigned, centroids, queries, k=10, nprobe=8).collect()
+    assert {r.vec_id for r in full} == exact_ids
