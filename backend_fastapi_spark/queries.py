@@ -1995,12 +1995,31 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum([F.col(f"b{j}") for j in range(_SIMHASH_BITS)], F.lit(0)).alias("sig"),
         )
     )
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # Pigeonhole banding instead of all-pairs: split the 16-bit signature
+    # into 3 bands; any pair at Hamming ≤ 2 matches on at least one full
+    # band, so per-band equi-joins find every qualifying pair (then verify
+    # exactly). Same result set as the oracle's crossJoin at a fraction of
+    # the pairs.
+    sigs = sigs.cache()
+    bands = [
+        (F.col("sig").bitwiseAND(F.lit(63))).alias("band"),           # bits 0-5
+        (F.shiftright("sig", 6).bitwiseAND(F.lit(31))).alias("band"),  # bits 6-10
+        (F.shiftright("sig", 11).bitwiseAND(F.lit(31))).alias("band"), # bits 11-15
+    ]
+    cands = None
+    for bi, band in enumerate(bands):
+        side = sigs.select("doc_id", "sig", band)
+        a = side.select(
+            F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band"
+        )
+        b = side.select(
+            F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band"
+        )
+        p = a.join(b, "band").filter(F.col("id_a") < F.col("id_b")).drop("band")
+        cands = p if cands is None else cands.unionByName(p)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")).cast("long"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.distinct()
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 2)
         .select("id_a", "id_b", "hamming")

@@ -38,6 +38,8 @@ HEADLINE = [
     "rag_retrieval_pipeline",
     "sessionize_events",
     "ts_interpolated",
+    "customer_360",
+    "simhash_pairs",
 ]
 
 
