@@ -8,11 +8,18 @@ correctness gate.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from backend_fastapi_spark import queries as Q
+# Importable regardless of the harness's working directory.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from backend_fastapi_spark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
