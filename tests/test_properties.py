@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for operator invariants.
+
+Driver-side pure functions get full hypothesis treatment; Spark-backed
+operators get a bounded number of generated cases per run (each Spark job
+costs seconds).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from backend_fastapi_spark.functions.embedder import _hash_embed_one
+from backend_fastapi_spark.plans.ingest import infer_doc_columns
+from backend_fastapi_spark.streaming.sentence_stream import split_complete
+from backend_fastapi_spark.tools import parse_tool_call
+
+
+# ---------------------------------------------------------------------------
+# pure driver-side functions — full hypothesis
+# ---------------------------------------------------------------------------
+
+@given(st.text(max_size=300))
+def test_split_complete_conserves_text(s):
+    """Emitted sentences + remainder reassemble the input (modulo the
+    stripped inter-sentence whitespace)."""
+    done, rest = split_complete(s)
+    # every emitted sentence ends with a delimiter and is non-empty
+    for sent in done:
+        assert sent and sent[-1] in ".!?。"
+    # remainder contains no delimiter
+    assert not any(ch in rest for ch in ".!?。")
+    # character conservation: non-whitespace chars are preserved in order
+    squash = lambda t: "".join(t.split())
+    assert squash("".join(done) + rest) == squash(s)
+
+
+@given(st.text(max_size=200))
+def test_parse_tool_call_never_raises(s):
+    parse_tool_call(s)            # arbitrary garbage must not raise
+    parse_tool_call("TOOL_CALL: " + s)
+
+
+@given(
+    st.lists(st.sampled_from(["id", "uid", "name", "title", "body", "text",
+                              "colx", "coly", "colz"]),
+             min_size=1, max_size=6, unique=True)
+)
+def test_infer_doc_columns_total(cols):
+    """Inference always returns columns that exist in the input."""
+    i, t, x = infer_doc_columns(cols)
+    assert i in cols and t in cols and x in cols
+
+
+@given(st.text(max_size=120), st.text(max_size=120))
+def test_hash_embedder_deterministic_and_unit(a, b):
+    va, vb = _hash_embed_one(a, 16), _hash_embed_one(b, 16)
+    assert va == _hash_embed_one(a, 16)            # deterministic
+    na = sum(x * x for x in va)
+    assert na == 0 or abs(na - 1.0) < 1e-9          # unit or zero
+    if a == b:
+        assert va == vb
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed invariants — bounded examples
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.floats(0, 1, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.floats(0.01, 0.5),
+    st.floats(0.0, 0.8),
+)
+def test_topk_margin_invariants(spark, rows, margin, floor):
+    from backend_fastapi_spark.operators.relational import topk_margin
+
+    df = spark.createDataFrame(rows, ["id", "sim"])
+    got = topk_margin(df, "sim", k=5, margin=margin, floor=floor, tie_col="id").collect()
+    sims = [r.sim for r in got]
+    assert len(got) <= 5
+    assert all(s >= floor for s in sims)
+    if sims:
+        best = max(t[1] for t in rows if t[1] >= floor)
+        cut = max(best - margin, best * (1 - margin))
+        assert all(s >= cut for s in sims)
+        assert sims == sorted(sims, reverse=True)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.text("ab", min_size=1, max_size=3),
+                  st.integers(0, 100)),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(1, 12), st.text("cd", min_size=1, max_size=3),
+                  st.integers(0, 100)),
+        min_size=0, max_size=10, unique_by=lambda t: t[0],
+    ),
+)
+def test_upsert_properties(spark, base_rows, update_rows):
+    from backend_fastapi_spark.operators.crud import upsert
+
+    base = spark.createDataFrame(base_rows, ["k", "v", "ver"])
+    ups = spark.createDataFrame(update_rows, ["k", "v", "ver"]) if update_rows \
+        else spark.createDataFrame([], base.schema)
+    merged = upsert(base, ups, ["k"], "ver")
+    got = {r.k: (r.v, r.ver) for r in merged.collect()}
+    # key-uniqueness and union coverage
+    assert len(got) == len({k for k, *_ in base_rows} | {k for k, *_ in update_rows})
+    # winner has the max version among candidates for its key
+    cands: dict[int, list[tuple[str, int]]] = {}
+    for k, v, ver in base_rows + update_rows:
+        cands.setdefault(k, []).append((v, ver))
+    for k, (v, ver) in got.items():
+        assert ver == max(x[1] for x in cands[k])
+    # idempotence: re-upserting the same updates changes nothing
+    again = {r.k: (r.v, r.ver) for r in upsert(merged, ups, ["k"], "ver").collect()}
+    assert again == got

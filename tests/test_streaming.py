@@ -86,6 +86,90 @@ def test_stateful_segmentation_across_batches(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_streaming_session_window(spark):
+    """Native session windows over a stream: two bursts separated by > 30min
+    close into two sessions once the watermark passes them."""
+    tmp = tempfile.mkdtemp(prefix="sess_src_")
+    chk = tempfile.mkdtemp(prefix="sess_chk_")
+    try:
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "ts": pd.to_datetime(
+                        [
+                            "2024-01-01 00:00:00",
+                            "2024-01-01 00:10:00",   # session 1 (burst)
+                            "2024-01-01 01:00:00",   # session 2 (>30min gap)
+                            "2024-01-01 05:00:00",   # far-future: advances watermark
+                        ]
+                    ),
+                    "user_id": [1, 1, 1, 99],
+                }
+            )
+        )
+        ev.write.parquet(f"{tmp}/b1")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/b*")
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("w.start").alias("start"), "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.user_id, str(r.start)): r.n
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        assert got == {
+            (1, "2024-01-01 00:00:00"): 2,
+            (1, "2024-01-01 01:00:00"): 1,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_foreach_batch_progress_events(spark):
+    """T4 analog: per-micro-batch progress events via foreachBatch — the
+    engine-side replacement for the reference's staged {status, progress}
+    SSE emission (routes.py:1316-1386)."""
+    tmp = tempfile.mkdtemp(prefix="prog_src_")
+    chk = tempfile.mkdtemp(prefix="prog_chk_")
+    progress: list[dict] = []
+    try:
+        ev = spark.createDataFrame(
+            pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:00:00"] * 3),
+                          "event_type": ["a", "b", "a"]})
+        )
+        ev.write.parquet(f"{tmp}/b1")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/b*")
+
+        def on_batch(batch_df, batch_id):
+            progress.append(
+                {"status": "batch_done", "batch": batch_id, "rows": batch_df.count()}
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert progress and progress[0]["rows"] == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
 def test_watermarked_window_counts(spark):
     """Windowed counts over a bounded stream equal the batch computation."""
     tmp = tempfile.mkdtemp(prefix="win_src_")
