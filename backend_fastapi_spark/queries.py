@@ -2105,6 +2105,53 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "supplier_balance_by_region",
+    oracle=f"""
+    SELECT r_name AS region, COUNT(*) AS n_suppliers,
+           {SQL_DSUM('s_acctbal')} AS total_balance
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side star (completes table coverage): dims broadcast."""
+    s = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "s_nationkey")
+    region = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    return (
+        R.star_join(s, [(nation, ["s_nationkey"]), (region, ["n_regionkey"])])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal").alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "from_json_native",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k,
+           strftime(ts, '%H:%M') AS event_time_hhmm
+    FROM events WHERE event_id < 500
+    """,
+)
+def q_from_json_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 native JSON parsing with schema (from_json → typed struct) +
+    TIME→"HH:MM" render (§1.1 TIME handling, tool_executor.py:156-161)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.date_format("ts", "HH:mm").alias("event_time_hhmm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
