@@ -86,6 +86,29 @@ class Engine:
             chunks, self._queries_df(query_vec), anchors, top_k=top_k, **kwargs
         )
 
+    def rag_text(self, query: str, top_k: int = 5, **kwargs) -> DataFrame:
+        """§3.1 end-to-end from a raw (Korean/English) query string: anchor
+        extraction, query+document embedding in the same (deterministic)
+        space, then the full retrieval plan."""
+        from backend_fastapi_spark.functions.anchors import strong_anchors
+        from backend_fastapi_spark.functions.embedder import (
+            _hash_embed_one,
+            hashing_embedder,
+        )
+        from backend_fastapi_spark.plans.rag_retrieval import rag_retrieve
+
+        anchors = strong_anchors(query) or [query.lower()]
+        embed = hashing_embedder(dim=64)
+        chunks = (
+            self.table("documents")
+            .select("doc_id", "source", "text")
+            .withColumn("embedding", embed(F.concat(F.lit("passage: "), F.col("text"))))
+        )
+        qvec = _hash_embed_one("passage: " + query, dim=64)
+        return rag_retrieve(
+            chunks, self._queries_df(qvec), anchors, top_k=top_k, **kwargs
+        )
+
     # -- ingest -----------------------------------------------------------
     def ingest(self, df: DataFrame, index_name: str, path: str | None = None) -> DataFrame:
         chunks = ingest_table(df, index_name)

@@ -30,6 +30,15 @@ def test_engine_facade_surface(spark):
     assert rep["jaccard"] > 0  # driver planted near-dups
 
 
+def test_engine_rag_text_end_to_end(spark):
+    eng = Engine.open(spark, SF_ORACLE)
+    out = eng.rag_text("vector stream merge query", top_k=5, floor=-1.0).collect()
+    assert 0 < len(out) <= 5
+    # anchor filter honored: every kept doc contains a strong anchor
+    for r in out:
+        assert any(a in r.line.lower() for a in ["vector", "stream", "merge", "query"])
+
+
 def test_ivf_recall_vs_exact(spark):
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     assigned, centroids = build_ivf(emb, k_clusters=8)
