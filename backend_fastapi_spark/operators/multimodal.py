@@ -95,3 +95,37 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_checksum string"
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    (fan-out inside mapInPandas — rows expand, partitions stay put). The
+    frame decode itself is the stubbed step; checksums here derive
+    deterministically from (payload, frame_idx) so the batch shape,
+    ordering, and join-back semantics are real and testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video":
+                    continue
+                payload = bytes(r.payload) if r.payload is not None else b""
+                _, _, duration = _decode_payload(payload, r.kind)
+                n_frames = max(1, duration // every_ms)
+                for i in range(n_frames):
+                    out.append(
+                        (
+                            r.media_id,
+                            i,
+                            hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_checksum"]
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

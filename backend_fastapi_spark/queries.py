@@ -2152,6 +2152,54 @@ def q_from_json_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (region-only, nation-only, grand total) via
+    Spark SQL over registered views."""
+    for t in ("orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(f"""
+        SELECT r_name AS region, n_name AS nation,
+               {SQL_DSUM('o_totalprice')} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """)
+
+
+@register(
+    "distinct_count_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase under the hood; the
+    approximate path is approx_count_distinct when ±2% is acceptable)."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -52,6 +52,56 @@ def test_hashing_embedder_deterministic_and_normalized(spark):
     assert all(abs(n - 1.0) < 1e-5 for n in norms)
 
 
+def test_multimodal_frame_sampling(spark):
+    from backend_fastapi_spark.operators.multimodal import sample_frames
+
+    rows = [
+        (1, "video", b"vid-payload-1", {}),
+        (2, "image", b"not-a-video", {}),
+        (3, "video", b"vid-payload-3", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(media, every_ms=1000).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert 2 not in by_media                       # images produce no frames
+    assert set(by_media) <= {1, 3} and by_media
+    for mid, fr in by_media.items():
+        assert [f.frame_idx for f in fr] == list(range(len(fr)))
+        assert len({f.frame_checksum for f in fr}) == len(fr)  # per-frame ids
+
+
+def test_interpolation_edge_cases(spark):
+    from backend_fastapi_spark.operators.timeseries import bounded_interpolate
+    import datetime
+
+    d = datetime.date
+    rows = [
+        # series A: all null → stays all null
+        ("A", d(2024, 1, 1), None), ("A", d(2024, 1, 2), None),
+        # series B: single obs, edges stay null
+        ("B", d(2024, 1, 1), None), ("B", d(2024, 1, 2), 5.0),
+        ("B", d(2024, 1, 3), None),
+        # series C: gap of 2 (≤ max_gap) interpolates; gap of 5 (> max_gap) doesn't
+        ("C", d(2024, 1, 1), 0.0), ("C", d(2024, 1, 2), None),
+        ("C", d(2024, 1, 3), 3.0),
+        ("C", d(2024, 1, 4), None), ("C", d(2024, 1, 5), None),
+        ("C", d(2024, 1, 6), None), ("C", d(2024, 1, 7), None),
+        ("C", d(2024, 1, 8), 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "day", "val"])
+    got = {
+        (r.k, str(r.day)): r.val_filled
+        for r in bounded_interpolate(df, "k", max_gap=3).collect()
+    }
+    assert got[("A", "2024-01-01")] is None and got[("A", "2024-01-02")] is None
+    assert got[("B", "2024-01-01")] is None and got[("B", "2024-01-03")] is None
+    assert got[("C", "2024-01-02")] == 1.5          # linear midpoint of 0→3
+    for day in ("2024-01-04", "2024-01-05", "2024-01-06", "2024-01-07"):
+        assert got[("C", day)] is None              # 5-day gap stays null
+
+
 def test_multimodal_feature_extraction(spark):
     rows = [
         (1, "image", b"\x89PNG-fake-bytes", {"src": "cam0"}),
