@@ -2200,6 +2200,57 @@ def q_distinct_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    terms AS (
+      SELECT doc_id, unnest(w) AS term FROM toks),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6) / 1e6 AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored)
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — document-frequency join broadcast
+    (vocabulary ≪ corpus), idf quantized via round(x·1e6)/1e6 for
+    cross-engine log parity."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(TX.words(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    tfidf = (
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * F.lit(1e6), 0
+        )
+        / 1e6
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("tfidf", tfidf)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
