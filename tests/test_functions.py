@@ -67,6 +67,38 @@ def test_sentence_split_two_sentence_guarantee(spark):
     assert by_id[2] == ["no terminal punct at all"]
 
 
+def test_json_array_extraction_from_llm_text(spark):
+    """§2.8: pull a JSON array out of surrounding LLM prose
+    (routes.py:2260-2274 regex `\\[\\s*\\{.*?\\}\\s*\\]` + parse) via
+    regexp_extract + from_json with an explicit schema."""
+    df = spark.createDataFrame(
+        [
+            (1, 'Here are results: [ {"name": "a", "score": 1}, {"name": "b", "score": 2} ] hope that helps'),
+            (2, "no json here"),
+        ],
+        ["id", "llm_text"],
+    )
+    arr_str = F.regexp_extract("llm_text", r"\[\s*\{.*?\}\s*\]", 0)
+    parsed = F.from_json(arr_str, "array<struct<name:string,score:int>>")
+    out = {r.id: r.items for r in df.select("id", parsed.alias("items")).collect()}
+    assert [x.asDict() for x in out[1]] == [
+        {"name": "a", "score": 1},
+        {"name": "b", "score": 2},
+    ]
+    assert out[2] is None
+
+
+def test_sentence_repunctuate_batch(spark):
+    """§2.8 batch sentence split + re-punctuate
+    (streaming_tts_service.py:259-274): split on terminals, re-append the
+    terminal, drop empties."""
+    df = spark.createDataFrame([(1, "One. Two! Three? tail",)], ["id", "txt"])
+    # capture sentence+terminal pairs directly
+    sents = F.expr(r"regexp_extract_all(txt, '[^.!?。]+[.!?。]', 0)")
+    out = df.select(F.transform(sents, lambda s: F.trim(s)).alias("sents")).head()
+    assert out.sents == ["One.", "Two!", "Three?"]
+
+
 def test_topk_margin_edges(spark):
     df = spark.createDataFrame(
         [(1, 0.9), (2, 0.85), (3, 0.5), (4, 0.3), (5, 0.89)], ["id", "sim"]
