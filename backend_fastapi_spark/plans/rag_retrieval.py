@@ -12,8 +12,9 @@ Reference behavior (``enhanced_internal_db_service.py:634-809``), stages a-d:
 
 The reference runs these as Python list manipulation over FAISS results for
 ONE query; here the whole pipeline is a single lazy DataFrame program —
-scan → broadcast-scored kNN → window filters → ordered pack — that Catalyst
-pipelines into ~3 stages, and that runs unchanged for a batch of queries.
+scan → broadcast-scored kNN → window filters → ordered pack — and every
+window is partitioned by ``q_id``, so the same plan serves a BATCH of
+queries with no change: per-query state never leaves its partition group.
 LLM generation (stage e) stays outside the engine boundary per SURVEY §2.10.
 """
 
@@ -36,24 +37,26 @@ def rag_retrieve(
     budget: int = 600,
     snippet_len: int = 200,
 ) -> DataFrame:
-    """Returns (ctx_rank, doc_id, source, sim, line) — the packed, marker-
-    formatted context rows in presentation order.
+    """Returns (q_id, ctx_rank, doc_id, source, sim, line) — packed,
+    marker-formatted context rows in presentation order, per query.
 
-    ``chunks``: (doc_id, source, text, embedding); ``queries``: one row
-    (q_id, q_embedding). Anchors: pre-extracted strong anchors (the
-    reference's _anchors_from_query tokenization happens query-side).
+    ``chunks``: (doc_id, source, text, embedding); ``queries``: one or more
+    rows (q_id, q_embedding). Anchors: pre-extracted strong anchors (the
+    reference's _anchors_from_query tokenization happens query-side;
+    per-query anchor sets would join a (q_id, anchor) table instead of the
+    shared literal array used here).
     """
     fetch_k = max(top_k * 4, top_k + 5)
 
-    # 1. over-fetch kNN (broadcast query, corpus stays put)
+    # 1. over-fetch kNN (broadcast queries, corpus stays put)
     hits = V.knn_exact(
         chunks, queries, k=fetch_k, corpus_id="doc_id", metric="dot"
     ).withColumn("sim", F.col("score_i64").cast("double") / F.lit(1e12))
 
-    # 2-3. similarity floor + relative margin cut vs best
+    # 2-3. similarity floor + relative margin cut vs the per-query best
     floored = hits.filter(F.col("sim") >= F.lit(floor))
-    w_all = Window.partitionBy()
-    best = F.max("sim").over(w_all)
+    w_q = Window.partitionBy("q_id")
+    best = F.max("sim").over(w_q)
     cut = F.greatest(best - F.lit(margin), best * (1.0 - F.lit(margin)))
     margined = (
         floored.withColumn("_cut", cut)
@@ -67,27 +70,27 @@ def rag_retrieve(
         F.exists(anchor_arr, lambda a: F.contains(F.lower(F.col("text")), a))
     )
 
-    # 5. per-group cap + round-robin diversification (rank kept for ordering)
-    w_grp = Window.partitionBy("source").orderBy(
+    # 5. per-group cap + round-robin diversification, per query
+    w_grp = Window.partitionBy("q_id", "source").orderBy(
         F.col("sim").desc(), F.col("doc_id").asc()
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("grp_rank").asc(), F.col("sim").desc(), F.col("doc_id").asc()
     )
     diversified = (
         anchored.withColumn("grp_rank", F.row_number().over(w_grp))
         .filter(F.col("grp_rank") <= per_group_cap)
-        .withColumn(
-            "ctx_rank",
-            F.row_number().over(
-                Window.orderBy(
-                    F.col("grp_rank").asc(), F.col("sim").desc(), F.col("doc_id").asc()
-                )
-            ),
-        )
+        .withColumn("ctx_rank", F.row_number().over(w_rank))
         .filter(F.col("ctx_rank") <= top_k)
     )
 
-    # 6. char-budget packing over the presentation order
+    # 6. char-budget packing over the per-query presentation order
     snippet = F.substring("text", 1, snippet_len)
-    w_pack = Window.orderBy("ctx_rank").rowsBetween(Window.unboundedPreceding, 0)
+    w_pack = (
+        Window.partitionBy("q_id")
+        .orderBy("ctx_rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     packed = diversified.withColumn("_snip", snippet).withColumn(
         "_cum", F.sum(F.length("_snip")).over(w_pack)
     ).filter(F.col("_cum") <= budget)
@@ -103,4 +106,6 @@ def rag_retrieve(
         F.lit("] "),
         F.col("_snip"),
     )
-    return packed.select("ctx_rank", "doc_id", "source", "sim", line.alias("line"))
+    return packed.select(
+        "q_id", "ctx_rank", "doc_id", "source", "sim", line.alias("line")
+    )

@@ -1319,52 +1319,59 @@ def q_ar_rollout_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Flagship #2: full RAG retrieval pipeline (SURVEY §3.1 stages a-d)
 # ---------------------------------------------------------------------------
 
-@register(
-    "rag_retrieval_pipeline",
-    oracle=f"""
+def _RAG_ORACLE_SQL(max_qid: int) -> str:
+    """Oracle for the batch RAG pipeline: every stage windowed per q_id —
+    the SQL twin of the partitioned-by-q_id DataFrame plan."""
+    return f"""
     WITH chunks AS (
       SELECT d.doc_id, d.source, d.text, e.embedding
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+          WHERE vec_id < {max_qid}),
     scored AS (
-      SELECT doc_id, source, text,
+      SELECT q_id, doc_id, source, text,
              CAST({_DOT_I64_SQL.format(a='embedding', b='qe')} AS DOUBLE) / 1e12 AS sim
       FROM chunks, q WHERE doc_id <> q_id),
-    fetched AS (SELECT * FROM scored ORDER BY sim DESC, doc_id ASC LIMIT 20),
+    fetched AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, doc_id ASC) AS frn
+        FROM scored) WHERE frn <= 20),
     floored AS (SELECT * FROM fetched WHERE sim >= 0.1),
     margined AS (
       SELECT * FROM (
-        SELECT *, GREATEST(MAX(sim) OVER () - 0.3, MAX(sim) OVER () * 0.7) AS c
+        SELECT *, GREATEST(MAX(sim) OVER (PARTITION BY q_id) - 0.3,
+                           MAX(sim) OVER (PARTITION BY q_id) * 0.7) AS c
         FROM floored) WHERE sim >= c),
     anchored AS (
       SELECT * FROM margined
       WHERE lower(text) LIKE '%vector%' OR lower(text) LIKE '%stream%'
             OR lower(text) LIKE '%merge%'),
     grp AS (
-      SELECT *, row_number() OVER (PARTITION BY source
+      SELECT *, row_number() OVER (PARTITION BY q_id, source
                                    ORDER BY sim DESC, doc_id ASC) AS grp_rank
       FROM anchored),
     capped AS (SELECT * FROM grp WHERE grp_rank <= 3),
     ranked AS (
-      SELECT *, row_number() OVER (ORDER BY grp_rank ASC, sim DESC, doc_id ASC)
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY grp_rank ASC, sim DESC, doc_id ASC)
                   AS ctx_rank
       FROM capped),
     topk AS (SELECT * FROM ranked WHERE ctx_rank <= 5),
     packed AS (
       SELECT *, substr(text, 1, 200) AS snip,
              SUM(length(substr(text, 1, 200)))
-               OVER (ORDER BY ctx_rank
+               OVER (PARTITION BY q_id ORDER BY ctx_rank
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM topk)
-    SELECT ctx_rank, doc_id, source, sim,
+    SELECT q_id, ctx_rank, doc_id, source, sim,
            '《S' || CAST(ctx_rank AS VARCHAR) || '》 [id=' || CAST(doc_id AS VARCHAR)
              || '] [src=' || source || '] ' || snip AS line
     FROM packed WHERE cum <= 600
-    """,
-)
-def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§3.1 stages a-d in one lazy plan: over-fetch kNN → floor → margin cut
-    → anchor filter → per-source cap + round-robin → budget pack → markers."""
+    """
+
+
+def _rag_query(spark: SparkSession, sf_dir: str, max_qid: int) -> DataFrame:
     from backend_fastapi_spark.plans.rag_retrieval import rag_retrieve
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -1374,9 +1381,24 @@ def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rag_retrieve(
         chunks,
-        _query_vectors(spark, sf_dir, 1),
+        _query_vectors(spark, sf_dir, max_qid),
         anchors=["vector", "stream", "merge"],
     )
+
+
+@register("rag_retrieval_pipeline", oracle=_RAG_ORACLE_SQL(1))
+def q_rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 stages a-d in one lazy plan: over-fetch kNN → floor → margin cut
+    → anchor filter → per-source cap + round-robin → budget pack → markers."""
+    return _rag_query(spark, sf_dir, 1)
+
+
+@register("rag_retrieval_batch", oracle=_RAG_ORACLE_SQL(4))
+def q_rag_retrieval_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME retrieval plan serving 4 queries at once — every window
+    partitioned by q_id, so batch size changes nothing but parallelism
+    (the reference would loop its single-query path)."""
+    return _rag_query(spark, sf_dir, 4)
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,9 @@ def segment_group(
 ) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState body: append chunks (in seq order) to the
     buffered partial, emit completed sentences with running sequence
-    numbers."""
+    numbers. After draining the micro-batch, apply the T3 partial-flush
+    policy (clause suffix or ≥20 chars → emit the partial early,
+    streaming_tts_service.py:56-69)."""
     (session_id,) = key
     if state.exists:
         buffer, emitted = state.get
@@ -82,6 +84,11 @@ def segment_group(
             for s in done:
                 out_rows.append((session_id, emitted, s))
                 emitted += 1
+
+    if should_flush_partial(buffer):
+        out_rows.append((session_id, emitted, buffer.strip()))
+        emitted += 1
+        buffer = ""
 
     state.update((buffer, emitted))
     yield pd.DataFrame(out_rows, columns=["session_id", "seq", "sentence"])

@@ -86,6 +86,40 @@ def test_stateful_segmentation_across_batches(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_partial_flush_across_batches(spark):
+    """T3: a long clause-suffixed partial is flushed at micro-batch end
+    instead of waiting for a terminal delimiter."""
+    tmp = tempfile.mkdtemp(prefix="flush_src_")
+    chk = tempfile.mkdtemp(prefix="flush_chk_")
+    try:
+        b1 = pd.DataFrame(
+            [("s1", 0, "this partial clause runs past twenty chars,")],
+            columns=["session_id", "chunk_seq", "chunk"],
+        )
+        spark.createDataFrame(b1, CHUNK_SCHEMA).write.parquet(f"{tmp}/b1")
+        stream = spark.readStream.schema(CHUNK_SCHEMA).parquet(f"{tmp}/b*")
+        from backend_fastapi_spark.streaming.sentence_stream import (
+            segment_sentences_stream,
+        )
+
+        q = (
+            segment_sentences_stream(stream)
+            .writeStream.format("memory")
+            .queryName("flush_out")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM flush_out").collect()
+        assert len(rows) == 1
+        assert rows[0].sentence.endswith("chars,")  # flushed partial
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
 def test_streaming_session_window(spark):
     """Native session windows over a stream: two bursts separated by > 30min
     close into two sessions once the watermark passes them."""
