@@ -1,0 +1,69 @@
+"""Feed-parser tests (S7 RSS via xpath, S10 chart payload via from_json)."""
+
+from __future__ import annotations
+
+import json
+
+from backend_fastapi_spark.sources.feeds import parse_chart_payload, parse_rss_items
+
+RSS_XML = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+  <title>정치 뉴스</title>
+  <item>
+    <title>첫 번째 기사</title>
+    <link>https://news.example/a1</link>
+    <description>&lt;p&gt;본문 &lt;a href="x"&gt;요약&lt;/a&gt;입니다&lt;/p&gt;</description>
+    <pubDate>Mon, 12 Aug 2024 09:00:00 +0900</pubDate>
+  </item>
+  <item>
+    <title>Second article</title>
+    <link>https://news.example/a2</link>
+    <description>plain text body</description>
+    <pubDate>Tue, 13 Aug 2024 10:30:00 +0900</pubDate>
+  </item>
+</channel></rss>"""
+
+
+def test_parse_rss_items(spark):
+    feeds = spark.createDataFrame([("https://news.example/rss", RSS_XML)],
+                                  ["feed_url", "xml"])
+    rows = parse_rss_items(feeds).collect()
+    assert len(rows) == 2
+    assert rows[0].title == "첫 번째 기사"
+    assert rows[0].description == "본문 요약입니다"      # HTML stripped
+    assert rows[1].link == "https://news.example/a2"
+    assert "2024" in rows[1].pub_date
+
+
+def test_parse_chart_payload(spark):
+    payload = json.dumps(
+        {
+            "chart": {
+                "result": [
+                    {
+                        "meta": {"symbol": "TEST"},
+                        "timestamp": [1704067200, 1704070800],
+                        "indicators": {
+                            "quote": [
+                                {
+                                    "open": [10.0, 10.5],
+                                    "high": [10.6, 10.9],
+                                    "low": [9.9, 10.4],
+                                    "close": [10.5, 10.8],
+                                }
+                            ]
+                        },
+                    }
+                ]
+            }
+        }
+    )
+    df = spark.createDataFrame([(payload,)], ["payload"])
+    rows = parse_chart_payload(df).collect()
+    assert len(rows) == 2
+    assert rows[0].symbol == "TEST"
+    assert str(rows[0].ts) == "2024-01-01 00:00:00"
+    assert rows[1].close == 10.8
+    # change/pct-change chain (tool_executor.py:314-317) on parsed bars
+    change = rows[1].close - rows[0].close
+    assert abs(change - 0.3) < 1e-9
