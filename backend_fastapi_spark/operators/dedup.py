@@ -119,7 +119,12 @@ def minhash_lsh_pairs(
     on ALL rows of at least one band. Equi-join per band on the concatenated
     band key — the only rows that meet are actual collisions.
     """
-    sigs = minhash_signatures(df, n_hashes, text_col, id_col, n).cache()
+    # materialize once (1 row/doc): the band joins read signatures 2x per
+    # band — lineage recomputation would redo the shingle aggregation 2·B
+    # times, and .cache() is best-effort under memory pressure
+    sigs = minhash_signatures(df, n_hashes, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
     n_bands = n_hashes // band_rows
     pairs = None
     for b in range(n_bands):

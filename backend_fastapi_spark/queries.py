@@ -2021,8 +2021,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into 3 bands; any pair at Hamming ≤ 2 matches on at least one full
     # band, so per-band equi-joins find every qualifying pair (then verify
     # exactly). Same result set as the oracle's crossJoin at a fraction of
-    # the pairs.
-    sigs = sigs.cache()
+    # the pairs. Signatures (1 row/doc) are materialized eagerly so the
+    # 6 join branches read them instead of recomputing the 16-agg stage.
+    sigs = sigs.localCheckpoint(eager=True)
     bands = [
         (F.col("sig").bitwiseAND(F.lit(63))).alias("band"),           # bits 0-5
         (F.shiftright("sig", 6).bitwiseAND(F.lit(31))).alias("band"),  # bits 6-10
