@@ -698,6 +698,56 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_verified_dupes",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+    cand AS ({_BAND_JOINS_SQL}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
+    FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.7
+    """,
+)
+def q_minhash_verified_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage dedup: MinHash-LSH candidate generation
+    (cheap, band equi-joins) followed by exact Jaccard verification computed
+    ONLY over candidate pairs — never all-pairs. At 100 TB the verify join
+    touches |candidates|·shingles rows, a vanishing fraction of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_pairs(docs)
+    sh = D.shingle_table(docs)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
     "doc_fingerprint_groups",
     oracle=f"""
     WITH {_TOKS_CTE}
