@@ -2324,6 +2324,57 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_join_events_orders",
+    oracle="""
+    WITH o1 AS (  -- one order per (user, date): ASOF tie-breaks on equal
+                  -- timestamps are implementation-defined, so remove them
+      SELECT * FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderdate AS asof_o_orderdate,
+           o.o_orderkey AS asof_o_orderkey,
+           o.o_totalprice AS asof_o_totalprice
+    FROM events e
+    ASOF JOIN o1 o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, operators/asof.py): each event matched
+    to the user's most recent order at or before the event time — one
+    keyed-window pass over the union, oracle = DuckDB's native ASOF JOIN."""
+    from backend_fastapi_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tie_col="o_orderkey",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
