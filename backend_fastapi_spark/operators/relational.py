@@ -155,16 +155,39 @@ def pack_context(
     order_col: Column,
     budget: int,
     sep_len: int = 1,
+    min_tail: int = 100,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Char-budget packing (internal_db_service.py:378-403): greedily keep
     rows, in priority order, while the running character total fits the
-    budget. Running sum window over the priority order; rows whose
-    cumulative length exceeds the budget are dropped.
+    budget — plus the reference's min-remainder rule (:386-391): the first
+    overflowing row is kept *truncated* to the remaining budget when more
+    than ``min_tail`` chars remain; otherwise packing stops there.
+
+    The running sum is monotone, so "every row after the first overflow is
+    dropped" (the reference's ``break``) falls out declaratively: once
+    ``_cum`` exceeds the budget it stays exceeded.
+
+    ``partition_col`` scopes the window; the global (None) form funnels all
+    rows through one partition and is only safe on small pre-capped
+    candidate sets — callers packing per-query MUST pass the query key
+    (see plans/rag_retrieval.py).
     """
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    base = Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    w = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
     running = F.sum(F.length(F.col(text_col)) + F.lit(sep_len)).over(w)
+    prev = F.col("_cum") - F.length(F.col(text_col)) - F.lit(sep_len)
+    remaining = F.lit(budget) - prev
+    fits = F.col("_cum") <= budget + sep_len
+    tail = (~fits) & (remaining > min_tail)
     return (
         df.withColumn("_cum", running)
-        .filter(F.col("_cum") <= budget + sep_len)
+        .filter(fits | tail)
+        .withColumn(
+            text_col,
+            F.when(
+                fits, F.col(text_col)
+            ).otherwise(F.substring(F.col(text_col), 1, F.lit(remaining))),
+        )
         .drop("_cum")
     )

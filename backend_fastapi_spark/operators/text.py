@@ -7,9 +7,9 @@ Reference analogs: tokenization + anchor extraction
 (``internal_db_service.py:378-403``), doc assembly (``internal:285-313``).
 
 Everything here is built from JVM-side column expressions (split /
-transform / sequence / md5 / regexp) so it whole-stage-codegens; the only
-Python boundary is the LangChain-parity recursive chunker (pandas UDF,
-kept out of the oracle path).
+transform / sequence / md5 / regexp) so it whole-stage-codegens. The
+LangChain-parity recursive chunker (the one Python boundary, a pandas
+UDF) lives in ``operators/chunker.py``.
 """
 
 from __future__ import annotations
@@ -98,15 +98,29 @@ def pack_by_budget(
     len_col: Column,
     order_cols: list[Column],
     budget: int,
+    min_tail: int = 100,
+    clip_col: str | None = None,
 ) -> DataFrame:
     """Greedy char-budget packing per group (context assembly,
     internal_db_service.py:378-403): keep rows, in priority order, while the
-    running length total stays within budget."""
+    running length total stays within budget — plus the reference's
+    min-remainder rule (:386-391): the first overflowing row is kept
+    truncated to the remaining budget when more than ``min_tail`` chars
+    remain. The running sum is monotone, so every later row stays dropped
+    (the reference's ``break``). ``clip_col``: column rewritten to the
+    clipped length on the truncated tail row."""
     w = Window.partitionBy(group_col).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return (
-        df.withColumn("_cum", F.sum(len_col).over(w))
-        .filter(F.col("_cum") <= budget)
-        .drop("_cum")
+    cum = F.col("_cum")
+    remaining = F.lit(budget) - (cum - len_col)
+    fits = cum <= budget
+    out = df.withColumn("_cum", F.sum(len_col).over(w)).filter(
+        fits | (remaining > min_tail)
     )
+    if clip_col is not None:
+        out = out.withColumn(
+            clip_col,
+            F.when(fits, F.col(clip_col)).otherwise(remaining).cast("long"),
+        )
+    return out.drop("_cum")

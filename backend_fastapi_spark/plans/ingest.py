@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from backend_fastapi_spark.functions.embedder import hashing_embedder
+from backend_fastapi_spark.operators.chunker import recursive_chunks
 from backend_fastapi_spark.operators.text import char_chunks
 
 # Candidate-name sets for dynamic schema inference
@@ -44,23 +45,59 @@ def infer_doc_columns(columns: list[str]) -> tuple[str, str, str]:
     return id_col, title_col, text_col
 
 
+def infer_text_columns(columns: list[str]) -> list[str]:
+    """ALL text-candidate columns present, in candidate order — the
+    reference assembles one "{col}: {content}" line AND one metadata key
+    per text column (internal_db_service.py:295-302, enhanced:566-577),
+    not just the first match. Falls back to the single inferred column."""
+    lower = {c.lower(): c for c in columns}
+    found = [lower[cand] for cand in TEXT_CANDIDATES if cand in lower]
+    return found or [infer_doc_columns(columns)[2]]
+
+
+# Metadata-value truncation (enhanced_internal_db_service.py:575-577).
+METADATA_VALUE_MAX_CHARS = 3000
+
+
 def assemble_documents(df: DataFrame, index_name: str) -> DataFrame:
-    """Document assembly with expansion template (reference builds
-    "제목: {t}\\n{col}: {v}" strings + "passage: " prefixes,
-    enhanced:542-579): (doc_id, title, doc_text, index_name)."""
-    id_col, title_col, text_col = infer_doc_columns(df.columns)
-    doc_text = F.concat(
-        F.lit("제목: "),
-        F.col(title_col).cast("string"),
-        F.lit("\n"),
-        F.lit("passage: "),
-        F.col(text_col).cast("string"),
+    """Document assembly (internal_db_service.py:285-313): doc text is
+    "제목: {title}" plus one "{col}: {content}" line per non-empty text
+    column; metadata carries id, title, a source tag, and one key per text
+    column truncated to 3000 chars (enhanced:566-577).
+
+    Returns (doc_id, title, doc_text, index_name, metadata).
+    """
+    id_col, title_col, _ = infer_doc_columns(df.columns)
+    text_cols = infer_text_columns(df.columns)
+    title = F.coalesce(F.col(title_col).cast("string"), F.lit("Unknown"))
+
+    def col_line(c: str):
+        v = F.trim(F.col(c).cast("string"))
+        return F.when(v.isNotNull() & (v != ""), F.concat(F.lit(f"{c}: "), v))
+
+    # concat_ws skips NULLs — exactly the reference's "append if non-empty".
+    doc_text = F.concat_ws(
+        "\n", F.concat(F.lit("제목: "), title), *[col_line(c) for c in text_cols]
+    )
+    meta_entries: list = [
+        F.lit("id"), F.col(id_col).cast("string"),
+        F.lit("title"), title,
+        F.lit("source"), F.lit(index_name),
+    ]
+    for c in text_cols:
+        meta_entries += [
+            F.lit(c),
+            F.substring(F.col(c).cast("string"), 1, METADATA_VALUE_MAX_CHARS),
+        ]
+    metadata = F.map_filter(
+        F.create_map(*meta_entries), lambda _, v: v.isNotNull()
     )
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(title_col).cast("string").alias("title"),
+        title.alias("title"),
         doc_text.alias("doc_text"),
         F.lit(index_name).alias("index_name"),
+        metadata.alias("metadata"),
     )
 
 
@@ -72,18 +109,21 @@ def ingest_table(
     embed_dim: int = 64,
 ) -> DataFrame:
     """Full §3.2 pipeline, returning the chunks+embeddings DataFrame ready
-    for ``write.partitionBy("index_name")`` (S11). Chunk stride =
-    size − overlap (reference 700/120)."""
+    for ``write.partitionBy("index_name")`` (S11). Chunking is the
+    LangChain-parity recursive splitter (reference 700/120,
+    enhanced:591-600); per-column metadata rides along from assembly."""
     docs = assemble_documents(df, index_name)
-    chunks = char_chunks(
+    chunks = recursive_chunks(
         docs.withColumnRenamed("doc_text", "text"),
         text_col="text",
         id_col="doc_id",
-        size=chunk_size,
-        stride=chunk_size - chunk_overlap,
+        chunk_size=chunk_size,
+        chunk_overlap=chunk_overlap,
     )
     with_meta = (
-        chunks.join(docs.select("doc_id", "title", "index_name"), "doc_id")
+        chunks.join(
+            docs.select("doc_id", "title", "index_name", "metadata"), "doc_id"
+        )
         .withColumn("chunk_id", F.xxhash64("doc_id", "chunk_idx"))
     )
     embed = hashing_embedder(dim=embed_dim)
@@ -94,10 +134,7 @@ def ingest_table(
         "title",
         F.col("chunk").alias("text"),
         embed(F.col("chunk")).alias("embedding"),
-        F.create_map(
-            F.lit("id"), F.col("doc_id").cast("string"),
-            F.lit("title"), F.col("title"),
-        ).alias("metadata"),
+        "metadata",
     )
 
 

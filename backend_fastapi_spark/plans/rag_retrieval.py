@@ -84,16 +84,31 @@ def rag_retrieve(
         .filter(F.col("ctx_rank") <= top_k)
     )
 
-    # 6. char-budget packing over the per-query presentation order
+    # 6. char-budget packing over the per-query presentation order, with
+    # the reference's min-remainder rule (internal_db_service.py:386-391):
+    # the first snippet to overflow survives truncated to the remaining
+    # budget when >100 chars remain; the monotone running sum drops
+    # everything after it (the reference's break).
     snippet = F.substring("text", 1, snippet_len)
     w_pack = (
         Window.partitionBy("q_id")
         .orderBy("ctx_rank")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    packed = diversified.withColumn("_snip", snippet).withColumn(
-        "_cum", F.sum(F.length("_snip")).over(w_pack)
-    ).filter(F.col("_cum") <= budget)
+    fits = F.col("_cum") <= budget
+    remaining = F.lit(budget) - (F.col("_cum") - F.length("_snip"))
+    packed = (
+        diversified.withColumn("_snip", snippet)
+        .withColumn("_cum", F.sum(F.length("_snip")).over(w_pack))
+        .filter(fits | (remaining > F.lit(100)))
+        .withColumn("_rem", remaining)
+        .withColumn(
+            "_snip",
+            F.when(fits, F.col("_snip")).otherwise(
+                F.expr("substring(_snip, 1, _rem)")
+            ),
+        )
+    )
 
     # 7. marker formatting (enhanced:800-808)
     line = F.concat(

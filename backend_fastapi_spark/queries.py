@@ -640,6 +640,21 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("chunk_documents_recursive")  # rows-only: recursive ladder not SQL-expressible
+def q_chunk_documents_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 LangChain-parity recursive chunking: separator ladder
+    ["\\n\\n","\\n","。",". ",".","? ","?","! ","!"," "], size 700 /
+    overlap 120 (rag_service.py:78-83, enhanced_internal_db_service.py:
+    591-600, backend_config.yaml:49-65). Pandas-UDF + posexplode — narrow,
+    no shuffle. Boundaries verified against a pure-Python golden
+    recomputation in tests/test_functions.py."""
+    from backend_fastapi_spark.operators.chunker import recursive_chunks
+
+    return recursive_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=700, chunk_overlap=120
+    )
+
+
 @register(
     "exact_dup_groups",
     oracle="""
@@ -827,25 +842,33 @@ def q_lang_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pack_docs_budget",
     oracle="""
-    SELECT source, doc_id, n_chars FROM (
+    SELECT source, doc_id,
+           CAST(CASE WHEN cum <= 1800 THEN n_chars
+                     ELSE 1800 - (cum - n_chars) END AS BIGINT) AS n_chars
+    FROM (
       SELECT source, doc_id, n_chars,
              SUM(n_chars) OVER (PARTITION BY source
                                 ORDER BY n_chars DESC, doc_id ASC
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM documents)
-    WHERE cum <= 1800
+    WHERE cum <= 1800 OR 1800 - (cum - n_chars) > 100
     """,
 )
 def q_pack_docs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-budget packing (1800 chars, reference max_context_chars) per
-    source group — running-sum window + filter."""
-    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    source group — running-sum window + filter, with the min-remainder rule
+    (internal_db_service.py:386-391): the first overflowing doc survives
+    truncated to the remaining budget when >100 chars remain."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
     return TX.pack_by_budget(
         docs,
         "source",
         F.col("n_chars"),
         [F.col("n_chars").desc(), F.col("doc_id").asc()],
         budget=1800,
+        clip_col="n_chars",
     )
 
 
@@ -1042,18 +1065,34 @@ def q_ts_seasonal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(day) OVER (PARTITION BY user_id ORDER BY day
                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS d0
       FROM series)
-    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, window_vals
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           array_to_string(list_transform(window_vals,
+               v -> CAST(CAST(ROUND(v * 1e6) AS BIGINT) AS VARCHAR)), ',') AS window_csv
     FROM win WHERE n = 7 AND date_diff('day', d0, day) = 6
     """,
 )
 def q_ts_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 sliding lookback windows (7 days, fully observed) — the (X, y)
-    sample generator as a window collect."""
+    sample generator as a window collect.
+
+    The window is emitted as a comma-joined fixed-point (1e-6) integer
+    string: ARRAY output columns are not hashable by the driver's pandas
+    canonicalizer, and int64 fixed-point strings are bit-identical across
+    Spark and DuckDB (double formatting is not).
+    """
     from backend_fastapi_spark.operators import timeseries as TS
 
     out = TS.sliding_windows(_daily_series(spark, sf_dir), "user_id", lookback=7)
     return out.select(
-        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), "window_vals"
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.array_join(
+            F.expr(
+                "transform(window_vals,"
+                " v -> CAST(CAST(ROUND(v * 1e6) AS BIGINT) AS STRING))"
+            ),
+            ",",
+        ).alias("window_csv"),
     )
 
 
@@ -1416,8 +1455,10 @@ def _RAG_ORACLE_SQL(max_qid: int) -> str:
       FROM topk)
     SELECT q_id, ctx_rank, doc_id, source, sim,
            '《S' || CAST(ctx_rank AS VARCHAR) || '》 [id=' || CAST(doc_id AS VARCHAR)
-             || '] [src=' || source || '] ' || snip AS line
-    FROM packed WHERE cum <= 600
+             || '] [src=' || source || '] '
+             || CASE WHEN cum <= 600 THEN snip
+                     ELSE substr(snip, 1, CAST(600 - (cum - length(snip)) AS BIGINT)) END AS line
+    FROM packed WHERE cum <= 600 OR 600 - (cum - length(snip)) > 100
     """
 
 
@@ -1696,14 +1737,15 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TOKS_CTE}
     SELECT doc_id,
-           list_sort(list_distinct(list_filter(w,
-             x -> length(x) >= 2 AND NOT list_contains({_STOP_SQL}, x)))) AS anchors
+           array_to_string(list_sort(list_distinct(list_filter(w,
+             x -> length(x) >= 2 AND NOT list_contains({_STOP_SQL}, x)))), ' ') AS anchors
     FROM toks
     """,
 )
 def q_anchor_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9/§2.8 anchor set algebra: tokens len≥2 minus stopwords, distinct,
-    sorted (enhanced:729-755)."""
+    sorted (enhanced:729-755). Emitted space-joined: ARRAY output columns
+    are unhashable in the driver's pandas canonicalizer."""
     stop_arr = F.array(*[F.lit(s) for s in TX.STOPWORDS])
     w = TX.words(F.col("text"))
     anchors = F.array_sort(
@@ -1714,7 +1756,9 @@ def q_anchor_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return _t(spark, sf_dir, "documents").select("doc_id", anchors.alias("anchors"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(anchors, " ").alias("anchors")
+    )
 
 
 @register(
@@ -1750,8 +1794,11 @@ def q_union_then_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingest_pipeline_chunks",
     oracle="""
     WITH docs AS (
-      SELECT doc_id, source AS title,
-             '제목: ' || source || chr(10) || 'passage: ' || text AS text
+      SELECT doc_id, coalesce(source, 'Unknown') AS title,
+             concat_ws(chr(10),
+                       '제목: ' || coalesce(source, 'Unknown'),
+                       CASE WHEN trim(text) <> '' THEN 'text: ' || trim(text) END)
+               AS text
       FROM documents)
     SELECT doc_id, title, CAST((i-1)//580 AS BIGINT) AS chunk_idx,
            substr(text, i, 700) AS chunk
@@ -1799,13 +1846,16 @@ def q_ingest_pipeline_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, day, window_vals,
              row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
       FROM win WHERE n = 7 AND date_diff('day', d0, day) = 6)
-    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, window_vals
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           array_to_string(list_transform(window_vals,
+               v -> CAST(CAST(ROUND(v * 1e6) AS BIGINT) AS VARCHAR)), ',') AS window_csv
     FROM valid WHERE rn = 1
     """,
 )
 def q_ts_last_valid_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8 trailing-window search: the most recent fully-valid lookback
-    window per series (predict.py:52-58 backward scan)."""
+    window per series (predict.py:52-58 backward scan). Window emitted as
+    fixed-point int64 CSV — see q_ts_sliding_windows."""
     from backend_fastapi_spark.operators import timeseries as TS
 
     wins = TS.sliding_windows(_daily_series(spark, sf_dir), "user_id", lookback=7)
@@ -1814,7 +1864,15 @@ def q_ts_last_valid_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         wins.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
-            "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"), "window_vals"
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.array_join(
+                F.expr(
+                    "transform(window_vals,"
+                    " v -> CAST(CAST(ROUND(v * 1e6) AS BIGINT) AS STRING))"
+                ),
+                ",",
+            ).alias("window_csv"),
         )
     )
 
@@ -2154,7 +2212,7 @@ def q_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1
                   ELSE 0 END AS is_new
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (

@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-DELIMS = (".", "!", "?", "。")
-FLUSH_SUFFIXES = (",", ";", ":", "-")
+DELIMS = (".", "!", "?", "。", "！", "？", "\n")
+# Partial-flush requires the suffix-plus-space form (', ', '; ', ': ', ' - ')
+# on the UNSTRIPPED buffer — streaming_tts_service.py:56-63.
+FLUSH_SUFFIXES = (", ", "; ", ": ", " - ")
 FLUSH_MIN_CHARS = 20
 
 OUTPUT_SCHEMA = "session_id string, seq long, sentence string"
@@ -54,10 +56,12 @@ def split_complete(buffer: str) -> tuple[list[str], str]:
 
 
 def should_flush_partial(buffer: str) -> bool:
-    """T3 partial-flush policy: flush on clause suffix or length
-    (streaming_tts_service.py:56-69)."""
-    b = buffer.strip()
-    return bool(b) and (b.endswith(FLUSH_SUFFIXES) or len(b) >= FLUSH_MIN_CHARS)
+    """T3 partial-flush policy: flush on a clause suffix (checked on the
+    unstripped text — ', '/'; '/': '/' - ') or when the stripped text is
+    ≥20 chars (streaming_tts_service.py:56-69)."""
+    if buffer.endswith(FLUSH_SUFFIXES):
+        return True
+    return len(buffer.strip()) >= FLUSH_MIN_CHARS
 
 
 def segment_group(

@@ -95,10 +95,11 @@ def build_tool_registry(eng: Engine) -> dict[str, Callable[..., DataFrame]]:
 
     def search_documents(keywords: str, limit: int = 5) -> DataFrame:
         kws = [k.strip().lower() for k in keywords.split(",") if k.strip()]
-        cond = None
+        # Malformed TOOL_CALL with empty/whitespace keywords → clean empty
+        # result, not a filter(None) TypeError.
+        cond = F.lit(False)
         for kw in kws:
-            c = F.lower(F.col("text")).contains(kw)
-            cond = c if cond is None else (cond | c)
+            cond = cond | F.lower(F.col("text")).contains(kw)
         return eng.table("documents").filter(cond).limit(limit)
 
     def grocery_prices(product: str | None = None) -> DataFrame:

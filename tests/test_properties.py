@@ -11,7 +11,7 @@ from hypothesis import given, settings, strategies as st
 
 from backend_fastapi_spark.functions.embedder import _hash_embed_one
 from backend_fastapi_spark.plans.ingest import infer_doc_columns
-from backend_fastapi_spark.streaming.sentence_stream import split_complete
+from backend_fastapi_spark.streaming.sentence_stream import DELIMS, split_complete
 from backend_fastapi_spark.tools import parse_tool_call
 
 
@@ -24,11 +24,14 @@ def test_split_complete_conserves_text(s):
     """Emitted sentences + remainder reassemble the input (modulo the
     stripped inter-sentence whitespace)."""
     done, rest = split_complete(s)
-    # every emitted sentence ends with a delimiter and is non-empty
+    # every emitted sentence is non-empty, stripped, and delimiter-free
+    # before its final char (the terminating delimiter itself is stripped
+    # away when it is whitespace, e.g. '\n')
     for sent in done:
-        assert sent and sent[-1] in ".!?。"
+        assert sent and sent == sent.strip()
+        assert not any(ch in DELIMS for ch in sent[:-1])
     # remainder contains no delimiter
-    assert not any(ch in rest for ch in ".!?。")
+    assert not any(ch in rest for ch in DELIMS)
     # character conservation: non-whitespace chars are preserved in order
     squash = lambda t: "".join(t.split())
     assert squash("".join(done) + rest) == squash(s)

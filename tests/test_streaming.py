@@ -38,10 +38,16 @@ def test_split_complete_pure():
 
 
 def test_flush_policy():
-    assert should_flush_partial("so then,")
+    # clause suffix must be the suffix-plus-space form on the UNSTRIPPED
+    # text (streaming_tts_service.py:56-63)
+    assert should_flush_partial("so then, ")
+    assert not should_flush_partial("so then,")
+    assert should_flush_partial("a point - ")
     assert should_flush_partial("a" * 20)
     assert not should_flush_partial("short")
     assert not should_flush_partial("   ")
+    # ≥20 chars measured on the stripped text
+    assert not should_flush_partial("a" * 19 + " ")
 
 
 def test_stateful_segmentation_across_batches(spark):
