@@ -20,10 +20,11 @@ oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from backend_fastapi_spark.operators.text import shingles, words
+from backend_fastapi_spark.operators.util import materialize
 
 
 def exact_dup_groups(
@@ -57,12 +58,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (i < j) with J ≥ threshold.
 
     jaccard emitted as a ratio of int64 counts (deterministic division).
+
+    ``max_shingle_df`` caps shingle document frequency BEFORE the
+    self-join: shingle frequency is power-law, and one hot shingle (a
+    common phrase) otherwise creates a near-quadratic bucket on a skewed
+    join key at corpus scale. Shingles appearing in more than
+    ``max_shingle_df`` documents are dropped from the universe (both the
+    intersection AND the per-doc counts — Jaccard stays consistent over
+    the capped universe). Ubiquitous shingles carry no dedup signal, so
+    the capped measure is the one you actually want at 100 TB.
     """
-    sh = shingle_table(df, text_col, id_col, n).cache()
+    sh = shingle_table(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        # The hot set is small BY CONSTRUCTION (at most n_pairs/cap
+        # distinct shingles exceed the cap), so it broadcasts; the
+        # anti-join then prunes map-side with no extra shuffle of sh.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -121,10 +144,10 @@ def minhash_lsh_pairs(
     """
     # materialize once (1 row/doc): the band joins read signatures 2x per
     # band — lineage recomputation would redo the shingle aggregation 2·B
-    # times, and .cache() is best-effort under memory pressure
-    sigs = minhash_signatures(df, n_hashes, text_col, id_col, n).localCheckpoint(
-        eager=True
-    )
+    # times, and .cache() is best-effort under memory pressure. With a
+    # checkpoint dir configured (real cluster) this is a reliable
+    # checkpoint; locally it degrades to localCheckpoint.
+    sigs = materialize(minhash_signatures(df, n_hashes, text_col, id_col, n))
     n_bands = n_hashes // band_rows
     pairs = None
     for b in range(n_bands):

@@ -78,24 +78,35 @@ def topk_margin(
     margin: float,
     floor: float,
     tie_col: str,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """P7+P8+O5: similarity floor + relative margin cut + top-k
     (enhanced_internal_db_service.py:689-727).
 
     keep score >= max(best - margin, best * (1 - margin)) and score >= floor.
-    ``best`` via an unpartitioned max window — cheap because the input is an
-    already-reduced candidate set (the over-fetch stage bounds it to ~k*4).
+
+    ``partition_col`` scopes every window (and the final top-k) per key —
+    the scale-safe form for batched queries. With None the max-window is
+    unpartitioned, which funnels all rows through one task: only safe on an
+    already-reduced candidate set (the over-fetch stage bounds it to ~k·4;
+    plans/rag_retrieval.py uses the q_id-partitioned form).
     """
-    w = Window.partitionBy()
-    best = F.max(score_col).over(w)
+    base = Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    best = F.max(score_col).over(base)
     cut = F.greatest(best - F.lit(margin), best * (1.0 - F.lit(margin)))
-    return (
+    out = (
         df.filter(F.col(score_col) >= F.lit(floor))
         .withColumn("_cut", cut)
         .filter(F.col(score_col) >= F.col("_cut"))
         .drop("_cut")
-        .orderBy(F.col(score_col).desc(), F.col(tie_col).asc())
-        .limit(k)
+    )
+    if partition_col is None:
+        return out.orderBy(F.col(score_col).desc(), F.col(tie_col).asc()).limit(k)
+    w_rank = base.orderBy(F.col(score_col).desc(), F.col(tie_col).asc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

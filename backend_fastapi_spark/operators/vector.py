@@ -135,16 +135,27 @@ def near_dup_pairs(
     block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (i < j) with fixed-dot ≥
     threshold. ``block_col`` prunes the self-join to equal-block pairs
-    (label blocking); at scale swap blocking for LSH buckets (lsh.py) —
-    same shape, hash-derived block key.
+    (label blocking); at scale use LSH buckets instead
+    (lsh.ann_similarity_join) — same shape, hash-derived bounded block key.
+
+    With no block the join is a full O(n²) crossJoin — a scale-killer that
+    must be opted into explicitly via ``allow_cross_join=True`` (tiny
+    corpora / tests only).
 
     Vectors are quantized ONCE before the join (O(n·dim) rounds instead of
     O(pairs·dim)) — the pair loop is then pure integer multiply-add inside
     whole-stage codegen.
     """
+    if block_col is None and not allow_cross_join:
+        raise ValueError(
+            "near_dup_pairs without block_col is a full crossJoin; pass "
+            "allow_cross_join=True for tiny inputs, or use "
+            "lsh.ann_similarity_join (the scale path)"
+        )
     quantized = df.withColumn("_qvec", F.transform(F.col(vec_col), _fx))
     left = quantized.select(
         F.col(id_col).alias("id_a"),

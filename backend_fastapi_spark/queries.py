@@ -602,11 +602,28 @@ def q_knn_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, label-blocked self-join
-    (LLM-pipeline dedup; scale path swaps blocks for LSH buckets)."""
+    """Embedding-cosine near-duplicate pairs, label-blocked self-join —
+    the ORACLE TWIN of the dedup (exact and SQL-expressible, so the driver
+    can hash-check it). The primary path at corpus scale is the LSH-pruned
+    variant registered as ``embedding_near_dup_lsh``; blocking here relies
+    on bounded label groups."""
     emb = _t(spark, sf_dir, "embeddings")
     return V.near_dup_pairs(
         emb, threshold_i64=250_000_000_000, block_col="label"
+    )
+
+
+@register("embedding_near_dup_lsh", oracle=None)  # approximate by construction
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRIMARY embedding near-dup path at 100 TB: LSH-bucketed
+    approximate self-join (BucketedRandomProjectionLSH) — only colliding
+    hash buckets meet, no unbounded blocks, no crossJoin. Recall vs the
+    exact pairs is asserted in tests/test_vector.py."""
+    from backend_fastapi_spark.operators.lsh import ann_similarity_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_similarity_join(emb, max_dist=1.1).select(
+        "id_a", "id_b", "dist"
     )
 
 
@@ -671,10 +688,16 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_dupes",
     oracle=f"""
     WITH {_TOKS_CTE}, {_SHINGLES_CTE},
-    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    -- document-frequency cap: shingles in >64 docs are dropped from the
+    -- universe before the self-join (hot-shingle skew guard)
+    capped AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 64) keep
+      USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b, n_inter,
            CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
@@ -683,8 +706,14 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8)."""
-    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8) over the
+    document-frequency-capped shingle universe (max_df 64): shingle
+    frequency is power-law, and an uncapped hot shingle creates a
+    near-quadratic join bucket at corpus scale. Ubiquitous shingles carry
+    no dedup signal, so the cap changes cost, not meaning."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, max_shingle_df=64
+    )
 
 
 _SIG_COLS_SQL = ", ".join(
@@ -2074,85 +2103,139 @@ def q_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 16
-_SIMHASH_BIT_SQL = ", ".join(
-    f"CASE WHEN SUM(CASE WHEN substr(md5(shingle), {j+1}, 1) IN "
-    f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
-    f"THEN {1 << j} ELSE 0 END AS b{j}"
-    for j in range(_SIMHASH_BITS)
+# 64-bit SimHash as 4 × 16-bit band columns. Hyperplane bit g (0..63)
+# comes from an md5 nibble: g<32 from md5(shingle), g>=32 from a salted
+# md5('#|'+shingle) — 64 independent public hash bits in both engines.
+# Band-key cardinality 2^16 keeps pigeonhole buckets ~n/65536: the
+# scale-safe shape (the earlier 16-bit signature put ~n/64 docs per
+# bucket → O(n²/64) candidates).
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 16
+
+
+# hs CTE projects the two md5 digests ONCE per row; the 64 bit-aggregates
+# then read substrings of those — not 64 md5 evaluations per shingle.
+_SIMHASH_HASH_CTE = (
+    "hs AS (SELECT doc_id, md5(shingle) AS h0, md5('#|' || shingle) AS h1 FROM sh)"
+)
+
+
+def _simhash_nibble_sql(g: int) -> str:
+    if g < 32:
+        return f"substr(h0, {g + 1}, 1)"
+    return f"substr(h1, {g - 31}, 1)"
+
+
+_SIMHASH_BAND_SQL = ", ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN SUM(CASE WHEN {_simhash_nibble_sql(16 * k + j)} IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(_SIMHASH_BAND_BITS)
+    )
+    + f") AS band{k}"
+    for k in range(_SIMHASH_BANDS)
+)
+_SIMHASH_HAMMING_SQL = " + ".join(
+    f"bit_count(CAST(xor(a.band{k}, b.band{k}) AS BIGINT))"
+    for k in range(_SIMHASH_BANDS)
+)
+_SIMHASH_CAND_SQL = " UNION ".join(
+    f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b "
+    f"ON a.band{k} = b.band{k} AND a.doc_id < b.doc_id"
+    for k in range(_SIMHASH_BANDS)
 )
 
 
 @register(
     "simhash_pairs",
     oracle=f"""
-    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
-    bits AS (SELECT doc_id, {_SIMHASH_BIT_SQL} FROM sh GROUP BY doc_id),
-    sig AS (SELECT doc_id, {" + ".join(f"b{j}" for j in range(_SIMHASH_BITS))} AS sig
-            FROM bits)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= 2
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_SIMHASH_HASH_CTE},
+    sig AS (SELECT doc_id, {_SIMHASH_BAND_SQL} FROM hs GROUP BY doc_id),
+    cand AS ({_SIMHASH_CAND_SQL})
+    SELECT c.id_a, c.id_b, CAST({_SIMHASH_HAMMING_SQL} AS BIGINT) AS hamming
+    FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b
+    WHERE {_SIMHASH_HAMMING_SQL} <= 3
     """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16-bit, md5-nibble hyperplanes) near-dup pairs with Hamming
-    distance ≤ 2 — the third dedup family (bit-signature, constant-size)."""
-    sh = D.shingle_table(_t(spark, sf_dir, "documents"))
-    bit_aggs = [
-        F.when(
-            F.sum(
-                F.when(
-                    F.substring(F.md5("shingle"), j + 1, 1).isin(
-                        "8", "9", "a", "b", "c", "d", "e", "f"
-                    ),
-                    1,
-                ).otherwise(-1)
-            )
-            > 0,
-            F.lit(1 << j),
-        )
-        .otherwise(0)
-        .alias(f"b{j}")
-        for j in range(_SIMHASH_BITS)
-    ]
-    sigs = (
-        sh.groupBy("doc_id")
-        .agg(*bit_aggs)
-        .select(
-            "doc_id",
-            sum([F.col(f"b{j}") for j in range(_SIMHASH_BITS)], F.lit(0)).alias("sig"),
-        )
+    """SimHash(64-bit, md5-nibble hyperplanes) near-dup pairs with Hamming
+    distance ≤ 3 — the third dedup family (bit-signature, constant-size).
+
+    Pigeonhole banding: the signature lives as 4 × 16-bit band columns;
+    any pair at Hamming ≤ 3 agrees on at least one full band, so 4
+    band-key equi-joins (cardinality 2^16 each) find every qualifying
+    pair, then the exact Hamming filter verifies. No all-pairs join, no
+    single-band hot bucket."""
+    from backend_fastapi_spark.operators.util import materialize
+
+    sh = D.shingle_table(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.md5("shingle").alias("h0"),
+        F.md5(F.concat(F.lit("#|"), F.col("shingle"))).alias("h1"),
     )
-    # Pigeonhole banding instead of all-pairs: split the 16-bit signature
-    # into 3 bands; any pair at Hamming ≤ 2 matches on at least one full
-    # band, so per-band equi-joins find every qualifying pair (then verify
-    # exactly). Same result set as the oracle's crossJoin at a fraction of
-    # the pairs. Signatures (1 row/doc) are materialized eagerly so the
-    # 6 join branches read them instead of recomputing the 16-agg stage.
-    sigs = sigs.localCheckpoint(eager=True)
-    bands = [
-        (F.col("sig").bitwiseAND(F.lit(63))).alias("band"),           # bits 0-5
-        (F.shiftright("sig", 6).bitwiseAND(F.lit(31))).alias("band"),  # bits 6-10
-        (F.shiftright("sig", 11).bitwiseAND(F.lit(31))).alias("band"), # bits 11-15
+
+    def nib(g: int):
+        if g < 32:
+            return F.substring("h0", g + 1, 1)
+        return F.substring("h1", g - 31, 1)
+
+    hexset = ("8", "9", "a", "b", "c", "d", "e", "f")
+    band_aggs = [
+        sum(
+            [
+                F.when(
+                    F.sum(
+                        F.when(nib(16 * k + j).isin(*hexset), 1).otherwise(-1)
+                    )
+                    > 0,
+                    F.lit(1 << j),
+                ).otherwise(0)
+                for j in range(_SIMHASH_BAND_BITS)
+            ],
+            F.lit(0),
+        ).alias(f"band{k}")
+        for k in range(_SIMHASH_BANDS)
     ]
+    # 1 row/doc, read by every band join — materialize once (reliable
+    # checkpoint when a checkpoint dir is set; localCheckpoint on local[*])
+    sigs = materialize(sh.groupBy("doc_id").agg(*band_aggs))
+
     cands = None
-    for bi, band in enumerate(bands):
-        side = sigs.select("doc_id", "sig", band)
-        a = side.select(
-            F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band"
+    for k in range(_SIMHASH_BANDS):
+        a = sigs.select(F.col("doc_id").alias("id_a"), f"band{k}")
+        b = sigs.select(F.col("doc_id").alias("id_b"), f"band{k}")
+        p = (
+            a.join(b, f"band{k}")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
         )
-        b = side.select(
-            F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band"
-        )
-        p = a.join(b, "band").filter(F.col("id_a") < F.col("id_b")).drop("band")
         cands = p if cands is None else cands.unionByName(p)
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")).cast("long"))
+
+    sig_a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(_SIMHASH_BANDS)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(_SIMHASH_BANDS)],
+    )
+    hamming = sum(
+        [
+            F.bit_count(
+                F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")).cast("long")
+            )
+            for k in range(_SIMHASH_BANDS)
+        ],
+        F.lit(0),
+    ).cast("long")
     return (
         cands.distinct()
+        .join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 2)
+        .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
 
@@ -2354,8 +2437,11 @@ def q_distinct_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-3 terms per document — document-frequency join broadcast
-    (vocabulary ≪ corpus), idf quantized via round(x·1e6)/1e6 for
+    """TF-IDF top-3 terms per document. Scale shape: the vocabulary
+    document-frequency table shuffle-joins on term (AQE picks broadcast
+    when it happens to be small — a 100 TB corpus vocabulary is NOT), and
+    n_docs folds in as a 1-row aggregate cross-join instead of a separate
+    driver-side count job. idf quantized via round(x·1e6)/1e6 for
     cross-engine log parity."""
     docs = _t(spark, sf_dir, "documents")
     terms = docs.select(
@@ -2363,10 +2449,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tfidf = (
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * F.lit(1e6), 0
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * F.lit(1e6), 0
         )
         / 1e6
     )
@@ -2374,7 +2460,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").desc(), F.col("term").asc()
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
+        .crossJoin(n)
         .withColumn("tfidf", tfidf)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 3)
