@@ -73,7 +73,11 @@ def ngram_jaccard_pairs(
     the capped universe). Ubiquitous shingles carry no dedup signal, so
     the capped measure is the one you actually want at 100 TB.
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    # Cache the RAW substrate plan (not the capped derivative): Spark's
+    # CacheManager matches cached relations by analyzed plan, so every
+    # signature family (Jaccard / MinHash / SimHash) scanning the same
+    # shingle_table(df) in one session reuses this single evaluation.
+    sh = shingle_table(df, text_col, id_col, n).cache()
     if max_shingle_df is not None:
         # The hot set is small BY CONSTRUCTION (at most n_pairs/cap
         # distinct shingles exceed the cap), so it broadcasts; the
@@ -85,7 +89,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.cache()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -122,7 +125,10 @@ def minhash_signatures(
     One aggregation pass over the shingle table — no joins. Documents with
     high shingle-Jaccard agree on each sig_s with probability ≈ J.
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    # .cache(): same analyzed plan as the Jaccard/SimHash substrate, so one
+    # evaluation feeds all signature families in a session (CacheManager
+    # dedups the repeated cache() calls).
+    sh = shingle_table(df, text_col, id_col, n).cache()
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"sig_{s}")
         for s in range(n_hashes)

@@ -2170,27 +2170,55 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-band hot bucket."""
     from backend_fastapi_spark.operators.util import materialize
 
-    sh = D.shingle_table(_t(spark, sf_dir, "documents")).select(
-        "doc_id",
-        F.md5("shingle").alias("h0"),
-        F.md5(F.concat(F.lit("#|"), F.col("shingle"))).alias("h1"),
+    # Parse each md5 digest ONCE into 4 × 32-bit integer chunks (8 hex chars
+    # via conv), then every hyperplane bit is a shift-and — integer codegen,
+    # not 64 substring+IN string comparisons per shingle row. The .cache()
+    # on the raw shingle plan makes this the same shared substrate the
+    # Jaccard/MinHash queries evaluate (CacheManager plan-matches it).
+    sh = (
+        D.shingle_table(_t(spark, sf_dir, "documents"))
+        .cache()
+        .select(
+            "doc_id",
+            *[
+                F.conv(F.substring(F.md5("shingle"), 8 * c + 1, 8), 16, 10)
+                .cast("long")
+                .alias(f"c{c}")
+                for c in range(4)
+            ],
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("#|"), F.col("shingle"))),
+                        8 * c + 1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias(f"c{c + 4}")
+                for c in range(4)
+            ],
+        )
     )
 
-    def nib(g: int):
-        if g < 32:
-            return F.substring("h0", g + 1, 1)
-        return F.substring("h1", g - 31, 1)
+    def bit(g: int):
+        # Oracle bit g = high bit of hex nibble g (h0 nibbles 0-31, h1
+        # nibbles 32-63). Nibble i sits in chunk i//8 at hex position i%8;
+        # its high bit is bit 4*(7 - i%8) + 3 of the 32-bit chunk value.
+        shift = 4 * (7 - g % 8) + 3
+        return F.shiftright(F.col(f"c{g // 8}"), shift).bitwiseAND(F.lit(1))
 
-    hexset = ("8", "9", "a", "b", "c", "d", "e", "f")
-    band_aggs = [
+    bit_sums = [
+        F.sum(bit(g)).alias(f"s{g}") for g in range(_SIMHASH_BANDS * _SIMHASH_BAND_BITS)
+    ]
+    # SUM(+1/-1 per bit) > 0  ⇔  2 * SUM(bit) > COUNT(*)
+    band_cols = [
         sum(
             [
                 F.when(
-                    F.sum(
-                        F.when(nib(16 * k + j).isin(*hexset), 1).otherwise(-1)
-                    )
-                    > 0,
-                    F.lit(1 << j),
+                    F.col(f"s{16 * k + j}") * 2 > F.col("_n"), F.lit(1 << j)
                 ).otherwise(0)
                 for j in range(_SIMHASH_BAND_BITS)
             ],
@@ -2200,7 +2228,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # 1 row/doc, read by every band join — materialize once (reliable
     # checkpoint when a checkpoint dir is set; localCheckpoint on local[*])
-    sigs = materialize(sh.groupBy("doc_id").agg(*band_aggs))
+    sigs = materialize(
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
+        .select("doc_id", *band_cols)
+    )
 
     cands = None
     for k in range(_SIMHASH_BANDS):
