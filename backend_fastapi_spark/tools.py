@@ -15,11 +15,15 @@ onto the driver's star schema.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, functions as F
 
 from backend_fastapi_spark.api import Engine
+from backend_fastapi_spark.personal import PersonalStore
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
 
 def parse_tool_call(text: str) -> dict[str, Any] | None:
@@ -61,9 +65,168 @@ def parse_tool_call(text: str) -> dict[str, Any] | None:
     return None
 
 
-def build_tool_registry(eng: Engine) -> dict[str, Callable[..., DataFrame]]:
-    """The dispatch table: every tool is a DataFrame program over the
-    engine's operator library (reference tools → star-schema analogs)."""
+def build_tool_registry(
+    eng: Engine, store: PersonalStore | None = None
+) -> dict[str, Callable[..., DataFrame]]:
+    """The dispatch table: the reference's full 15-tool surface
+    (``tool_definitions.py:5-241``) plus engine-native extensions, every
+    tool a DataFrame program over the operator library. Personal-state
+    tools route through ``PersonalStore`` batch merges."""
+    store = store or PersonalStore.bootstrap(eng.spark)
+
+    # ---- reference surface (15 names, tool_definitions.py order) --------
+    def get_news(keyword: str | None = None, limit: int = 5) -> DataFrame:
+        from backend_fastapi_spark.sources.feeds import parse_rss_items
+
+        with open(os.path.join(_DATA_DIR, "news_feed.xml")) as f:
+            xml = f.read()
+        feeds = eng.spark.range(1).select(
+            F.lit("file://news_feed.xml").alias("feed_url"), F.lit(xml).alias("xml")
+        )
+        items = parse_rss_items(feeds)
+        if keyword:
+            kw = keyword.strip().lower()
+            items = items.filter(
+                F.lower("title").contains(kw) | F.lower("description").contains(kw)
+            )
+        return items.orderBy(F.col("pub_date").desc(), "link").limit(limit)
+
+    def get_weather(location: str = "Seoul") -> DataFrame:
+        # Reference returns fixed dummy weather (tool_executor.py:121-135:
+        # no real API behind it); ours is a deterministic function of the
+        # location string so distinct locations give distinct rows.
+        return eng.spark.range(1).select(
+            F.lit(location).alias("location"),
+            (F.pmod(F.xxhash64(F.lit(location)), F.lit(15)) + 15).cast("int").alias("temperature_c"),
+            F.element_at(
+                F.array(F.lit("clear"), F.lit("cloudy"), F.lit("rain")),
+                (F.pmod(F.xxhash64(F.lit(location), F.lit(1)), F.lit(3)) + 1).cast("int"),
+            ).alias("description"),
+            (F.pmod(F.xxhash64(F.lit(location), F.lit(2)), F.lit(40)) + 40).cast("int").alias("humidity_pct"),
+        )
+
+    def get_health_status(user_id: int = 1) -> DataFrame:
+        """Diseases + medications rolled into one health-context row
+        (tool_executor.py:136-167)."""
+        d = (
+            store.diseases.filter(F.col("user_id") == user_id)
+            .groupBy("user_id")
+            .agg(
+                F.sort_array(F.collect_list("name")).alias("diseases"),
+                F.sum(F.when(F.col("status") == "active", 1).otherwise(0)).alias("n_active"),
+            )
+        )
+        m = (
+            store.medications.filter(F.col("user_id") == user_id)
+            .groupBy("user_id")
+            .agg(F.sort_array(F.collect_list("name")).alias("medications"))
+        )
+        return (
+            d.join(m, "user_id", "full")
+            .select(
+                F.coalesce("user_id", F.lit(user_id)).alias("user_id"),
+                F.coalesce("diseases", F.array().cast("array<string>")).alias("diseases"),
+                F.coalesce("medications", F.array().cast("array<string>")).alias("medications"),
+                (100 - F.coalesce("n_active", F.lit(0)) * 10
+                 - F.coalesce(F.size("medications"), F.lit(0)) * 2).alias("health_score"),
+            )
+        )
+
+    def get_diseases(user_id: int = 1) -> DataFrame:
+        return (
+            store.diseases.filter(F.col("user_id") == user_id)
+            .select("disease_id", "name", "diagnosed_date", "status")
+            .orderBy("disease_id")
+        )
+
+    def get_medications(user_id: int = 1) -> DataFrame:
+        return (
+            store.medications.filter(F.col("user_id") == user_id)
+            .select("med_id", "name", "dosage", "intake_time")
+            .orderBy("med_id")
+        )
+
+    def add_disease(
+        name: str, diagnosed_date: str | None = None, status: str = "active",
+        user_id: int = 1,
+    ) -> DataFrame:
+        return store.add_disease(user_id, name, diagnosed_date, status)
+
+    def add_medication(
+        name: str, dosage: str | None = None, intake_time: str | None = None,
+        user_id: int = 1,
+    ) -> DataFrame:
+        return store.add_medication(user_id, name, dosage, intake_time)
+
+    def get_finance_updates(category: str | None = None) -> DataFrame:
+        """Market-wide chart bars from fetched payloads
+        (yahoo_finance_service.py shape; parse is S10)."""
+        from backend_fastapi_spark.sources.feeds import parse_chart_payload
+
+        payloads = eng.spark.read.json(
+            os.path.join(_DATA_DIR, "market_payloads.jsonl")
+        )
+        if category:
+            payloads = payloads.filter(F.col("category") == category)
+        return parse_chart_payload(payloads).orderBy("symbol", "ts")
+
+    def get_finance_items(category: str | None = None, user_id: int = 1) -> DataFrame:
+        items = store.finance_items.filter(F.col("user_id") == user_id)
+        if category:
+            items = items.filter(F.col("category") == category)
+        # per-item rows + the running total the reference reports
+        total = items.groupBy().agg(
+            F.sum("amount").alias("_total")
+        )
+        return (
+            items.crossJoin(F.broadcast(total))
+            .select("item_id", "name", "category", "amount", F.col("_total").alias("total_assets"))
+            .orderBy("item_id")
+        )
+
+    def get_calendar_events(
+        date: str | None = None, limit: int = 10, user_id: int = 1
+    ) -> DataFrame:
+        ev = store.calendar_events.filter(F.col("user_id") == user_id)
+        if date:
+            ev = ev.filter(F.col("event_date") == date)
+        return (
+            ev.select("event_id", "title", "event_date", "event_time",
+                      "event_type", "location", "description")
+            .orderBy("event_date", "event_time", "event_id")
+            .limit(limit)
+        )
+
+    def add_calendar_event(
+        title: str, event_date: str, event_time: str,
+        event_type: str = "appointment", location: str | None = None,
+        description: str | None = None, user_id: int = 1,
+    ) -> DataFrame:
+        return store.add_calendar_event(
+            user_id, title, event_date, event_time, event_type, location, description
+        )
+
+    def delete_calendar_event(event_id: int, user_id: int = 1) -> DataFrame:
+        return store.delete_calendar_event(user_id, event_id)
+
+    def get_diet_plan(date: str | None = None, user_id: int = 1) -> DataFrame:
+        """Health context for diet recommendation — the reference returns
+        disease+medication names for the LLM to reason over
+        (tool_executor.py:556-588); the LLM stays outside the engine."""
+        return get_health_status(user_id).select(
+            "user_id", "diseases", "medications",
+            (F.size("diseases") + F.size("medications") > 0).alias("has_health_info"),
+        )
+
+    def get_notifications(limit: int = 5, user_id: int = 1) -> DataFrame:
+        return (
+            store.notifications
+            .filter((F.col("user_id") == user_id) & (~F.col("is_read")))
+            .select("notification_id", "notification_type", "title",
+                    "message", "priority", "created_at")
+            .orderBy(F.col("created_at").desc(), "notification_id")
+            .limit(limit)
+        )
 
     def recent_orders(user_id: int, limit: int = 10) -> DataFrame:
         return (
@@ -114,18 +277,49 @@ def build_tool_registry(eng: Engine) -> dict[str, Callable[..., DataFrame]]:
         return eng.knn(query_vec, k=k)
 
     return {
-        "get_recent_orders": recent_orders,       # finance_items analog
-        "get_spend_summary": spend_summary,       # SUM(amount) analog
-        "get_upcoming_events": upcoming_events,   # calendar_events analog
-        "search_knowledge": search_documents,     # internal-db RAG tool
-        "get_grocery_prices": grocery_prices,     # grocery RAG tool
-        "vector_search": vector_search,           # kNN tool
+        # reference surface — tool_definitions.py:5-241, all 15 names
+        "get_news": get_news,
+        "get_weather": get_weather,
+        "get_health_status": get_health_status,
+        "get_diseases": get_diseases,
+        "get_medications": get_medications,
+        "add_disease": add_disease,
+        "add_medication": add_medication,
+        "get_finance_updates": get_finance_updates,
+        "get_finance_items": get_finance_items,
+        "get_calendar_events": get_calendar_events,
+        "add_calendar_event": add_calendar_event,
+        "delete_calendar_event": delete_calendar_event,
+        "get_diet_plan": get_diet_plan,
+        "get_notifications": get_notifications,
+        "get_grocery_prices": grocery_prices,
+        # engine-native extensions over the star schema
+        "get_recent_orders": recent_orders,
+        "get_spend_summary": spend_summary,
+        "get_upcoming_events": upcoming_events,
+        "search_knowledge": search_documents,
+        "vector_search": vector_search,
     }
 
 
-def execute_tool(eng: Engine, call: dict[str, Any]) -> DataFrame:
-    """Dispatch one parsed TOOL_CALL {"tool": name, "args": {...}}."""
-    registry = build_tool_registry(eng)
+#: The reference's tool surface (tool_definitions.py:5-241) — parity target.
+REFERENCE_TOOL_NAMES = (
+    "get_news", "get_weather", "get_health_status", "get_diseases",
+    "get_medications", "add_disease", "add_medication",
+    "get_finance_updates", "get_finance_items", "get_calendar_events",
+    "add_calendar_event", "delete_calendar_event", "get_diet_plan",
+    "get_notifications", "get_grocery_prices",
+)
+
+
+def execute_tool(
+    eng: Engine, call: dict[str, Any], store: PersonalStore | None = None
+) -> DataFrame:
+    """Dispatch one parsed TOOL_CALL {"tool": name, "args": {...}}.
+
+    Pass a ``PersonalStore`` to thread mutable personal state across an
+    agent session (otherwise each call sees the bootstrap image)."""
+    registry = build_tool_registry(eng, store)
     name = call.get("tool")
     if name not in registry:
         raise KeyError(f"unknown tool: {name!r}; available: {sorted(registry)}")
