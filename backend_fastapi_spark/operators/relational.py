@@ -86,22 +86,33 @@ def topk_margin(
     keep score >= max(best - margin, best * (1 - margin)) and score >= floor.
 
     ``partition_col`` scopes every window (and the final top-k) per key —
-    the scale-safe form for batched queries. With None the max-window is
-    unpartitioned, which funnels all rows through one task: only safe on an
-    already-reduced candidate set (the over-fetch stage bounds it to ~k·4;
-    plans/rag_retrieval.py uses the q_id-partitioned form).
+    the form for batched queries. With None there is NO window at all: the
+    global best comes from a 1-row aggregate broadcast back over the rows
+    (map-side, any partition count), and the top-k is orderBy+limit, which
+    Spark executes as TakeOrderedAndProject (per-partition partial top-k,
+    then a k-row merge) — both shapes scale-safe at any input size.
     """
-    base = Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    floored = df.filter(F.col(score_col) >= F.lit(floor))
+    if partition_col is None:
+        best_df = floored.agg(F.max(score_col).alias("_best"))
+        cut = F.greatest(
+            F.col("_best") - F.lit(margin), F.col("_best") * (1.0 - F.lit(margin))
+        )
+        return (
+            floored.join(F.broadcast(best_df))
+            .filter(F.col(score_col) >= cut)
+            .drop("_best")
+            .orderBy(F.col(score_col).desc(), F.col(tie_col).asc())
+            .limit(k)
+        )
+    base = Window.partitionBy(partition_col)
     best = F.max(score_col).over(base)
     cut = F.greatest(best - F.lit(margin), best * (1.0 - F.lit(margin)))
     out = (
-        df.filter(F.col(score_col) >= F.lit(floor))
-        .withColumn("_cut", cut)
+        floored.withColumn("_cut", cut)
         .filter(F.col(score_col) >= F.col("_cut"))
         .drop("_cut")
     )
-    if partition_col is None:
-        return out.orderBy(F.col(score_col).desc(), F.col(tie_col).asc()).limit(k)
     w_rank = base.orderBy(F.col(score_col).desc(), F.col(tie_col).asc())
     return (
         out.withColumn("_rn", F.row_number().over(w_rank))

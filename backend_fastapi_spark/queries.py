@@ -2313,9 +2313,32 @@ def q_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time high-water mark — the §2.11 late-data policy made
     inspectable/oracle-checkable."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    # Distributed prefix-max (no global window over the events): bucket
+    # arrival order into 64k-row blocks, run the running max per-block
+    # (partitioned window), and carry the cross-block prefix via a window
+    # over the per-block AGGREGATE — n/65536 rows, bounded work on one task
+    # (the classic two-level scan; add a third level at 10^12 events).
+    blk = (F.col("event_id") / F.lit(65536)).cast("long")
+    wb = (
+        Window.partitionBy("_blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn("_blk", blk).withColumn("_run", F.max("ts").over(wb))
+    blocks = (
+        ev.withColumn("_blk", blk)
+        .groupBy("_blk")
+        .agg(F.max("ts").alias("_blk_max"))
+    )
+    w_prev = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev = blocks.select(
+        "_blk", F.max("_blk_max").over(w_prev).alias("_prev_max")
+    )
     return (
-        ev.withColumn("_hw", F.max("ts").over(w))
+        marked.join(F.broadcast(prev), "_blk")
+        .withColumn("_hw", F.greatest(F.col("_run"), F.coalesce("_prev_max", "_run")))
         .filter(F.col("ts") >= F.col("_hw") - F.expr("INTERVAL 10 MINUTES"))
         .select("event_id", "ts", "user_id", "event_type")
     )
