@@ -69,17 +69,32 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Optional 10x scale point (scripts/gen_scale.py output): one timed run
+    # per query so sf-growth is recorded alongside the primary metric.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", ".scaledata/sf1")
+    if os.path.isdir(sf1_dir) and os.path.abspath(sf1_dir) != os.path.abspath(sf_dir):
+        sf1_timings: dict[str, float] = {}
+        for name in HEADLINE:
+            spec = Q.REGISTRY.get(name)
+            if spec is None:
+                continue
+            spec.fn(spark, sf1_dir).count()  # warmup
+            t0 = time.perf_counter()
+            spec.fn(spark, sf1_dir).count()
+            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# sf1 {name}: {sf1_timings[name]:.3f}s", file=sys.stderr)
+        out["sf1_queries"] = sf1_timings
+        out["sf1_total"] = round(sum(sf1_timings.values()), 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Generate a k-times scaled benchmark dataset from an existing sf dir.
+
+Usage: python scripts/gen_scale.py [src_dir] [dst_dir] [k]
+
+Fact tables (customer/orders/lineitem/events/documents/embeddings) are
+replicated k times with key-space offsets so referential integrity holds
+copy-internally; dims (region/nation/supplier/part) are carried as-is
+(dims grow sublinearly in practice, and fact FKs into them stay valid).
+
+Per-copy content transforms keep the derived workloads honest:
+  * documents: copy i>0 interleaves a copy-token between words, so no
+    shingle survives across copies — dedup structure (near-dup groups,
+    shingle frequency shape) is preserved per copy instead of creating
+    k-clique duplicate blowup.
+  * embeddings: copy i rotates the vector by i positions — norms
+    preserved, directions distinct, so kNN/near-dup neighborhoods stay
+    copy-local.
+
+Bench-only data (lives under .scaledata/, gitignored); correctness runs
+stay on the driver's /root/testdata.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from backend_fastapi_spark.core.session import get_spark  # noqa: E402
+from backend_fastapi_spark.sources.parquet import read_table  # noqa: E402
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf1"
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+OFF = 10_000_000_000  # key offset per copy — far above any source key
+
+
+def main() -> None:
+    spark = get_spark("gen_scale")
+    copies = spark.range(K).withColumnRenamed("id", "_copy")
+
+    def fan(name, key_cols, extra=None):
+        # read_table normalizes nanosecond timestamps (events.ts) to
+        # micros; the scaled copy is written as plain TIMESTAMP, which
+        # read_table passes through unchanged.
+        df = read_table(spark, SRC.rstrip("/"), name).crossJoin(copies)
+        for c in key_cols:
+            df = df.withColumn(c, F.col(c) + F.col("_copy") * F.lit(OFF))
+        if extra is not None:
+            df = extra(df)
+        df.drop("_copy").repartition(32).write.mode("overwrite").parquet(
+            f"{DST}/{name}.parquet"
+        )
+
+    def doc_text(df):
+        # interleave a per-copy token between words for copies > 0
+        return df.withColumn(
+            "text",
+            F.when(F.col("_copy") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    F.col("text"), " ", F.concat(F.lit(" c"), F.col("_copy"), F.lit(" "))
+                )
+            ),
+        )
+
+    def rotate_vec(df):
+        n = F.size("embedding")
+        i = (F.col("_copy") % n).cast("int")
+        return df.withColumn(
+            "embedding",
+            F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(
+                F.concat(
+                    F.slice(F.col("embedding"), i + 1, n - i),
+                    F.slice(F.col("embedding"), 1, i),
+                )
+            ),
+        )
+
+    fan("customer", ["c_custkey"])
+    fan("orders", ["o_orderkey", "o_custkey"])
+    fan("lineitem", ["l_orderkey"])
+    fan("events", ["event_id", "user_id"])
+    fan("documents", ["doc_id"], doc_text)
+    fan("embeddings", ["vec_id"], rotate_vec)
+    for dim in ["region", "nation", "supplier", "part"]:
+        spark.read.parquet(f"{SRC}/{dim}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{dim}.parquet"
+        )
+    print("done:", DST)
+
+
+if __name__ == "__main__":
+    main()
