@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from backend_fastapi_spark.operators.text import shingles, words
-from backend_fastapi_spark.operators.util import materialize
+from backend_fastapi_spark.operators.util import ensure_parallelism, materialize
 
 
 def exact_dup_groups(
@@ -46,8 +46,19 @@ def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingle) distinct pairs — the shared substrate for Jaccard and
-    MinHash."""
-    return df.select(
+    MinHash.
+
+    When the input scans narrower than the cluster (single small file),
+    hash-repartitions the RAW documents by ``id_col`` before exploding.
+    Two scale effects, both favorable: (1) the shuffle moves the compact
+    pre-explode text rather than the ~k×-larger shingle stream, and the
+    per-shingle hashing (8× md5 in SimHash, n_hashes× in MinHash) then
+    runs on every core even when the input is a handful of small files;
+    (2) ``groupBy(id_col)`` signature aggregations downstream see a
+    child already hash-partitioned on their key, so the signature pass
+    needs NO second shuffle — Exchange is elided. On a real wide 100 TB
+    scan this is a no-op (``ensure_parallelism`` guard)."""
+    return ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(shingles(words(F.col(text_col)), n)).alias("shingle")
     )
 
@@ -155,16 +166,27 @@ def minhash_lsh_pairs(
     # checkpoint; locally it degrades to localCheckpoint.
     sigs = materialize(minhash_signatures(df, n_hashes, text_col, id_col, n))
     n_bands = n_hashes // band_rows
-    pairs = None
-    for b in range(n_bands):
-        cols = [f"sig_{b * band_rows + r}" for r in range(band_rows)]
-        key = F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_key")
-        left = sigs.select(F.col(id_col).alias("id_a"), key)
-        right = sigs.select(F.col(id_col).alias("id_b"), key)
-        p = (
-            left.join(right, "band_key")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+    # ONE equi-join on the exploded (band_idx, band_key) table instead of
+    # n_bands separate self-joins + union: identical collision set, a
+    # single shuffle of the n_bands·n-row keyed table, 1/n_bands the join
+    # stages.
+    band_keys = [
+        F.concat_ws(
+            "|", *[F.col(f"sig_{b * band_rows + r}") for r in range(band_rows)]
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        for b in range(n_bands)
+    ]
+    keyed = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+    )
+    return (
+        keyed.select(F.col("doc_id").alias("id_a"), "band_idx", "band_key")
+        .join(
+            keyed.select(F.col("doc_id").alias("id_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -90,8 +90,13 @@ def knn_exact(
     J4/V3 analog: the reference's 1×N FAISS scan generalizes to Q×N with the
     corpus staying partitioned in place.
     """
+    from backend_fastapi_spark.operators.util import ensure_parallelism
+
     q = F.broadcast(queries)
-    joined = corpus.crossJoin(q)
+    # No-op at scale (multi-file corpus scans wide already); locally it
+    # spreads the |Q|×|corpus| scoring loop across every core instead of
+    # serializing on a one-row-group file scan.
+    joined = ensure_parallelism(corpus).crossJoin(q)
     if metric == "dot":
         score = fixed_dot(F.col(vec_col), F.col(query_vec_col))
         order = [F.col("score_i64").desc(), F.col(corpus_id).asc()]
@@ -156,7 +161,11 @@ def near_dup_pairs(
             "allow_cross_join=True for tiny inputs, or use "
             "lsh.ann_similarity_join (the scale path)"
         )
-    quantized = df.withColumn("_qvec", F.transform(F.col(vec_col), _fx))
+    from backend_fastapi_spark.operators.util import ensure_parallelism
+
+    quantized = ensure_parallelism(df).withColumn(
+        "_qvec", F.transform(F.col(vec_col), _fx)
+    )
     left = quantized.select(
         F.col(id_col).alias("id_a"),
         F.col("_qvec").alias("vec_a"),

@@ -2234,16 +2234,25 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", *band_cols)
     )
 
-    cands = None
-    for k in range(_SIMHASH_BANDS):
-        a = sigs.select(F.col("doc_id").alias("id_a"), f"band{k}")
-        b = sigs.select(F.col("doc_id").alias("id_b"), f"band{k}")
-        p = (
-            a.join(b, f"band{k}")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+    # ONE equi-join on an exploded (band_idx, band_value) key instead of
+    # 4 separate self-joins + union: same collision set (a pair agreeing
+    # on band k meets at key (k, v)), 1/4 the join stages and one shuffle
+    # of the 4n-row exploded sig table instead of four of the n-row one.
+    keyed = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{k}") for k in range(_SIMHASH_BANDS)])
+        ).alias("band_idx", "band_val"),
+    )
+    cands = (
+        keyed.select(F.col("doc_id").alias("id_a"), "band_idx", "band_val")
+        .join(
+            keyed.select(F.col("doc_id").alias("id_b"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
         )
-        cands = p if cands is None else cands.unionByName(p)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
 
     sig_a = sigs.select(
         F.col("doc_id").alias("id_a"),
