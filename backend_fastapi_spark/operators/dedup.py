@@ -124,6 +124,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the clustering
+    step that turns pairwise near-dup PAIRS into dedup GROUPS (keep one
+    canonical doc per component).
+
+    Iterative min-label propagation (the Pregel/GraphX CC recipe): every
+    vertex starts labeled with its own id; each round every vertex takes
+    the min of its label and its neighbors' labels; converged when a round
+    changes nothing. Rounds needed = component diameter — near-dup
+    clusters are small and dense, so this is a handful of equi-join +
+    groupBy rounds, each a single shuffle on vertex id. The driver-side
+    loop holds only a per-round ``changed`` COUNT (a scalar), never rows.
+
+    Returns (id, cluster_id) with cluster_id = min vertex id reachable.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    both = materialize(both)
+    labels = (
+        both.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            both.join(labels, both["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                "lbl",
+            )
+        )
+        changed = new_labels.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = materialize(
+            new_labels.select("id", F.col("new_lbl").alias("lbl"))
+        )
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 8,

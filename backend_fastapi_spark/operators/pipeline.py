@@ -1,0 +1,144 @@
+"""Training-corpus pipeline operators: deterministic splits, stratified
+sampling, test-set decontamination, repetition-based quality filtering.
+
+Not in the reference (its corpus is a per-user document store); these are
+the standard LLM-training-data preparation steps re-expressed as Spark
+DataFrame programs, each oracle-checkable because every random-looking
+choice is a deterministic md5 derivation (identical builtin in Spark and
+DuckDB):
+
+- **split_assign**: train/test membership = hex prefix of md5(id). Stable
+  under re-runs, insertions, and repartitioning — no RNG state, no
+  driver-side shuffling. The test fraction is n_prefixes/16.
+- **stratified_sample**: per-stratum top-k by md5 order — a deterministic
+  'uniform' sample with a per-group cap, the reservoir-sampling analog
+  whose result does not depend on partitioning.
+- **decontaminate**: flag test docs sharing any word-n-gram shingle with
+  the train split (the n-gram-overlap decontamination used for eval sets).
+  Shape: shingle equi-join against the DISTINCT train shingle set — the
+  same banded/capped substrate as the dedup family, never an all-pairs
+  join.
+- **repetition_metrics**: Gopher-style repetition/diversity signals
+  (top-word fraction, top-bigram fraction, distinct ratio, mean word
+  length) via explode + per-(doc, gram) counts — two keyed shuffles with
+  map-side partial aggregation, no per-row quadratic work on long docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark.operators.text import words
+
+
+def md5_of_id(id_col: str):
+    """md5 of the decimal string form of an integer id — the portable
+    deterministic 'random' key (identical in Spark and DuckDB)."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def split_assign(
+    df: DataFrame, id_col: str = "doc_id", test_prefixes: tuple[str, ...] = ("0", "1")
+) -> DataFrame:
+    """Add a ``split`` column: 'test' when the first md5 hex char of the id
+    is in ``test_prefixes`` (fraction = len/16), else 'train'."""
+    first = F.substring(md5_of_id(id_col), 1, 1)
+    return df.withColumn(
+        "split",
+        F.when(first.isin(*test_prefixes), F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-stratum sample of ``k`` rows: rank by md5(id)
+    (unique id as tie-break) inside each stratum, keep rank ≤ k. One
+    keyed-window shuffle on the stratum key; at scale strata are many and
+    the window never sees more than one stratum per partition group."""
+    w = Window.partitionBy(strata_col).orderBy(md5_of_id(id_col), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition/diversity metrics per document:
+
+    - n_words, distinct_ratio, mean_word_len
+    - top_word_frac: occurrences of the most frequent word / n_words
+    - top_bigram_frac: occurrences of the most frequent word bigram / (n_words-1)
+
+    Explode + groupBy(doc, gram) + max — partial aggregation collapses the
+    per-partition gram stream before the shuffle, so cost is bounded by
+    distinct grams, not a per-row O(len²) loop.
+    """
+    w = words(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.size(w).cast("long").alias("n_words"),
+    )
+    word_rows = base.select(id_col, "n_words", F.explode("_w").alias("g"))
+    top_word = (
+        word_rows.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_word_c"))
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("_w", i), F.element_at("_w", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    top_bigram = (
+        bigrams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_c"))
+    )
+    stats = base.select(
+        id_col,
+        "n_words",
+        (
+            F.size(F.array_distinct("_w")).cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+        ).alias("distinct_ratio"),
+        (
+            F.aggregate(
+                F.transform("_w", lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+        ).alias("mean_word_len"),
+    )
+    return (
+        stats.join(top_word, id_col)
+        .join(top_bigram, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "distinct_ratio",
+            "mean_word_len",
+            (
+                F.col("top_word_c").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+            ).alias("top_word_frac"),
+            (
+                F.coalesce(F.col("top_bigram_c"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_words") - 1, F.lit(1)).cast("double")
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -2584,6 +2584,214 @@ def q_asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-corpus pipeline: splits, sampling, decontamination, quality,
+# dedup clustering (operators/pipeline.py, operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') "
+    "THEN 'test' ELSE 'train' END"
+)
+
+
+@register(
+    "train_test_split_counts",
+    oracle=f"""
+    SELECT lang, {_SPLIT_SQL} AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (md5-prefix membership,
+    12.5% test): stable under re-runs, insertions, and any partitioning —
+    no RNG state, no driver-side shuffle. Per-(lang, split) counts."""
+    from backend_fastapi_spark.operators.pipeline import split_assign
+
+    docs = split_assign(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "stratified_sample_langs",
+    oracle="""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank
+      FROM documents) WHERE sample_rank <= 20
+    """,
+)
+def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 20 docs per language, ranked by
+    md5(id) — the partitioning-independent reservoir-sample analog."""
+    from backend_fastapi_spark.operators.pipeline import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 20).select("doc_id", "lang", "sample_rank")
+
+
+@register(
+    "decontaminate_test_split",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    split AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents),
+    train_sh AS (
+      SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id)
+      WHERE split = 'train'),
+    shared AS (
+      SELECT sh.doc_id, COUNT(DISTINCT sh.shingle) AS n_shared
+      FROM sh JOIN split USING (doc_id) JOIN train_sh USING (shingle)
+      WHERE split = 'test' GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(COALESCE(sh2.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(sh2.n_shared, 0) > 0 AS contaminated
+    FROM split s LEFT JOIN shared sh2 ON s.doc_id = sh2.doc_id
+    WHERE s.split = 'test'
+    """,
+)
+def q_decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag test docs sharing any word-3-gram
+    with the train split (the n-gram-overlap decontamination standard for
+    eval sets). Shape: the shared shingle substrate equi-joined against
+    the DISTINCT train shingle set — bucketed by shingle, never all-pairs;
+    the hot-shingle cap story from the dedup family applies unchanged."""
+    from backend_fastapi_spark.operators.pipeline import split_assign
+
+    docs = split_assign(_t(spark, sf_dir, "documents"))
+    splits = docs.select("doc_id", "split")
+    sh = D.shingle_table(docs).join(splits, "doc_id")
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    shared = (
+        sh.filter(F.col("split") == "test")
+        .join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("_n"))
+    )
+    return (
+        docs.filter(F.col("split") == "test")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("_n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "gopher_repetition_filter",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    wc AS (
+      SELECT doc_id, x AS g, COUNT(*) AS c
+      FROM toks, LATERAL (SELECT unnest(w) AS x) t GROUP BY 1, 2),
+    tw AS (SELECT doc_id, MAX(c) AS top_word_c FROM wc GROUP BY 1),
+    bgc AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t
+        WHERE len(w) >= 2) GROUP BY 1, 2),
+    tb AS (SELECT doc_id, MAX(c) AS top_bigram_c FROM bgc GROUP BY 1),
+    base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS DOUBLE)
+               / CAST(greatest(len(w), 1) AS DOUBLE) AS distinct_ratio,
+             CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
+               / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_word_len
+      FROM toks)
+    SELECT base.doc_id, n_words, distinct_ratio, mean_word_len,
+           CAST(top_word_c AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+             AS top_word_frac,
+           CAST(COALESCE(top_bigram_c, 0) AS DOUBLE)
+             / CAST(greatest(n_words - 1, 1) AS DOUBLE) AS top_bigram_frac,
+           (n_words >= 20
+            AND CAST(top_word_c AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+                <= 0.11
+            AND distinct_ratio >= 0.4) AS keep
+    FROM base JOIN tw ON base.doc_id = tw.doc_id
+    LEFT JOIN tb ON base.doc_id = tb.doc_id
+    """,
+)
+def q_gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity quality filter: top-word fraction,
+    top-bigram fraction, distinct ratio, mean word length, and a keep flag.
+    Explode + per-(doc, gram) counts with map-side partial aggregation —
+    cost bounded by distinct grams, no per-row O(len²) loop."""
+    from backend_fastapi_spark.operators.pipeline import repetition_metrics
+
+    m = repetition_metrics(_t(spark, sf_dir, "documents"))
+    return m.withColumn(
+        "keep",
+        (F.col("n_words") >= 20)
+        & (F.col("top_word_frac") <= 0.11)
+        & (F.col("distinct_ratio") >= 0.4),
+    )
+
+
+@register(
+    "dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE}, {_SHINGLES_CTE},
+    capped AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 64) keep
+      USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.8),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
+    SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup GROUPS: connected components (iterative
+    min-label propagation, the Pregel CC recipe) over the exact-Jaccard
+    near-dup edge list. cluster_id = min doc_id in the component — the
+    canonical survivor each member maps to. Oracle: DuckDB recursive CTE
+    computing reachability min-labels over the same edges."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, 0.8, max_shingle_df=64).select("id_a", "id_b")
+    return D.connected_components(edges).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+@register("ann_ivf_top10", oracle=None)  # approximate by construction
+def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/V3 second scale path: IVF (seeded KMeans coarse quantizer +
+    nprobe bucket-pruned exact scoring) top-10 for one query vector; recall
+    vs exact kNN asserted in tests/test_vector.py."""
+    from backend_fastapi_spark.operators.ivf import build_ivf, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf(emb, k_clusters=16)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_search(assigned, centroids, q, k=10, nprobe=4)
+
+
 # Queries the round-1 driver already hash-verified green (CORRECTNESS_r01).
 # The driver walks the registry in insertion order and may budget-cap how
 # many it checks per round, so emit NOT-yet-driver-verified queries first:

@@ -1,0 +1,105 @@
+"""Training-corpus pipeline operators: splits, sampling, decontamination,
+repetition quality, connected-components dup clustering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark.operators.dedup import connected_components
+from backend_fastapi_spark.operators.pipeline import (
+    repetition_metrics,
+    split_assign,
+    stratified_sample,
+)
+from tests.conftest import SF_ORACLE
+from backend_fastapi_spark.sources.parquet import read_table
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singleton edges only — vertex
+    # set is edge-derived so isolated vertices don't appear.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # A 12-vertex path needs ~diameter rounds; checks the fixpoint loop.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    rows = connected_components(edges).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 13
+
+
+def test_split_assign_deterministic_and_disjoint(spark):
+    docs = read_table(spark, SF_ORACLE, "documents")
+    a = split_assign(docs).select("doc_id", "split")
+    counts = dict(
+        a.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    assert set(counts) == {"train", "test"}
+    # 2/16 of md5 space ≈ 12.5%; generous band for a 500-doc sample
+    frac = counts["test"] / (counts["test"] + counts["train"])
+    assert 0.05 < frac < 0.25
+    # identical on re-evaluation (no RNG state)
+    b = split_assign(docs).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_stratified_sample_per_group_cap(spark):
+    docs = read_table(spark, SF_ORACLE, "documents")
+    s = stratified_sample(docs, "lang", 7)
+    per = s.groupBy("lang").count().collect()
+    assert all(r["count"] <= 7 for r in per)
+    # ranks are 1..k dense per stratum
+    assert s.filter(F.col("sample_rank") > 7).count() == 0
+
+
+def test_repetition_metrics_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    m = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert m[1]["n_words"] == 4
+    assert abs(m[1]["top_word_frac"] - 0.75) < 1e-12  # 'a' 3/4
+    assert abs(m[1]["top_bigram_frac"] - 2 / 3) < 1e-12  # 'a a' 2/3
+    assert abs(m[1]["distinct_ratio"] - 0.5) < 1e-12
+    assert abs(m[2]["distinct_ratio"] - 1.0) < 1e-12
+    assert abs(m[2]["top_word_frac"] - 0.25) < 1e-12
+    assert abs(m[1]["mean_word_len"] - 1.0) < 1e-12
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    # doc 6 (md5('6')[0]='1' → test) shares a 3-gram with doc 3 (train);
+    # doc 32 (train) is disjoint from everything.
+    from backend_fastapi_spark.operators.dedup import shingle_table
+
+    df = spark.createDataFrame(
+        [
+            (3, "alpha beta gamma delta"),
+            (6, "zz alpha beta gamma yy"),
+            (32, "one two three four five"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = split_assign(df)
+    splits = {r["doc_id"]: r["split"] for r in docs.collect()}
+    assert splits == {3: "train", 6: "test", 32: "train"}
+    sh = shingle_table(docs).join(docs.select("doc_id", "split"), "doc_id")
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    shared = (
+        sh.filter(F.col("split") == "test")
+        .join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n"))
+        .collect()
+    )
+    # shared 3-gram: "alpha beta gamma" only
+    assert {(r["doc_id"], r["n"]) for r in shared} == {(6, 1)}
