@@ -175,14 +175,27 @@ def connected_components(
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
+# MinHash permutation family: ONE md5 per shingle, sliced into two
+# independent 60-bit integers h1/h2, then n_hashes Kirsch-Mitzenmacher
+# combinations g_s = (h1 + s·h2) mod P. One string hash + k integer ops
+# per shingle instead of k string hashes (~10× cheaper signature pass);
+# the two independent base hashes keep the permutations effectively
+# uncorrelated (measured at sf1: 0.64M candidate pairs vs 0.54M for 16
+# independent md5s — a single-base affine family gave 1.15M). P = 2^31-1
+# (prime): every intermediate stays < 2^36, exactly representable in
+# int64 in both Spark and DuckDB (no overflow, no engine-specific wrap).
+MINHASH_P = 2_147_483_647
+
+
 def minhash_signatures(
     df: DataFrame,
-    n_hashes: int = 8,
+    n_hashes: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed s, sig_s = min(md5('s|'+shingle)).
+    """Per-doc MinHash signature: sig_s = min over shingles of
+    (h1 + s·h2) mod P, h1/h2 = int64 of md5 hex chars [1,15] / [16,30].
 
     One aggregation pass over the shingle table — no joins. Documents with
     high shingle-Jaccard agree on each sig_s with probability ≈ J.
@@ -191,17 +204,28 @@ def minhash_signatures(
     # evaluation feeds all signature families in a session (CacheManager
     # dedups the repeated cache() calls).
     sh = shingle_table(df, text_col, id_col, n).cache()
+    # Project h1/h2 ONCE per shingle row before aggregating: min()
+    # aggregates don't share subexpressions, so inlining h1/h2 into all
+    # n_hashes agg expressions would evaluate md5 2·n_hashes times per row.
+    md5col = F.md5("shingle")
+    hashed = sh.select(
+        F.col(id_col),
+        (F.conv(F.substring(md5col, 1, 15), 16, 10).cast("long") % MINHASH_P)
+        .alias("_h1"),
+        (F.conv(F.substring(md5col, 16, 15), 16, 10).cast("long") % MINHASH_P)
+        .alias("_h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"sig_{s}")
+        F.min((F.col("_h1") + F.lit(s) * F.col("_h2")) % MINHASH_P).alias(f"sig_{s}")
         for s in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
-    n_hashes: int = 8,
-    band_rows: int = 2,
+    n_hashes: int = 16,
+    band_rows: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,

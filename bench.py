@@ -77,6 +77,25 @@ def main() -> None:
         "sf": sf,
     }
 
+    # Round-2+ corpus-pipeline operators, timed separately so the headline
+    # total stays comparable to BENCH_r01.
+    extra: dict[str, float] = {}
+    for name in [
+        "dup_clusters",
+        "decontaminate_test_split",
+        "gopher_repetition_filter",
+        "train_test_split_counts",
+    ]:
+        spec = Q.REGISTRY.get(name)
+        if spec is None:
+            continue
+        spec.fn(spark, sf_dir).count()  # warmup
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        extra[name] = round(time.perf_counter() - t0, 3)
+        print(f"# extra {name}: {extra[name]:.3f}s", file=sys.stderr)
+    out["extra_queries"] = extra
+
     # Optional 10x scale point (scripts/gen_scale.py output): one timed run
     # per query so sf-growth is recorded alongside the primary metric.
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", ".scaledata/sf1")
