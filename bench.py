@@ -77,6 +77,11 @@ def main() -> None:
         "sf": sf,
     }
 
+    # Each section stands alone: drop the shared substrate caches so a
+    # section's timings never pay (or profit from) another section's
+    # storage-memory pressure.
+    spark.catalog.clearCache()
+
     # Round-2+ corpus-pipeline operators, timed separately so the headline
     # total stays comparable to BENCH_r01.
     extra: dict[str, float] = {}
@@ -100,6 +105,7 @@ def main() -> None:
     # per query so sf-growth is recorded alongside the primary metric.
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", ".scaledata/sf1")
     if os.path.isdir(sf1_dir) and os.path.abspath(sf1_dir) != os.path.abspath(sf_dir):
+        spark.catalog.clearCache()
         sf1_timings: dict[str, float] = {}
         for name in HEADLINE:
             spec = Q.REGISTRY.get(name)
