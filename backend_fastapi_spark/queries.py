@@ -2794,6 +2794,39 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 1000000) AS DOUBLE) / 1000000.0 AS u,
+           CAST(least(n_chars, 400) AS DOUBLE) / 400.0 AS w
+    FROM documents
+    WHERE CAST((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000) AS DOUBLE) / 1000000.0
+          < CAST(least(n_chars, 400) AS DOUBLE) / 400.0
+    """,
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance (quality-weighted) sampling: keep a doc with probability
+    proportional to its weight (here a length proxy, capped), decided by an
+    md5-derived uniform — deterministic, partitioning-independent, no RNG
+    state. The standard quality-resampling step of a training-data mix."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    ).cast("double") / 1000000.0
+    w = F.least(F.col("n_chars"), F.lit(400)).cast("double") / 400.0
+    return (
+        docs.withColumn("u", u)
+        .withColumn("w", w)
+        .filter(F.col("u") < F.col("w"))
+        .select("doc_id", "lang", "u", "w")
+    )
+
+
 @register("ann_ivf_top10", oracle=None)  # approximate by construction
 def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2/V3 second scale path: IVF (seeded KMeans coarse quantizer +

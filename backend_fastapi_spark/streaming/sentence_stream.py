@@ -110,6 +110,24 @@ def segment_sentences_stream(chunks: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    expires key state once the watermark passes — the streaming twin of
+    ``dedup_min_event``/``exact_dup_groups``. Plain ``dropDuplicates`` on
+    a stream retains every key forever; the watermark variant is the only
+    shape whose state is O(keys-in-window), which is what an unbounded
+    ingest pipeline needs."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -253,3 +253,60 @@ def test_watermarked_window_counts(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Streaming exact dedup: duplicate event_ids across micro-batches
+    inside the watermark emit exactly one survivor."""
+    import pandas as pd
+
+    from backend_fastapi_spark.streaming.sentence_stream import dedup_events_stream
+
+    tmp = tempfile.mkdtemp(prefix="dedup_src_")
+    chk = tempfile.mkdtemp(prefix="dedup_chk_")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    try:
+        b1 = pd.DataFrame(
+            {
+                "event_id": [1, 2, 1],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00"]
+                ),
+                "v": [10, 20, 11],
+            }
+        )
+        b2 = pd.DataFrame(
+            {
+                "event_id": [2, 3],
+                "ts": pd.to_datetime(["2024-01-01 00:03:00", "2024-01-01 00:04:00"]),
+                "v": [21, 30],
+            }
+        )
+        spark.createDataFrame(b1, schema).write.parquet(f"{tmp}/b1")
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{tmp}/b*")
+        q = (
+            dedup_events_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).write.parquet(f"{tmp}/b2")
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+        ids = sorted(r.event_id for r in rows)
+        assert ids == [1, 2, 3]  # one survivor per key across batches
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
