@@ -49,15 +49,15 @@ def shingle_table(
     MinHash.
 
     When the input scans narrower than the cluster (single small file),
-    hash-repartitions the RAW documents by ``id_col`` before exploding.
-    Two scale effects, both favorable: (1) the shuffle moves the compact
-    pre-explode text rather than the ~k×-larger shingle stream, and the
-    per-shingle hashing (8× md5 in SimHash, n_hashes× in MinHash) then
-    runs on every core even when the input is a handful of small files;
-    (2) ``groupBy(id_col)`` signature aggregations downstream see a
-    child already hash-partitioned on their key, so the signature pass
-    needs NO second shuffle — Exchange is elided. On a real wide 100 TB
-    scan this is a no-op (``ensure_parallelism`` guard)."""
+    hash-repartitions the RAW documents by ``id_col`` before exploding:
+    the shuffle moves the compact pre-explode text rather than the
+    ~k×-larger shingle stream, and the per-shingle hashing (md5 chunking
+    in SimHash, the KM hash pair in MinHash) then runs on every core
+    even when the input is a handful of small files. The signature
+    ``groupBy(id_col)`` downstream still inserts an exchange, but a
+    cheap one: partial aggregation collapses each partition to one row
+    per doc before any data moves. On a real wide 100 TB scan the
+    repartition is a no-op (``ensure_parallelism`` guard)."""
     return ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(shingles(words(F.col(text_col)), n)).alias("shingle")
     )
@@ -156,20 +156,22 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
-            .select(
+        # Materialize FIRST, then read the convergence count off the
+        # checkpointed rows — counting before materializing would execute
+        # the whole join pipeline twice per round.
+        stepped = materialize(
+            labels.join(nbr, labels["id"] == nbr["a"], "left").select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
-                    "new_lbl"
+                    "lbl"
                 ),
-                "lbl",
+                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).alias(
+                    "_changed"
+                ),
             )
         )
-        changed = new_labels.filter(F.col("new_lbl") < F.col("lbl")).count()
-        labels = materialize(
-            new_labels.select("id", F.col("new_lbl").alias("lbl"))
-        )
+        changed = stepped.filter(F.col("_changed")).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
