@@ -2827,6 +2827,50 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_feature_stats",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             text FROM documents),
+    feat AS (
+      SELECT media_id, kind,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             md5(text) AS checksum,
+             CAST(16 + CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 64
+                  AS INT) AS width,
+             CAST(16 + CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) % 64
+                  AS INT) AS height,
+             CASE WHEN kind = 'image' THEN 0
+                  ELSE CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 10000
+             END AS duration_ms
+      FROM media)
+    SELECT * FROM feat
+    """,
+)
+def q_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, driver-verified end to end: documents become
+    opaque BINARY payloads with a kind column; features extract via the
+    REAL mapInPandas Arrow path (operators/multimodal.py) whose stub
+    decoder derives (width, height, duration) from the payload md5 —
+    so the whole Python boundary hash-matches a pure-SQL oracle. Swapping
+    the stub for PIL/ffmpeg changes only _decode_payload."""
+    from backend_fastapi_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return extract_features(media)
+
+
 @register("ann_ivf_top10", oracle=None)  # approximate by construction
 def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2/V3 second scale path: IVF (seeded KMeans coarse quantizer +
