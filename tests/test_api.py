@@ -59,3 +59,20 @@ def test_ivf_recall_vs_exact(spark):
     # nprobe = k_clusters degrades to exact
     full = ivf_search(assigned, centroids, queries, k=10, nprobe=8).collect()
     assert {r.vec_id for r in full} == exact_ids
+
+
+def test_engine_corpus_report_and_clusters(spark):
+    from backend_fastapi_spark.api import Engine
+
+    eng = Engine.open(spark, SF_ORACLE)
+    rep = eng.corpus_report().collect()
+    assert {(r.lang, r.split) for r in rep} >= {("en", "train"), ("en", "test")}
+    for r in rep:
+        assert 0 <= (r.n_quality_keep or 0) <= r.n_docs
+    clusters = eng.dedup_clusters().collect()
+    # cluster_id is the min member id of each component
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
