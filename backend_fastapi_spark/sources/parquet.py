@@ -26,6 +26,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session default.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Engine tuning for sessions still on Spark's out-of-the-box shuffle
+    # width: 200 reducers over a laptop-scale input is pure task-scheduling
+    # overhead. Only the untouched default is overridden — an explicitly
+    # configured width (our factory's, or a cluster deployment's) is kept.
+    # AQE (on by default in Spark 3.2+) re-coalesces at real scale either
+    # way.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     if name in _NANOS_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
