@@ -2795,6 +2795,56 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE}, {_SHINGLES_CTE},
+    capped AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 64) keep
+      USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.8),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+    removed AS (
+      SELECT id FROM (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id)
+      WHERE id != lbl)
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM removed)
+    """,
+)
+def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END PRODUCT: the cleaned corpus after near-dup removal —
+    every doc either untouched by duplication or its cluster's canonical
+    (min-id) member. Anti-join of the corpus against the non-canonical
+    side of the connected components; at scale the removed set is a tiny
+    fraction of the corpus, so the anti-join broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, 0.8, max_shingle_df=64).select("id_a", "id_b")
+    removed = (
+        D.connected_components(edges)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return docs.join(F.broadcast(removed), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
     "weighted_sample_docs",
     oracle="""
     SELECT doc_id, lang,
