@@ -144,9 +144,11 @@ def connected_components(
 
     Returns (id, cluster_id) with cluster_id = min vertex id reachable.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the (possibly expensive) edge pipeline BEFORE mirroring:
+    # the union references it twice, so an unmaterialized plan would
+    # evaluate the upstream pair computation twice in one job.
+    e = materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    both = materialize(both)
     labels = (
         both.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
     )

@@ -126,3 +126,48 @@ def test_upsert_properties(spark, base_rows, update_rows):
     # idempotence: re-upserting the same updates changes nothing
     again = {r.k: (r.v, r.ver) for r in upsert(merged, ups, ["k"], "ver").collect()}
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a pure-Python union-find reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    from backend_fastapi_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    # reference: classic union-find over the same edges
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
