@@ -87,9 +87,12 @@ def main() -> None:
     extra: dict[str, float] = {}
     for name in [
         "dup_clusters",
+        "dedup_canonical_corpus",
         "decontaminate_test_split",
         "gopher_repetition_filter",
         "train_test_split_counts",
+        "weighted_sample_docs",
+        "multimodal_feature_stats",
     ]:
         spec = Q.REGISTRY.get(name)
         if spec is None:

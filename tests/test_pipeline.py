@@ -103,3 +103,17 @@ def test_decontaminate_flags_planted_overlap(spark):
     )
     # shared 3-gram: "alpha beta gamma" only
     assert {(r["doc_id"], r["n"]) for r in shared} == {(6, 1)}
+
+
+def test_ensure_parallelism_guard(spark):
+    from backend_fastapi_spark.operators.util import ensure_parallelism
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = read_table(spark, SF_ORACLE, "documents")  # single small file
+    assert narrow.rdd.getNumPartitions() < target
+    widened = ensure_parallelism(narrow, "doc_id")
+    assert widened.rdd.getNumPartitions() == target
+    # already-wide inputs pass through untouched (no added shuffle)
+    wide = spark.range(0, 1000, 1, target + 4)
+    assert ensure_parallelism(wide) is wide
