@@ -154,11 +154,15 @@ def recursive_chunks(
     chunk_size: int = 700,
     chunk_overlap: int = 120,
     separators: list[str] | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Distributed recursive chunking: (id, chunk_idx, chunk) per document.
+    """Distributed recursive chunking: (id, [carry...], chunk_idx, chunk)
+    per document.
 
     Narrow plan — pandas UDF (Arrow) + posexplode, no shuffle; scales
-    linearly with document count.
+    linearly with document count. ``carry_cols`` ride along through the
+    fan-out so callers never need a join back to the document table
+    (which would be a shuffle — and stream-illegal in a streaming plan).
     """
     seps = REFERENCE_SEPARATORS if separators is None else separators
 
@@ -172,5 +176,6 @@ def recursive_chunks(
 
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
         F.posexplode(_chunks(F.col(text_col))).alias("chunk_idx", "chunk"),
     )

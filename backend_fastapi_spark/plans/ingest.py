@@ -113,19 +113,19 @@ def ingest_table(
     LangChain-parity recursive splitter (reference 700/120,
     enhanced:591-600); per-column metadata rides along from assembly."""
     docs = assemble_documents(df, index_name)
-    chunks = recursive_chunks(
+    # title/index/metadata CARRY through the chunk fan-out instead of
+    # joining back to the document table afterwards: one less shuffle,
+    # and the whole plan stays narrow — legal (and exactly-once) as a
+    # Structured Streaming source→file-sink pipeline
+    # (streaming/ingest_stream.py).
+    with_meta = recursive_chunks(
         docs.withColumnRenamed("doc_text", "text"),
         text_col="text",
         id_col="doc_id",
         chunk_size=chunk_size,
         chunk_overlap=chunk_overlap,
-    )
-    with_meta = (
-        chunks.join(
-            docs.select("doc_id", "title", "index_name", "metadata"), "doc_id"
-        )
-        .withColumn("chunk_id", F.xxhash64("doc_id", "chunk_idx"))
-    )
+        carry_cols=["title", "index_name", "metadata"],
+    ).withColumn("chunk_id", F.xxhash64("doc_id", "chunk_idx"))
     embed = hashing_embedder(dim=embed_dim)
     return with_meta.select(
         "chunk_id",

@@ -310,3 +310,58 @@ def test_streaming_dedup_within_watermark(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_streaming_ingest_to_partitioned_index(spark):
+    """§3.2 as a stream: two micro-batches of documents chunk+embed through
+    the SAME transformation chain as batch ingest and append exactly-once
+    to the partitioned parquet index."""
+    import pandas as pd
+
+    from backend_fastapi_spark.plans.ingest import ingest_table
+    from backend_fastapi_spark.streaming.ingest_stream import stream_ingest
+
+    src = tempfile.mkdtemp(prefix="ing_src_")
+    idx = tempfile.mkdtemp(prefix="ing_idx_")
+    chk = tempfile.mkdtemp(prefix="ing_chk_")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    try:
+        b1 = pd.DataFrame({"id": [1, 2], "title": ["t1", "t2"],
+                           "content": ["alpha beta. gamma delta.", "one two three."]})
+        b2 = pd.DataFrame({"id": [3], "title": ["t3"],
+                           "content": ["late arrival document text."]})
+        spark.createDataFrame(b1, schema).write.parquet(f"{src}/b1")
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(f"{src}/b*")
+        q = stream_ingest(stream, "live_idx", idx, chk)
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).write.parquet(f"{src}/b2")
+        q.processAllAvailable()
+        q.stop()
+
+        got = spark.read.parquet(idx)
+        # partition layout + pruning
+        assert got.select("index_name").distinct().collect()[0][0] == "live_idx"
+        # identical rows to the batch pipeline over the same input
+        batch = ingest_table(
+            spark.createDataFrame(pd.concat([b1, b2]), schema), "live_idx"
+        )
+        got_rows = {
+            (r.chunk_id, r.doc_id, r.text) for r in got.collect()
+        }
+        batch_rows = {
+            (r.chunk_id, r.doc_id, r.text) for r in batch.collect()
+        }
+        assert got_rows == batch_rows
+        assert len(got_rows) >= 3  # one-plus chunk per doc, no duplicates
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
