@@ -142,3 +142,32 @@ def write_index(chunks: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S11 vector-index sink: parquet partitioned by index_name (partition
     pruning = the reference's per-index FAISS directories)."""
     chunks.write.partitionBy("index_name").mode(mode).parquet(path)
+
+
+def compact_index(
+    spark, path: str, index_name: str, target_files: int = 1
+) -> int:
+    """Small-file compaction for one index partition — the maintenance op
+    continuous ingest (streaming/ingest_stream.py) makes necessary: every
+    micro-batch appends a file, and a 100 TB index read pays per-file
+    open/footer cost. Rewrites ONLY the named partition (dynamic partition
+    overwrite — other indexes' partitions untouched, readers of them
+    unaffected) into ``target_files`` files.
+
+    The rows are materialized (lineage cut) BEFORE the overwrite so the
+    write never reads the files it is replacing. Returns the row count of
+    the compacted partition (the materialize forces it anyway, and callers
+    want the sanity number).
+    """
+    from backend_fastapi_spark.operators.util import materialize
+
+    part = spark.read.parquet(path).filter(F.col("index_name") == index_name)
+    staged = materialize(part.repartition(target_files))
+    n = staged.count()
+    (
+        staged.write.partitionBy("index_name")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    return n

@@ -64,3 +64,48 @@ def test_ingest_index_build_and_query_back(spark):
         assert got[0].score_i64 >= got[-1].score_i64
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compact_index_after_streaming_appends(spark, tmp_path):
+    """Compaction rewrites one index partition into few files with
+    identical rows; other index partitions keep their files."""
+    import glob
+
+    from backend_fastapi_spark.plans.ingest import (
+        compact_index,
+        ingest_table,
+        write_index,
+    )
+
+    path = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [(i, f"t{i}", f"document text number {i}. more words here.") for i in range(20)],
+        ["id", "title", "content"],
+    )
+    # simulate many small appends for index A; one write for index B
+    for i in range(0, 20, 5):
+        part = df.filter((df.id >= i) & (df.id < i + 5))
+        write_index(ingest_table(part, "idx_a"), path, mode="append")
+    write_index(ingest_table(df, "idx_b"), path, mode="append")
+
+    before = spark.read.parquet(path)
+    rows_a_before = {
+        (r.chunk_id, r.text)
+        for r in before.filter(before.index_name == "idx_a").collect()
+    }
+    b_files_before = set(glob.glob(f"{path}/index_name=idx_b/*.parquet"))
+    a_files_before = glob.glob(f"{path}/index_name=idx_a/*.parquet")
+    assert len(a_files_before) >= 4
+
+    n = compact_index(spark, path, "idx_a", target_files=1)
+    assert n == len(rows_a_before)
+
+    after = spark.read.parquet(path)
+    rows_a_after = {
+        (r.chunk_id, r.text)
+        for r in after.filter(after.index_name == "idx_a").collect()
+    }
+    assert rows_a_after == rows_a_before
+    assert len(glob.glob(f"{path}/index_name=idx_a/*.parquet")) == 1
+    # dynamic overwrite left idx_b's files alone
+    assert set(glob.glob(f"{path}/index_name=idx_b/*.parquet")) == b_files_before
