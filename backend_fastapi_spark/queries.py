@@ -2121,33 +2121,35 @@ def q_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 64-bit SimHash as 4 × 16-bit band columns. Hyperplane bit g (0..63)
-# comes from an md5 nibble: g<32 from md5(shingle), g>=32 from a salted
-# md5('#|'+shingle) — 64 independent public hash bits in both engines.
-# Band-key cardinality 2^16 keeps pigeonhole buckets ~n/65536: the
-# scale-safe shape (the earlier 16-bit signature put ~n/64 docs per
-# bucket → O(n²/64) candidates).
+# comes from md5(shingle) nibble g//2: even g reads the nibble's bit 3,
+# odd g its bit 2 — 64 independent public hash bits from ONE md5 per
+# shingle row (identical digest in both engines). Band-key cardinality
+# 2^16 keeps pigeonhole buckets ~n/65536: the scale-safe shape (the
+# earlier 16-bit signature put ~n/64 docs per bucket → O(n²/64)
+# candidates).
 _SIMHASH_BANDS = 4
 _SIMHASH_BAND_BITS = 16
 
 
-# hs CTE projects the two md5 digests ONCE per row; the 64 bit-aggregates
-# then read substrings of those — not 64 md5 evaluations per shingle.
-_SIMHASH_HASH_CTE = (
-    "hs AS (SELECT doc_id, md5(shingle) AS h0, md5('#|' || shingle) AS h1 FROM sh)"
-)
+# hs CTE projects the md5 digest ONCE per row; the 64 bit-aggregates then
+# read substrings of it — not 64 md5 evaluations per shingle.
+_SIMHASH_HASH_CTE = "hs AS (SELECT doc_id, md5(shingle) AS h0 FROM sh)"
+
+# hex chars whose nibble has bit 3 set / bit 2 set
+_HEX_BIT3 = "('8','9','a','b','c','d','e','f')"
+_HEX_BIT2 = "('4','5','6','7','c','d','e','f')"
 
 
-def _simhash_nibble_sql(g: int) -> str:
-    if g < 32:
-        return f"substr(h0, {g + 1}, 1)"
-    return f"substr(h1, {g - 31}, 1)"
+def _simhash_bit_sql(g: int) -> str:
+    nib = f"substr(h0, {g // 2 + 1}, 1)"
+    return f"{nib} IN {_HEX_BIT3 if g % 2 == 0 else _HEX_BIT2}"
 
 
 _SIMHASH_BAND_SQL = ", ".join(
     "("
     + " + ".join(
-        f"CASE WHEN SUM(CASE WHEN {_simhash_nibble_sql(16 * k + j)} IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+        f"CASE WHEN SUM(CASE WHEN {_simhash_bit_sql(16 * k + j)} "
+        f"THEN 1 ELSE -1 END) > 0 "
         f"THEN {1 << j} ELSE 0 END"
         for j in range(_SIMHASH_BAND_BITS)
     )
@@ -2187,45 +2189,34 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-band hot bucket."""
     from backend_fastapi_spark.operators.util import materialize
 
-    # Parse each md5 digest ONCE into 4 × 32-bit integer chunks (8 hex chars
-    # via conv), then every hyperplane bit is a shift-and — integer codegen,
-    # not 64 substring+IN string comparisons per shingle row. The .cache()
-    # on the raw shingle plan makes this the same shared substrate the
-    # Jaccard/MinHash queries evaluate (CacheManager plan-matches it).
+    # Parse the ONE md5 digest per shingle into 4 × 32-bit integer chunks
+    # (8 hex chars via conv); every hyperplane bit is then a shift-and —
+    # integer codegen, not 64 substring+IN string comparisons per shingle
+    # row. The .cache() on the raw shingle plan makes this the same shared
+    # substrate the Jaccard/MinHash queries evaluate (CacheManager
+    # plan-matches it).
+    md5col = F.md5("shingle")
     sh = (
         D.shingle_table(_t(spark, sf_dir, "documents"))
         .cache()
         .select(
             "doc_id",
             *[
-                F.conv(F.substring(F.md5("shingle"), 8 * c + 1, 8), 16, 10)
+                F.conv(F.substring(md5col, 8 * c + 1, 8), 16, 10)
                 .cast("long")
                 .alias(f"c{c}")
-                for c in range(4)
-            ],
-            *[
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("#|"), F.col("shingle"))),
-                        8 * c + 1,
-                        8,
-                    ),
-                    16,
-                    10,
-                )
-                .cast("long")
-                .alias(f"c{c + 4}")
                 for c in range(4)
             ],
         )
     )
 
     def bit(g: int):
-        # Oracle bit g = high bit of hex nibble g (h0 nibbles 0-31, h1
-        # nibbles 32-63). Nibble i sits in chunk i//8 at hex position i%8;
-        # its high bit is bit 4*(7 - i%8) + 3 of the 32-bit chunk value.
-        shift = 4 * (7 - g % 8) + 3
-        return F.shiftright(F.col(f"c{g // 8}"), shift).bitwiseAND(F.lit(1))
+        # Oracle bit g = bit (3 - g%2) of hex nibble g//2. Nibble i sits
+        # in chunk i//8 at hex position i%8, so its bit b is bit
+        # 4*(7 - i%8) + b of the 32-bit chunk value.
+        i = g // 2
+        shift = 4 * (7 - i % 8) + (3 - g % 2)
+        return F.shiftright(F.col(f"c{i // 8}"), shift).bitwiseAND(F.lit(1))
 
     bit_sums = [
         F.sum(bit(g)).alias(f"s{g}") for g in range(_SIMHASH_BANDS * _SIMHASH_BAND_BITS)
