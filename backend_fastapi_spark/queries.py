@@ -1614,7 +1614,9 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    return ann_topk(emb, qvec, k=10)
+    # scalar output columns only (no raw vector): the driver's result
+    # canonicalizer cannot hash ARRAY cells
+    return ann_topk(emb, qvec, k=10).drop("embedding", "features")
 
 
 @register("doc_embed_knn", oracle=None)  # embedder is a UDF boundary
@@ -1872,10 +1874,28 @@ def q_ingest_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ingest_pipeline_embedded", oracle=None)  # embedder UDF boundary
 def q_ingest_pipeline_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 full ingest plan incl. embedding: the chunks+vectors table that
-    write_index() persists partitioned by index_name."""
+    write_index() persists partitioned by index_name. Registry output
+    serializes the vector (fixed-point CSV) and metadata (JSON) — the
+    driver's result canonicalizer cannot hash ARRAY/MAP cells."""
     from backend_fastapi_spark.plans.ingest import ingest_table
 
-    return ingest_table(_t(spark, sf_dir, "documents"), "docs_idx")
+    chunks = ingest_table(_t(spark, sf_dir, "documents"), "docs_idx")
+    vec_str = F.array_join(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * 1e6, 0).cast("long").cast("string"),
+        ),
+        ",",
+    )
+    return chunks.select(
+        "chunk_id",
+        "doc_id",
+        "index_name",
+        "title",
+        "text",
+        vec_str.alias("embedding_fx"),
+        F.to_json("metadata").alias("metadata_json"),
+    )
 
 
 @register(
@@ -2910,6 +2930,24 @@ def q_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(F.lit("src"), F.col("source")).alias("meta"),
     )
     return extract_features(media)
+
+
+@register("approx_sketch_stats", oracle=None)  # sketches are engine-specific
+def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations — the 100 TB answer to distinct counts and
+    quantiles: HyperLogLog++ (approx_count_distinct) and the
+    Greenwald-Khanna quantile sketch (approx_percentile), both mergeable
+    partial aggregates (one shuffle of constant-size sketches, never a
+    global sort or exact distinct shuffle). Rows-only: sketch estimates
+    are engine-specific by construction; tests/test_pipeline.py bounds the
+    estimates against exact values (±5%)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5)").alias("value_p50"),
+        F.expr("approx_percentile(value, 0.99)").alias("value_p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 @register("ann_ivf_top10", oracle=None)  # approximate by construction

@@ -117,3 +117,32 @@ def test_ensure_parallelism_guard(spark):
     # already-wide inputs pass through untouched (no added shuffle)
     wide = spark.range(0, 1000, 1, target + 4)
     assert ensure_parallelism(wide) is wide
+
+
+def test_approx_sketch_stats_bounds(spark):
+    from backend_fastapi_spark import queries as Q
+    from pyspark.sql import functions as F
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    approx = {
+        r["event_type"]: r
+        for r in Q.REGISTRY["approx_sketch_stats"].fn(spark, SF_ORACLE).collect()
+    }
+    ev = read_table(spark, SF_ORACLE, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, r in approx.items():
+        assert abs(r["approx_users"] - exact[et]["users"]) <= 0.05 * exact[et]["users"]
+        # GK sketch default accuracy: within a few percent of the exact median
+        assert abs(r["value_p50"] - exact[et]["p50"]) <= max(
+            0.1 * abs(exact[et]["p50"]), 1e-6
+        )
+        assert r["value_p50"] <= r["value_p99"]
