@@ -2932,6 +2932,35 @@ def q_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+@register(
+    "events_burst_60s",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.event_id AS id_a
+      FROM events a JOIN events b
+      ON epoch_us(b.ts) > epoch_us(a.ts)
+         AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000),
+    per_event AS (
+      SELECT id_a, COUNT(*) AS n_following FROM pairs GROUP BY 1)
+    SELECT e.event_id, CAST(COALESCE(p.n_following, 0) AS BIGINT) AS n_following
+    FROM events e LEFT JOIN per_event p ON e.event_id = p.id_a
+    WHERE COALESCE(p.n_following, 0) > 0
+    """,
+)
+def q_events_burst_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join via time-bin banding (operators/rangejoin.py):
+    for each event, how many events (any user) land in the following 60 s.
+    The naive Spark form of this inequality join is a nested-loop /
+    cartesian O(n²) plan; the banded form is one equi-join on gap-width
+    time bins with ≤2× left fan-out — linear in input + output. Oracle is
+    DuckDB's native inequality join over the same window."""
+    from backend_fastapi_spark.operators.rangejoin import banded_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(F.col("event_id"), F.col("ts"))
+    right = ev.select(F.col("ts").alias("ts_b"))
+    pairs = banded_interval_join(left, right, "ts", "ts_b", gap_us=60_000_000)
+    return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_following"))
 @register("approx_sketch_stats", oracle=None)  # sketches are engine-specific
 def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations — the 100 TB answer to distinct counts and

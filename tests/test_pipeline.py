@@ -146,3 +146,43 @@ def test_approx_sketch_stats_bounds(spark):
             0.1 * abs(exact[et]["p50"]), 1e-6
         )
         assert r["value_p50"] <= r["value_p99"]
+
+
+def test_banded_interval_join_matches_naive(spark):
+    import pandas as pd
+
+    from backend_fastapi_spark.operators.rangejoin import banded_interval_join
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    ts = pd.Series(
+        [
+            base,
+            base + pd.Timedelta(seconds=30),  # 30s after e0
+            base + pd.Timedelta(seconds=60),  # exactly 60s after e0 (inclusive)
+            base + pd.Timedelta(seconds=60, microseconds=1),  # excluded from e0
+            base + pd.Timedelta(hours=2),
+        ]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"event_id": range(5), "ts": ts}))
+    left = df.select("event_id", "ts")
+    right = df.select(
+        df.event_id.alias("id_b"), df.ts.alias("ts_b")
+    )
+    got = {
+        (r.event_id, r.id_b)
+        for r in banded_interval_join(
+            left, right, "ts", "ts_b", gap_us=60_000_000
+        ).collect()
+    }
+    # naive reference over the same window
+    import itertools
+
+    rows = list(enumerate(ts))
+    expected = {
+        (i, j)
+        for (i, ti), (j, tj) in itertools.product(rows, rows)
+        if tj > ti and (tj - ti).value // 1000 <= 60_000_000 * 1000 // 1000
+        and (tj - ti) <= pd.Timedelta(seconds=60)
+    }
+    assert got == expected
+    assert (0, 2) in got and (0, 3) not in got  # boundary inclusive/exclusive
