@@ -134,6 +134,65 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def near_dup_pairs_matmul(
+    df: DataFrame,
+    threshold_i64: int,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strip_rows: int = 2048,
+) -> DataFrame:
+    """Exact embedding near-dup pairs by per-block matrix multiplication —
+    identical output to ``near_dup_pairs`` at a fraction of the cost.
+
+    Each block's vectors are quantized to fixed-point int64 and multiplied
+    as a dense float64 Gram matrix (``applyInPandas`` → numpy/BLAS). This
+    is EXACT, not approximate: every quantized value is ≤ 1e6·2, every
+    product ≤ ~4e12, and a 64-dim dot sums 64 such terms — all
+    intermediates are integers below 2^53, which float64 represents
+    exactly, so BLAS gives the same int64 scores as the per-pair integer
+    loop regardless of summation order. ~10-100× the throughput of
+    per-element codegen on the pair loop.
+
+    Memory: the Gram matrix is computed in ``strip_rows``-row strips
+    (strip × block, not block × block), bounding per-task memory at
+    ``strip_rows · |block| · 8`` bytes regardless of block size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from backend_fastapi_spark.operators.util import ensure_parallelism
+
+    quantized = ensure_parallelism(df).select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: _fx(x).cast("double")).alias("_q"),
+    )
+
+    def block_pairs(pdf: pd.DataFrame):
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        m = np.stack(pdf["_q"].to_numpy()).astype(np.float64)
+        out_a, out_b, out_s = [], [], []
+        n = len(ids)
+        for s0 in range(0, n, strip_rows):
+            s1 = min(s0 + strip_rows, n)
+            gram = m[s0:s1] @ m.T  # exact: all intermediates < 2^53
+            for i_local, i in enumerate(range(s0, s1)):
+                row = gram[i_local, i + 1 :]  # j > i ⇒ id_a < id_b (sorted)
+                hits = np.nonzero(row >= threshold_i64)[0]
+                if hits.size:
+                    out_a.extend([ids[i]] * hits.size)
+                    out_b.extend(ids[i + 1 + hits])
+                    out_s.extend(row[hits].astype(np.int64))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim_i64": out_s})
+
+    return (
+        quantized.groupBy("_blk")
+        .applyInPandas(block_pairs, schema="id_a long, id_b long, sim_i64 long")
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold_i64: int,

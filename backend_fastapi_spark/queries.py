@@ -606,9 +606,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORACLE TWIN of the dedup (exact and SQL-expressible, so the driver
     can hash-check it). The primary path at corpus scale is the LSH-pruned
     variant registered as ``embedding_near_dup_lsh``; blocking here relies
-    on bounded label groups."""
+    on bounded label groups. Scoring runs as per-block exact float64
+    matmul strips (near_dup_pairs_matmul — bit-identical to the integer
+    pair loop, ~10× the throughput)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return V.near_dup_pairs(
+    return V.near_dup_pairs_matmul(
         emb, threshold_i64=250_000_000_000, block_col="label"
     )
 
