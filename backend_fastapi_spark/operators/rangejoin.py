@@ -30,11 +30,15 @@ def banded_interval_join(
     left_ts: str,
     right_ts: str,
     gap_us: int,
+    keys: list[str] | None = None,
     extra_filter: Column | None = None,
 ) -> DataFrame:
     """Pairs (l, r) with ``r.ts`` in ``(l.ts, l.ts + gap_us]`` (microsecond
     precision). Columns of both inputs survive; disambiguate names before
-    calling. ``extra_filter`` is applied after the interval predicate."""
+    calling. ``keys``: extra equi-join columns (present on both sides) —
+    the join key becomes (keys..., bin), sharpening the shuffle and
+    shrinking buckets. ``extra_filter`` is applied after the interval
+    predicate."""
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
     l_bin = F.floor(l_us / gap_us)
@@ -42,7 +46,7 @@ def banded_interval_join(
 
     lhs = left.withColumn("_bin", F.explode(F.array(l_bin, l_bin + 1)))
     rhs = right.withColumn("_bin", r_bin)
-    joined = lhs.join(rhs, "_bin").drop("_bin")
+    joined = lhs.join(rhs, [*(keys or []), "_bin"]).drop("_bin")
     cond = (r_us > l_us) & (r_us <= l_us + gap_us)
     if extra_filter is not None:
         cond = cond & extra_filter

@@ -2963,6 +2963,33 @@ def q_events_burst_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = ev.select(F.col("ts").alias("ts_b"))
     pairs = banded_interval_join(left, right, "ts", "ts_b", gap_us=60_000_000)
     return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_following"))
+@register(
+    "user_rapid_repeat_events",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_rapid_pairs
+    FROM events a JOIN events b
+    ON b.user_id = a.user_id
+       AND epoch_us(b.ts) > epoch_us(a.ts)
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+    GROUP BY a.user_id
+    """,
+)
+def q_user_rapid_repeat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED banded interval join: per user, pairs of events within 30
+    minutes of each other. The (user_id, time-bin) equi-key sharpens the
+    shuffle so buckets hold one user's events in one 30-min band — the
+    composable form of the keyless events_burst_60s."""
+    from backend_fastapi_spark.operators.rangejoin import banded_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("user_id", F.col("ts"))
+    right = ev.select("user_id", F.col("ts").alias("ts_b"))
+    pairs = banded_interval_join(
+        left, right, "ts", "ts_b", gap_us=1_800_000_000, keys=["user_id"]
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rapid_pairs"))
+
+
 @register("approx_sketch_stats", oracle=None)  # sketches are engine-specific
 def q_approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations — the 100 TB answer to distinct counts and
