@@ -2964,6 +2964,59 @@ def q_events_burst_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = banded_interval_join(left, right, "ts", "ts_b", gap_us=60_000_000)
     return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_following"))
 @register(
+    "pack_pretrain_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+               % 32 AS bucket
+      FROM documents),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM sized)
+    SELECT doc_id, bucket, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+)
+def q_pack_pretrain_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (concat-and-chop): docs are
+    hash-bucketed (md5 — deterministic, partition-independent), then each
+    bucket's token stream is packed contiguously into 2048-token
+    sequences; every doc gets (seq_id, seq_offset) = where its tokens
+    start. One keyed-window shuffle; buckets ≫ cores at corpus scale so
+    no funnel. The physical concat is then a per-(bucket, seq_id)
+    assembly — already colocated by this assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(TX.words(F.col("text"))).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        % 32
+    )
+    sized = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), bucket.alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor(start / 2048).cast("long").alias("seq_id"),
+        (start % 2048).cast("long").alias("seq_offset"),
+    )
+
+
+@register(
     "user_rapid_repeat_events",
     oracle="""
     SELECT a.user_id, COUNT(*) AS n_rapid_pairs
