@@ -92,36 +92,103 @@ def knn_exact(
     """
     from backend_fastapi_spark.operators.util import ensure_parallelism
 
-    q = F.broadcast(queries)
-    # No-op at scale (multi-file corpus scans wide already); locally it
-    # spreads the |Q|×|corpus| scoring loop across every core instead of
-    # serializing on a one-row-group file scan.
-    joined = ensure_parallelism(corpus).crossJoin(q)
+    import numpy as np
+    import pandas as pd
+
+    # The queries side is driver-small BY CONTRACT (the previous form
+    # broadcast it; collecting it costs the same bytes). Vectors are
+    # quantized to fixed-point int64 IN SPARK (_fx — identical rounding
+    # to every other scorer) before crossing to numpy, so no Python-side
+    # rounding can diverge.
+    q_quant = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.transform(F.col(query_vec_col), lambda x: _fx(x).cast("double")).alias(
+            "_qv"
+        ),
+    ).collect()
+    if not q_quant:
+        empty = corpus.crossJoin(queries).withColumn(
+            "score_i64", F.lit(0).cast("long")
+        )
+        return empty.filter(F.lit(False))
+    q_ids = [r["_qid"] for r in q_quant]
+    qm = np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in q_quant])
+    q_norms = (qm * qm).sum(axis=1)
     if metric == "dot":
-        score = fixed_dot(F.col(vec_col), F.col(query_vec_col))
         order = [F.col("score_i64").desc(), F.col(corpus_id).asc()]
     elif metric == "l2":
-        score = fixed_l2sq(F.col(vec_col), F.col(query_vec_col))
         order = [F.col("score_i64").asc(), F.col(corpus_id).asc()]
     else:
         raise ValueError(f"unknown metric {metric}")
-    scored = joined.withColumn("score_i64", score)
-    if exclude_self:
-        scored = scored.filter(F.col(corpus_id) != F.col(query_id))
-    # Two-phase top-k: a window partitioned only by q_id would funnel the
-    # whole corpus through |Q| partitions. Phase 1 takes a local top-k per
-    # (q_id, salt) — parallel across the cluster and a superset of the global
-    # top-k; phase 2 reduces the surviving |Q|·salt·k rows.
-    n_salt = 32
-    salt = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_salt))
-    w_local = Window.partitionBy(F.col(query_id), salt).orderBy(*order)
-    w_final = Window.partitionBy(query_id).orderBy(*order)
-    return (
-        scored.withColumn("_rn1", F.row_number().over(w_local))
-        .filter(F.col("_rn1") <= k)
+
+    # Scoring pass: mapInPandas over (id, quantized vec) — each Arrow
+    # batch multiplies against the query matrix (float64 BLAS; every
+    # intermediate is an integer < 2^53, so scores are EXACT int64) and
+    # emits only its per-query top-k. No |corpus|×|Q| row set ever
+    # materializes or shuffles — the old crossJoin + salted-window form
+    # exchanged every scored pair; this exchanges k·|Q| rows per batch.
+    slim = ensure_parallelism(corpus).select(
+        F.col(corpus_id).alias("_cid"),
+        F.transform(F.col(vec_col), lambda x: _fx(x).cast("double")).alias("_cv"),
+    )
+    qid_ddl = dict(zip(queries.schema.names, queries.schema))[
+        query_id
+    ].dataType.simpleString()
+    cid_ddl = dict(zip(corpus.schema.names, corpus.schema))[
+        corpus_id
+    ].dataType.simpleString()
+    out_schema = f"_qid {qid_ddl}, _cid {cid_ddl}, score_i64 long"
+    better_desc = metric == "dot"
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_cid"].to_numpy()
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_cv"]]
+            )
+            gram = m @ qm.T
+            if metric == "l2":
+                gram = (m * m).sum(axis=1)[:, None] + q_norms[None, :] - 2.0 * gram
+            rows_q, rows_c, rows_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = gram[:, j]
+                cids = ids
+                if exclude_self:
+                    mask = ids != qid
+                    col, cids = col[mask], ids[mask]
+                if col.size == 0:
+                    continue
+                # total order: (score better-first, id asc) — identical
+                # to the DataFrame window's tie-break
+                perm = np.lexsort((cids, -col if better_desc else col))[:k]
+                rows_q.extend([qid] * perm.size)
+                rows_c.extend(cids[perm])
+                rows_s.extend(col[perm].astype(np.int64))
+            yield pd.DataFrame({"_qid": rows_q, "_cid": rows_c, "score_i64": rows_s})
+
+    cands = slim.mapInPandas(score_batches, schema=out_schema)
+    # Final exact top-k over the (tiny) per-batch candidate superset.
+    w_final = Window.partitionBy("_qid").orderBy(*order)
+    top = (
+        cands.withColumnRenamed("_cid", corpus_id)
         .withColumn("_rn", F.row_number().over(w_final))
         .filter(F.col("_rn") <= k)
-        .drop("_rn1", "_rn")
+        .drop("_rn")
+    )
+    # Restore the full (corpus ⋈ query) row shape the callers expect: the
+    # top-k id set is k·|Q| rows — broadcast it back over the corpus, so
+    # the corpus still never shuffles.
+    return (
+        corpus.join(F.broadcast(top), corpus_id)
+        .join(
+            F.broadcast(queries.withColumnRenamed(query_id, "_qid")), "_qid"
+        )
+        .withColumnRenamed("_qid", query_id)
+        # contract: ranked best-first per query — the output is k·|Q| rows,
+        # so this sort is a constant-size epilogue, not a data-scale sort
+        .orderBy(F.col(query_id), *order)
     )
 
 

@@ -44,10 +44,16 @@ def test_pricing_summary_partial_agg(spark):
     assert plan.index("HashAggregate") < plan.index("Exchange")
 
 
-def test_knn_no_single_partition_window(spark):
-    """kNN's first window must partition by (q_id, salt), not q_id alone."""
+def test_knn_no_scored_crossjoin_shuffle(spark):
+    """kNN scoring must never materialize/shuffle the |corpus|×|Q| scored
+    set: the per-batch matmul top-k emits only candidate rows (MapInPandas
+    node), there is no cartesian of corpus×queries, and the payload
+    restore joins are broadcast."""
     plan = _plan(spark, "knn_batch_top5")
-    assert "pmod" in plan  # salted phase-1 window present
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # k·|Q| candidate set joined back
 
 
 def test_topn_uses_take_ordered(spark):
