@@ -46,6 +46,74 @@ def build_ivf(
     return assigned, centroids
 
 
+def write_ivf_index(
+    assigned: DataFrame, centroids: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist the IVF index as parquet partitioned by ``cluster`` — the
+    on-disk twin of FAISS inverted lists. A search probing ``nprobe``
+    clusters then PRUNES THE SCAN to those partitions (verified via
+    ``PartitionFilters`` in the test): the index read shrinks by
+    ``nprobe/k_clusters`` before a single row moves."""
+    assigned.write.partitionBy("cluster").mode(mode).parquet(f"{path}/lists")
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def ivf_search_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted IVF index with partition pruning: pick the
+    nprobe nearest centroids per query (tiny table, driver-collected),
+    then scan ONLY those cluster partitions. The isin() filter on the
+    partition column reaches the file index as a PartitionFilter — pruned
+    before any IO."""
+    from backend_fastapi_spark.operators.vector import knn_exact
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    probe = knn_exact(
+        centroids.withColumnRenamed("centroid", "embedding"),
+        queries,
+        k=nprobe,
+        corpus_id="cluster",
+        metric="l2",
+        exclude_self=False,
+    ).select("q_id", "cluster")
+    probed = [int(r["cluster"]) for r in probe.select("cluster").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cluster").isin(probed)
+    )
+    return ivf_search_over(lists, probe, queries, k=k, corpus_id=corpus_id)
+
+
+def ivf_search_over(
+    pruned_lists: DataFrame,
+    probe: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Score pre-pruned inverted lists against their probing queries."""
+    from pyspark.sql import Window
+    from backend_fastapi_spark.operators.vector import fixed_dot
+
+    pruned = pruned_lists.join(F.broadcast(probe.join(queries, "q_id")), "cluster")
+    scored = pruned.withColumn(
+        "score_i64", fixed_dot(F.col("embedding"), F.col("q_embedding"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_i64").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", corpus_id, "cluster", "score_i64")
+    )
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: DataFrame,

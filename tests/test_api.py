@@ -76,3 +76,35 @@ def test_engine_corpus_report_and_clusters(spark):
         by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_ivf_persisted_partition_pruning(spark, tmp_path):
+    """Persisted IVF search must prune the list scan to probed clusters
+    (PartitionFilters in the file scan), and agree with the in-memory
+    search."""
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_search,
+        ivf_search_persisted,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    assigned, centroids = build_ivf(emb, k_clusters=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in qrow["embedding"]])], ["q_id", "q_embedding"]
+    )
+    got = ivf_search_persisted(spark, path, queries, k=10, nprobe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan or "cluster#" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    rows = got.collect()
+    mem = ivf_search(assigned, centroids, queries, k=10, nprobe=4).collect()
+    assert {(r.q_id, r.vec_id, r.score_i64) for r in rows} == {
+        (r.q_id, r.vec_id, r.score_i64) for r in mem
+    }
