@@ -60,7 +60,7 @@ def main() -> None:
             continue
         spec.fn(spark, sf_dir).count()  # warmup: JIT/codegen, parquet footers
         best = float("inf")
-        for _ in range(2):  # min-of-2 damps transient host noise
+        for _ in range(3):  # min-of-3 damps transient host noise
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
