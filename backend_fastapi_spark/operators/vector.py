@@ -100,12 +100,19 @@ def knn_exact(
     # quantized to fixed-point int64 IN SPARK (_fx — identical rounding
     # to every other scorer) before crossing to numpy, so no Python-side
     # rounding can diverge.
+    MAX_QUERY_ROWS = 100_000  # ~50 MB at 64 dims — broadcast-sized
     q_quant = queries.select(
         F.col(query_id).alias("_qid"),
         F.transform(F.col(query_vec_col), lambda x: _fx(x).cast("double")).alias(
             "_qv"
         ),
-    ).collect()
+    ).limit(MAX_QUERY_ROWS + 1).collect()
+    if len(q_quant) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"knn_exact queries side exceeds {MAX_QUERY_ROWS} rows — it must "
+            "be broadcast-sized; for corpus-vs-corpus scoring use "
+            "near_dup_pairs_matmul / lsh.ann_similarity_join instead"
+        )
     if not q_quant:
         empty = corpus.crossJoin(queries).withColumn(
             "score_i64", F.lit(0).cast("long")
