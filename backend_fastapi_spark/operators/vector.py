@@ -6,16 +6,18 @@ The reference serves kNN from FAISS/Chroma indexes
 search as DataFrame programs over a ``(id, embedding ARRAY<FLOAT>, ...)``
 table:
 
-- **Exact kNN**: broadcast the query vector(s), score with JVM-side
-  ``zip_with``/``aggregate`` expressions (whole-stage codegen — no Python in
-  the hot path), then ``TakeOrderedAndProject`` top-k. At 100 TB this is one
-  scan + a k-row-per-partition reduce: no shuffle of the corpus at all.
-- **Batch kNN join**: many queries × corpus via broadcast nested-loop with
-  the small side broadcast, per-query top-k by window. The corpus never
-  moves; cost is (|Q| × |corpus|) score evaluations spread across executors.
+- **Exact kNN** (single or batch): each Arrow batch of quantized corpus
+  vectors multiplies against the (driver-small) query matrix — exact
+  float64 matmul, fixed-point ints < 2^53 — and emits only its per-query
+  top-k. The corpus never moves and the |Q|×|corpus| scored set never
+  exists as rows; the final window reduces a k·|Q|·batches candidate
+  trickle and the winners broadcast-join payload columns back.
+- **Near-dup pairs**: the same exact-matmul trick per block
+  (``near_dup_pairs_matmul``); the pure-codegen blocked join
+  (``near_dup_pairs``) remains as the JVM-only form.
 - **Scale path**: MLlib ``BucketedRandomProjectionLSH`` (see ``lsh.py``)
   prunes candidates to colliding buckets — the switchover when |Q|×|corpus|
-  becomes the bottleneck.
+  scoring flops become the bottleneck.
 
 Scoring determinism: oracle-checked queries use **fixed-point** arithmetic
 (round(x·1e6) as int64), making scores exactly reproducible in any engine —
@@ -84,11 +86,12 @@ def knn_exact(
     metric: str = "dot",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Batch exact kNN: broadcast ``queries`` against the corpus, per-query
-    top-k. Returns (q_id, vec_id, score_i64) ranked best-first per query.
+    """Batch exact kNN: per-Arrow-batch matmul of the corpus against the
+    (driver-small) query matrix, per-query top-k. Returns the corpus ⋈
+    query row shape + ``score_i64``, ranked best-first per query.
 
-    J4/V3 analog: the reference's 1×N FAISS scan generalizes to Q×N with the
-    corpus staying partitioned in place.
+    J4/V3 analog: the reference's 1×N FAISS scan generalizes to Q×N with
+    the corpus staying partitioned in place and no scored-pair shuffle.
     """
     from backend_fastapi_spark.operators.util import ensure_parallelism
 
