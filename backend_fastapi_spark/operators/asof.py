@@ -31,14 +31,23 @@ def asof_join(
     right_time: str,
     payload_cols: list[str],
     tie_col: str | None = None,
+    direction: str = "backward",
+    strict: bool = False,
 ) -> DataFrame:
-    """Returns ``left`` columns + ``asof_<payload>`` columns from the most
-    recent right row at or before the left row's time (inner semantics:
-    left rows with no prior right row are dropped).
+    """Returns ``left`` columns + ``asof_<payload>`` columns from the
+    matched right row (inner semantics: unmatched left rows are dropped).
+
+    ``direction='backward'`` (default): most recent right row with
+    t_right ≤ t_left (< when ``strict``). ``direction='forward'``: the
+    nearest future right row with t_right ≥ t_left (> when ``strict``) —
+    the same union-and-carry scan run in reverse time order, still ONE
+    keyed-window shuffle.
 
     ``tie_col`` (a right-side column) breaks equal-timestamp ties
-    deterministically (highest wins).
+    deterministically (highest wins in both directions).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     payload = F.struct(
         F.col(right_time).alias("_t"), *[F.col(c) for c in payload_cols]
     )
@@ -60,9 +69,15 @@ def asof_join(
     r = r.withColumn("_left", F.lit(None).cast(l.schema["_left"].dataType))
 
     unioned = r.unionByName(l)
+    # Scan order: time forward (backward asof) or reversed (forward asof).
+    # On equal timestamps, right rows scan BEFORE the left row for the
+    # inclusive bound (so they are carried into it) and AFTER it when
+    # ``strict`` (so they are not).
+    t_ord = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    side_ord = F.col("_side").desc() if strict else F.col("_side").asc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc())
+        .orderBy(t_ord, side_ord, F.col("_tie").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(

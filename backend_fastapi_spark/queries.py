@@ -2964,6 +2964,63 @@ def q_events_burst_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = banded_interval_join(left, right, "ts", "ts_b", gap_us=60_000_000)
     return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_following"))
 @register(
+    "next_order_asof_forward",
+    oracle="""
+    WITH nd AS (
+      SELECT a.o_orderkey AS k, MIN(b.o_orderdate) AS next_date
+      FROM orders a JOIN orders b
+        ON b.o_custkey = a.o_custkey AND b.o_orderdate > a.o_orderdate
+      GROUP BY 1),
+    pick AS (
+      SELECT a.o_orderkey AS k, nd.next_date, MAX(b.o_orderkey) AS next_orderkey
+      FROM orders a JOIN nd ON nd.k = a.o_orderkey
+      JOIN orders b ON b.o_custkey = a.o_custkey AND b.o_orderdate = nd.next_date
+      GROUP BY 1, 2)
+    SELECT a.o_orderkey, a.o_custkey,
+           strftime(a.o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(p.next_date, '%Y-%m-%d') AS asof_next_date,
+           p.next_orderkey AS asof_next_orderkey
+    FROM orders a JOIN pick p ON p.k = a.o_orderkey
+    """,
+)
+def q_next_order_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (the successor lookup): for every order, the
+    customer's next order on a strictly later date — same union-and-carry
+    operator as the backward as-of, scanned in reverse time order; ONE
+    keyed-window shuffle, no inequality-join explosion. Tie rule: highest
+    orderkey among the next date's orders (mirrors the backward form).
+    The oracle is the quadratic-per-key inequality join DuckDB can afford
+    at sf0.01."""
+    from backend_fastapi_spark.operators.asof import asof_join
+
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    right = orders.select(
+        F.col("o_custkey"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey").alias("next_orderkey"),
+    )
+    joined = asof_join(
+        left,
+        right,
+        key="o_custkey",
+        left_time="o_orderdate",
+        right_time="o_orderdate",
+        payload_cols=["next_orderkey"],
+        tie_col="next_orderkey",
+        direction="forward",
+        strict=True,
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("asof_next_date"),
+        F.col("asof_next_orderkey"),
+    )
+
+
+@register(
     "pack_pretrain_sequences",
     oracle="""
     WITH sized AS (
