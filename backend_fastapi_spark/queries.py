@@ -2964,6 +2964,84 @@ def q_events_burst_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = banded_interval_join(left, right, "ts", "ts_b", gap_us=60_000_000)
     return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_following"))
 @register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top unshipped orders by
+    revenue. Both date predicates push into the parquet scans; the join
+    shuffles only the filtered remainders; revenue is the
+    decimal-accumulated double product (deterministic)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(rev.cast("decimal(30,4)")).cast("double").alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "returned_items_by_customer",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount)', 4)} AS lost_revenue,
+           COUNT(*) AS n_lines
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_mktsegment
+    ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned items): customers ranked by revenue on
+    returned lines. The returnflag filter pushes into the lineitem scan;
+    customer (small) broadcasts; one shuffle on custkey for the final
+    aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(rev.cast("decimal(30,4)")).cast("double").alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
     "next_order_asof_forward",
     oracle="""
     WITH nd AS (
