@@ -3042,6 +3042,77 @@ def q_returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shipmode_priority_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts of high/low-priority orders per
+    return flag for one ship year — CASE aggregation over a pushed-down
+    date-range scan."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT
+      CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+               AS DECIMAL(30,4))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(30,4))) AS DOUBLE) AS promo_share,
+      COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1997-06-01' AND l_shipdate < DATE '1997-07-01'
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month. The part
+    dimension broadcasts; both decimal-accumulated sums ride one scan;
+    the final division is a deterministic double op on exact ints."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(promo_rev.cast("decimal(30,4)")).cast("double")
+                / F.sum(rev.cast("decimal(30,4)")).cast("double")
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "next_order_asof_forward",
     oracle="""
     WITH nd AS (
