@@ -3113,6 +3113,76 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT {SQL_DSUM('l_extendedprice * l_discount', 4)} AS potential_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from eliminating small discounts —
+    a pure filter + scalar aggregate whose every predicate pushes into the
+    parquet scan (no join, no shuffle beyond the 1-row final agg)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return li.agg(
+        F.sum(rev.cast("decimal(30,4)")).cast("double").alias("potential_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY 1
+      HAVING {SQL_DSUM('l_quantity')} > 270)
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN big ON o_orderkey = l_orderkey
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold — a HAVING-filtered aggregate driving a
+    star join. The aggregate output (few keys) broadcasts into the
+    orders join; customer broadcasts too."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double").alias("_q"))
+        .filter(F.col("_q") > 270)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+        )
+    )
+
+
+@register(
     "next_order_asof_forward",
     oracle="""
     WITH nd AS (
