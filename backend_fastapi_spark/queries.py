@@ -3183,6 +3183,110 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+      SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 'view_click', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 'view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): users counted at
+    each stage only when the stage event strictly FOLLOWS their first
+    qualifying previous-stage event. Three keyed aggregates + two
+    user-key equi-joins — every step shuffles on user_id only.
+    Comparisons run on unix_micros in BOTH engines so nanosecond source
+    timestamps cannot order differently across them."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view").alias("stage"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view_click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view_click_purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS week
+      FROM events),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY 1)
+    SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN cohort c ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted per week offset they return. Week index is pure integer
+    epoch math (identical across engines); shape is two keyed aggregates
+    + one user-key join — no window, no skew risk beyond a hot cohort."""
+    ev = _t(spark, sf_dir, "events")
+    # integer division end to end — identical floor semantics to the
+    # oracle's // on positive epochs
+    week = F.expr("unix_micros(ts) div 86400000000 div 7")
+    act = ev.select("user_id", week.alias("week")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
     "next_order_asof_forward",
     oracle="""
     WITH nd AS (
