@@ -3287,6 +3287,92 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_distribution",
+    oracle="""
+    WITH counts AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM counts GROUP BY c_count
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders per customer INCLUDING
+    zero-order customers — left outer join (COUNT of the nullable side
+    skips nulls) then a histogram over the counts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "small_quantity_revenue",
+    oracle=f"""
+    WITH avg_qty AS (
+      SELECT l_partkey, {SQL_DAVG('l_quantity')} AS aq
+      FROM lineitem GROUP BY 1)
+    SELECT {SQL_DSUM('l_extendedprice', 2)} AS total_price,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN avg_qty USING (l_partkey)
+    WHERE l_quantity < 0.5 * aq
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines ordering less than half their part's average
+    quantity — the correlated per-group scalar subquery decorrelated into
+    an aggregate + equi-join (the plan Catalyst produces for the SQL form
+    too). The per-part aggregate is small and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(davg("l_quantity").alias("aq"))
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            dsum("l_extendedprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {SQL_DAVG('c_acctbal')} AS ab FROM customer WHERE c_acctbal > 0)
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'O')
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no open
+    orders — a 1-row scalar aggregate cross-joined as the filter bound
+    plus an anti-join on the open-order set."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("ab")
+    )
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+
+
+@register(
     "next_order_asof_forward",
     oracle="""
     WITH nd AS (
