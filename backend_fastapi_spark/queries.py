@@ -3373,6 +3373,51 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, {SQL_DSUM('l_extendedprice * (1 - l_discount)', 4)}
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY 1),
+    best AS (SELECT MAX(total_rev) AS m FROM rev)
+    SELECT s_suppkey, s_name, s_nationkey, total_rev
+    FROM supplier JOIN rev ON l_suppkey = s_suppkey, best
+    WHERE total_rev = m
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the maximum-revenue supplier(s) for one quarter —
+    per-supplier revenue aggregate, a 1-row global max cross-joined back
+    as the filter bound (no global window), supplier dimension broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,4)"
+                )
+            )
+            .cast("double")
+            .alias("total_rev")
+        )
+    )
+    best = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "s_nationkey", "total_rev")
+    )
+
+
+@register(
     "next_order_asof_forward",
     oracle="""
     WITH nd AS (
