@@ -118,3 +118,24 @@ def test_multimodal_feature_extraction(spark):
     again = {r.media_id: r for r in extract_features(media).collect()}
     assert again[1].checksum == feats[1].checksum
     assert (again[1].width, again[1].height) == (feats[1].width, feats[1].height)
+
+
+def test_near_dup_matmul_equals_codegen_form(spark):
+    """The float64-matmul scorer must be bit-identical to the integer
+    pair-loop form (exactness claim: all intermediates < 2^53)."""
+    from backend_fastapi_spark.operators.vector import (
+        near_dup_pairs,
+        near_dup_pairs_matmul,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    t = 200_000_000_000
+    a = {
+        (r.id_a, r.id_b, r.sim_i64)
+        for r in near_dup_pairs(emb, t, block_col="label").collect()
+    }
+    b = {
+        (r.id_a, r.id_b, r.sim_i64)
+        for r in near_dup_pairs_matmul(emb, t, block_col="label").collect()
+    }
+    assert a == b and len(a) > 0
