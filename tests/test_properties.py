@@ -171,3 +171,40 @@ def test_connected_components_matches_union_find(spark, raw_edges):
         for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# banded interval join vs brute force
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=2, max_size=40, unique=True),
+    st.integers(1, 120),
+)
+def test_banded_interval_join_matches_bruteforce(spark, offsets, gap_s):
+    import pandas as pd
+
+    from backend_fastapi_spark.operators.rangejoin import banded_interval_join
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [(i, base + pd.Timedelta(seconds=s)) for i, s in enumerate(offsets)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["event_id", "ts"]))
+    got = {
+        (r.event_id, r.id_b)
+        for r in banded_interval_join(
+            df.select("event_id", "ts"),
+            df.select(df.event_id.alias("id_b"), df.ts.alias("ts_b")),
+            "ts",
+            "ts_b",
+            gap_us=gap_s * 1_000_000,
+        ).collect()
+    }
+    gap = pd.Timedelta(seconds=gap_s)
+    expected = {
+        (i, j)
+        for i, ti in rows
+        for j, tj in rows
+        if tj > ti and tj <= ti + gap
+    }
+    assert got == expected
