@@ -41,8 +41,10 @@ def banded_interval_join(
     predicate."""
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))
-    l_bin = F.floor(l_us / gap_us)
-    r_bin = F.floor(r_us / gap_us)
+    # integer division (exact) — double division + floor could misbin a
+    # quotient within half an ulp of an integer at extreme gaps
+    l_bin = F.expr(f"unix_micros({left_ts}) div {int(gap_us)}")
+    r_bin = F.expr(f"unix_micros({right_ts}) div {int(gap_us)}")
 
     lhs = left.withColumn("_bin", F.explode(F.array(l_bin, l_bin + 1)))
     rhs = right.withColumn("_bin", r_bin)

@@ -166,7 +166,11 @@ def knn_exact(
                 col = gram[:, j]
                 cids = ids
                 if exclude_self:
-                    mask = ids != qid
+                    mask = np.asarray(ids != qid)
+                    if mask.ndim == 0:
+                        # incomparable id types (e.g. string query ids vs
+                        # int corpus ids) → nothing can be 'self'
+                        mask = np.ones(len(ids), dtype=bool)
                     col, cids = col[mask], ids[mask]
                 if col.size == 0:
                     continue
