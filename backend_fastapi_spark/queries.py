@@ -3418,6 +3418,73 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority counts of orders with at least one
+    line shipped after the order date — an EXISTS correlated subquery
+    expressed as a left-semi join with the correlation as an extra join
+    predicate."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualified = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "branded_quantity_revenue",
+    oracle=f"""
+    SELECT {SQL_DSUM('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 5 AND 30)
+    """,
+)
+def q_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue over a DISJUNCTION of brand/size/quantity
+    conjunctions — the OR-of-ANDs predicate that exercises disjunctive
+    filter pushdown on both join sides before the broadcast join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(5, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(cond).agg(
+        F.sum(rev.cast("decimal(30,4)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
     "next_order_asof_forward",
     oracle="""
     WITH nd AS (
