@@ -151,6 +151,18 @@ class Engine:
         )
         return base.join(kept, ["lang", "split"], "left")
 
+    def funnel(self) -> DataFrame:
+        """Ordered view→click→purchase funnel over the events table."""
+        from backend_fastapi_spark.queries import REGISTRY
+
+        return REGISTRY["funnel_conversion"].fn(self.spark, self.catalog.base_dir)
+
+    def retention(self) -> DataFrame:
+        """Weekly cohort retention matrix over the events table."""
+        from backend_fastapi_spark.queries import REGISTRY
+
+        return REGISTRY["cohort_retention"].fn(self.spark, self.catalog.base_dir)
+
     def dedup_report(self, threshold: float = 0.8) -> DataFrame:
         docs = self.table("documents")
         exact = D.exact_dup_groups(docs).agg(

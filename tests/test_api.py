@@ -108,3 +108,14 @@ def test_ivf_persisted_partition_pruning(spark, tmp_path):
     assert {(r.q_id, r.vec_id, r.score_i64) for r in rows} == {
         (r.q_id, r.vec_id, r.score_i64) for r in mem
     }
+
+
+def test_engine_funnel_and_retention(spark):
+    from backend_fastapi_spark.api import Engine
+
+    eng = Engine.open(spark, SF_ORACLE)
+    funnel = {r.stage: r.n_users for r in eng.funnel().collect()}
+    assert set(funnel) == {"view", "view_click", "view_click_purchase"}
+    assert funnel["view"] >= funnel["view_click"] >= funnel["view_click_purchase"]
+    ret = eng.retention().collect()
+    assert all(r.week_offset >= 0 and r.n_users > 0 for r in ret)
