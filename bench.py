@@ -93,6 +93,11 @@ def main() -> None:
         "train_test_split_counts",
         "weighted_sample_docs",
         "multimodal_feature_stats",
+        "events_burst_60s",
+        "funnel_conversion",
+        "shipping_priority",
+        "returned_items_by_customer",
+        "next_order_asof_forward",
     ]:
         spec = Q.REGISTRY.get(name)
         if spec is None:
