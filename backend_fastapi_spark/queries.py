@@ -3485,6 +3485,56 @@ def q_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_rate_by_source",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    capped AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 64) keep
+      USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.8),
+    members AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs
+    FROM documents d LEFT JOIN members m ON m.id = d.doc_id
+    GROUP BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health rollup: per source, how many docs participate in any
+    near-dup pair — the metric that tells you WHICH upstream feed is
+    polluting the corpus. Dup membership set broadcasts into a left join
+    over the corpus (it is a vanishing fraction at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, 0.8, max_shingle_df=64)
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(members), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("n_dup_docs"),
+        )
+    )
+
+
+@register(
     "next_order_asof_forward",
     oracle="""
     WITH nd AS (
