@@ -186,3 +186,33 @@ def test_banded_interval_join_matches_naive(spark):
     }
     assert got == expected
     assert (0, 2) in got and (0, 3) not in got  # boundary inclusive/exclusive
+
+
+def test_pack_pretrain_boundaries(spark):
+    """Docs spanning a 2048-token boundary get the straddling seq_id and
+    in-sequence offset."""
+    import pandas as pd
+
+    from backend_fastapi_spark import queries as Q
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    out = Q.REGISTRY["pack_pretrain_sequences"].fn(spark, SF_ORACLE).toPandas()
+    # invariants: offsets within [0, 2048); seq ids dense-nonnegative per
+    # bucket; cumulative reconstruction matches
+    assert ((out.seq_offset >= 0) & (out.seq_offset < 2048)).all()
+    assert (out.seq_id >= 0).all()
+    for _, grp in out.sort_values("doc_id").groupby("bucket"):
+        cum = 0
+        for r in grp.itertuples(index=False):
+            assert r.seq_id == cum // 2048
+            assert r.seq_offset == cum % 2048
+            cum += r.n_tokens
+
+
+def test_weighted_sample_is_subset_and_deterministic(spark):
+    from backend_fastapi_spark import queries as Q
+
+    a = Q.REGISTRY["weighted_sample_docs"].fn(spark, SF_ORACLE).toPandas()
+    b = Q.REGISTRY["weighted_sample_docs"].fn(spark, SF_ORACLE).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # no RNG state
+    assert (a.u < a.w).all()  # kept iff uniform under weight
