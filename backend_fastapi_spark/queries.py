@@ -3535,6 +3535,85 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_growth_mom",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             {SQL_DSUM('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           revenue - lag(revenue) OVER (ORDER BY month) AS delta
+    FROM monthly
+    """,
+)
+def q_orders_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta: a lag window over the MONTHLY
+    aggregate — the global window runs over #months rows (bounded by the
+    calendar, not the data), which is exactly the aggregate-first shape
+    the plan-audit gate permits."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "top_parts_by_region",
+    oracle=f"""
+    WITH joined AS (
+      SELECT r_name AS region, p_brand,
+             {SQL_DSUM('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY region
+                                   ORDER BY revenue DESC, p_brand ASC) AS rn
+      FROM joined)
+    SELECT region, p_brand, revenue, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_top_parts_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region top-5 part brands by revenue: the full five-table star
+    chain (all dimensions broadcast), aggregated BEFORE the ranking
+    window — the window sees #regions × #brands rows, never line items."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("r_name").alias("region"), "p_brand")
+        .agg(F.sum(rev.cast("decimal(30,4)")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("region").orderBy(
+        F.col("revenue").desc(), F.col("p_brand").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
     "next_order_asof_forward",
     oracle="""
     WITH nd AS (
