@@ -3614,6 +3614,38 @@ def q_top_parts_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN CAST(len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                       AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) >= 0.05
+                  THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM toks)
+    SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion counts of the declared ``lang``
+    label against the stopword-ratio heuristic — the quality-eval query a
+    pipeline runs before trusting a classifier at corpus scale. One
+    narrow predict pass + a grouped count."""
+    docs = _t(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    pred = F.when(TX.stopword_ratio(w) >= 0.05, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+    return (
+        docs.withColumn("lang_pred", pred)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
     "next_order_asof_forward",
     oracle="""
     WITH nd AS (
