@@ -3146,7 +3146,7 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH big AS (
       SELECT l_orderkey
       FROM lineitem GROUP BY 1
-      HAVING {SQL_DSUM('l_quantity')} > 270)
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 270)
     SELECT c_custkey, c_name, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            o_totalprice
@@ -3163,9 +3163,11 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    # quantities are integral-valued in this schema: int64 sums are exact
+    # (and far cheaper than decimal accumulation) in both engines
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double").alias("_q"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("_q"))
         .filter(F.col("_q") > 270)
         .select("l_orderkey")
     )
