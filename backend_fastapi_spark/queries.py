@@ -3817,37 +3817,83 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assigned, centroids, q, k=10, nprobe=4)
 
 
-# Queries the round-1 driver already hash-verified green (CORRECTNESS_r01).
-# The driver walks the registry in insertion order and may budget-cap how
-# many it checks per round, so emit NOT-yet-driver-verified queries first:
-# over rounds every query accumulates a green driver row.
+# Driver-evidence bookkeeping. The driver walks the registry in emitted
+# order and budget-caps how many queries it checks per round, so order by
+# how much a fresh driver row is worth:
+#   tier 0 — oracle-bearing queries with NO green hash row yet (includes
+#            queries whose semantics changed since their last green row:
+#            remove those names from _DRIVER_VERIFIED when changing them);
+#   tier 1 — oracle=None queries the driver has never even run;
+#   tier 2 — oracle=None queries already exercised rows-only (spark_rows>0
+#            in some round) — a re-run adds no evidence;
+#   tier 3 — hash-verified green in a prior round, semantics unchanged.
+# Maintained by scripts/update_verified.py after each round's CORRECTNESS
+# file lands (kept historical name _R1_VERIFIED = "verified in any prior
+# round" for that script's sake).
 _R1_VERIFIED = frozenset(
-    {
-        "ar_rollout_forecast", "brand_price_stats", "chunk_documents",
-        "cube_status_priority", "customers_with_orders", "customers_without_orders",
-        "daily_value_by_type", "dedup_min_event", "diversified_docs",
-        "doc_fingerprint_groups", "doc_template_assembly", "embedding_near_dup",
-        "exact_dup_groups", "filtered_projection", "json_extract_stats",
-        "keyword_or_filter", "knn_batch_top5", "knn_margin_topk", "knn_top10_dot",
-        "knn_top10_l2", "lang_quality_score", "minhash_lsh_candidates",
-        "minhash_verified_dupes", "multi_key_sort", "ngram_jaccard_dupes",
-        "null_normalization", "order_status_histogram", "pack_docs_budget",
-        "per_customer_top3_orders", "pivot_priority_by_status", "pricing_summary",
-        "rag_retrieval_batch", "rag_retrieval_pipeline", "region_revenue",
-        "rollup_region_nation", "scalar_subquery_join", "sessionize_events",
-        "sliding_window_counts", "token_stats", "top_orders_recent",
-        "ts_daily_resample", "ts_forecast_metrics", "ts_interpolated",
-        "ts_longest_run", "ts_ratio_split", "ts_seasonal_features",
-        "tumbling_hourly_counts", "union_all_counts", "user_context_star",
-    }
+    {"anchor_extraction", "ar_rollout_forecast", "asof_join_events_orders",
+    "attribute_filter", "brand_price_stats", "chunk_documents",
+    "cohort_retention", "cube_status_priority", "customer_360",
+    "customers_with_orders", "customers_without_orders",
+    "daily_value_by_type", "decontaminate_test_split",
+    "dedup_canonical_corpus", "dedup_min_event", "delete_keys_orders",
+    "distinct_count_stats", "diversified_docs", "doc_fingerprint_groups",
+    "doc_template_assembly", "dup_clusters",
+    "events_burst_60s", "exact_dup_groups", "filtered_projection",
+    "forecast_revenue_change", "from_json_native", "funnel_conversion",
+    "gopher_repetition_filter", "grocery_best_store", "grouping_sets_revenue",
+    "html_strip", "json_extract_stats",
+    "keyword_or_filter", "lang_quality_score", "large_volume_customers",
+    "minhash_lsh_candidates", "minhash_verified_dupes", "minmax_rescale",
+    "multi_key_sort", "multimodal_feature_stats", "ngram_jaccard_dupes",
+    "null_normalization", "order_status_histogram",
+    "paginated_orders", "pct_change_daily", "per_customer_top3_orders",
+    "percentile_stats", "pivot_priority_by_status", "pricing_summary",
+    "promo_revenue_share", "rag_retrieval_batch",
+    "region_revenue", "returned_items_by_customer", "rewrite_chain",
+    "rollup_region_nation", "salted_skew_sum", "scalar_subquery_join",
+    "session_window_native", "sessionize_events", "shipmode_priority_counts",
+    "shipping_priority", "simhash_pairs", "sliding_window_counts",
+    "stratified_sample_langs", "supplier_balance_by_region",
+    "tfidf_top_terms", "token_stats", "top_orders_recent",
+    "train_test_split_counts", "ts_daily_resample", "ts_forecast_metrics",
+    "ts_interpolated", "ts_last_valid_window", "ts_longest_run",
+    "ts_ratio_split", "ts_seasonal_features", "ts_sliding_windows",
+    "tumbling_hourly_counts", "union_all_counts", "union_then_global_topn",
+    "upsert_orders", "user_context_star", "watermark_late_drop",
+    "weighted_recommend_score", "weighted_sample_docs"}
+)
+_DRIVER_VERIFIED = _R1_VERIFIED
+# Round-2 semantics changes not yet re-hashed by the driver — deliberately
+# NOT in the verified set above (VERDICT r02 directive #1): pack_docs_budget,
+# rag_retrieval_pipeline (min-remainder packing rule), embedding_near_dup,
+# knn_top10_dot/l2, knn_batch_top5, knn_margin_topk (matmul rewrite), and
+# ingest_pipeline_chunks (round 3: recursive-ladder default).
+
+# oracle=None queries already run by the driver with spark_rows > 0
+# (rows-only green in CORRECTNESS_r01/r02) — demoted behind anything that
+# still needs its first driver row.
+_ROWS_ONLY_EXERCISED = frozenset(
+    {"ann_lsh_top10", "chunk_documents_recursive", "doc_embed_knn",
+     "embedding_near_dup_lsh", "fruit_prices_daily",
+     "ingest_pipeline_embedded"}
 )
 
 
 def _ordered_names() -> list[str]:
     names = list(REGISTRY)
-    return [n for n in names if n not in _R1_VERIFIED] + [
-        n for n in names if n in _R1_VERIFIED
-    ]
+
+    def tier(n: str) -> int:
+        if n in _DRIVER_VERIFIED:
+            return 3
+        if n in _ROWS_ONLY_EXERCISED:
+            return 2
+        if REGISTRY[n].oracle is None:
+            return 1
+        return 0
+
+    # sorted() is stable: registry insertion order preserved within a tier.
+    return sorted(names, key=tier)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
