@@ -222,6 +222,7 @@ def near_dup_pairs_matmul(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strip_rows: int = 2048,
+    max_block_rows: int = 100_000,
 ) -> DataFrame:
     """Exact embedding near-dup pairs by per-block matrix multiplication —
     identical output to ``near_dup_pairs`` at a fraction of the cost.
@@ -235,9 +236,15 @@ def near_dup_pairs_matmul(
     loop regardless of summation order. ~10-100× the throughput of
     per-element codegen on the pair loop.
 
-    Memory: the Gram matrix is computed in ``strip_rows``-row strips
-    (strip × block, not block × block), bounding per-task memory at
-    ``strip_rows · |block| · 8`` bytes regardless of block size.
+    Memory contract (enforced, not assumed): a block larger than
+    ``max_block_rows`` raises with a pointer to the LSH path — blocking
+    relies on bounded label groups, and an unbounded block would stack an
+    ``n·dim·8``-byte matrix in one task (10M rows × 64 dims ≈ 5 GB). Below
+    the cap, peak per-task memory is ``n·dim·8`` for the block matrix plus
+    a Gram strip capped at ~64 MB: the strip height shrinks adaptively
+    (``min(strip_rows, 64MB / (n·8))``) so wide blocks trade strip count,
+    never memory. Defaults: 100k rows × 64 dims ≈ 51 MB matrix + 64 MB
+    strip.
     """
     import numpy as np
     import pandas as pd
@@ -249,15 +256,24 @@ def near_dup_pairs_matmul(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: _fx(x).cast("double")).alias("_q"),
     )
+    strip_budget = 64 << 20  # gram-strip bytes per task
 
     def block_pairs(pdf: pd.DataFrame):
+        n = len(pdf)
+        if n > max_block_rows:
+            raise ValueError(
+                f"near_dup_pairs_matmul block '{pdf['_blk'].iat[0]}' has "
+                f"{n} rows > max_block_rows={max_block_rows}; label blocking "
+                "assumes bounded groups — route oversized corpora through "
+                "lsh.ann_similarity_join (hash-bucketed, bounded block key)"
+            )
         pdf = pdf.sort_values("_id")
         ids = pdf["_id"].to_numpy()
         m = np.stack(pdf["_q"].to_numpy()).astype(np.float64)
+        strip = max(64, min(strip_rows, strip_budget // max(n * 8, 1)))
         out_a, out_b, out_s = [], [], []
-        n = len(ids)
-        for s0 in range(0, n, strip_rows):
-            s1 = min(s0 + strip_rows, n)
+        for s0 in range(0, n, strip):
+            s1 = min(s0 + strip, n)
             gram = m[s0:s1] @ m.T  # exact: all intermediates < 2^53
             for i_local, i in enumerate(range(s0, s1)):
                 row = gram[i_local, i + 1 :]  # j > i ⇒ id_a < id_b (sorted)

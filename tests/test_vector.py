@@ -139,3 +139,41 @@ def test_near_dup_matmul_equals_codegen_form(spark):
         for r in near_dup_pairs_matmul(emb, t, block_col="label").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_near_dup_matmul_block_cap_enforced(spark):
+    """Pathological single-label input: the block-size contract must fail
+    loudly (route to LSH) instead of stacking an unbounded matrix."""
+    import pytest
+
+    from backend_fastapi_spark.operators.vector import near_dup_pairs_matmul
+
+    emb = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .limit(50)
+        .withColumn("label", F.lit("all-one-block"))
+    )
+    with pytest.raises(Exception, match="max_block_rows"):
+        near_dup_pairs_matmul(
+            emb, 0, block_col="label", max_block_rows=10
+        ).collect()
+
+
+def test_near_dup_matmul_strip_invariance(spark):
+    """Adaptive strip sizing must not change results: tiny strips (forced
+    via a tiny strip_rows) produce the identical pair set."""
+    from backend_fastapi_spark.operators.vector import near_dup_pairs_matmul
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(300)
+    t = 150_000_000_000
+    wide = {
+        (r.id_a, r.id_b, r.sim_i64)
+        for r in near_dup_pairs_matmul(emb, t, block_col="label").collect()
+    }
+    narrow = {
+        (r.id_a, r.id_b, r.sim_i64)
+        for r in near_dup_pairs_matmul(
+            emb, t, block_col="label", strip_rows=64
+        ).collect()
+    }
+    assert wide == narrow and len(wide) > 0
