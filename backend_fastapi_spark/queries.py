@@ -3832,51 +3832,54 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round" for that script's sake).
 _R1_VERIFIED = frozenset(
     {"anchor_extraction", "ar_rollout_forecast", "asof_join_events_orders",
-    "attribute_filter", "brand_price_stats", "chunk_documents",
-    "cohort_retention", "cube_status_priority", "customer_360",
-    "customers_with_orders", "customers_without_orders",
-    "daily_value_by_type", "decontaminate_test_split",
-    "dedup_canonical_corpus", "dedup_min_event", "delete_keys_orders",
-    "distinct_count_stats", "diversified_docs", "doc_fingerprint_groups",
-    "doc_template_assembly", "dup_clusters",
-    "events_burst_60s", "exact_dup_groups", "filtered_projection",
-    "forecast_revenue_change", "from_json_native", "funnel_conversion",
-    "gopher_repetition_filter", "grocery_best_store", "grouping_sets_revenue",
-    "html_strip", "json_extract_stats",
-    "keyword_or_filter", "lang_quality_score", "large_volume_customers",
+    "attribute_filter", "brand_price_stats", "branded_quantity_revenue",
+    "chunk_documents", "cohort_retention", "cube_status_priority",
+    "customer_360", "customer_order_distribution", "customers_with_orders",
+    "customers_without_orders", "daily_value_by_type",
+    "decontaminate_test_split", "dedup_canonical_corpus", "dedup_min_event",
+    "delete_keys_orders", "distinct_count_stats", "diversified_docs",
+    "doc_fingerprint_groups", "doc_template_assembly", "dup_clusters",
+    "dup_rate_by_source", "embedding_near_dup", "events_burst_60s",
+    "exact_dup_groups", "filtered_projection", "forecast_revenue_change",
+    "from_json_native", "funnel_conversion", "gopher_repetition_filter",
+    "grocery_best_store", "grouping_sets_revenue", "html_strip",
+    "idle_rich_customers", "ingest_pipeline_chunks", "json_extract_stats",
+    "keyword_or_filter", "knn_batch_top5", "knn_margin_topk", "knn_top10_dot",
+    "knn_top10_l2", "lang_id_confusion", "lang_quality_score",
+    "large_volume_customers", "late_shipment_priority",
     "minhash_lsh_candidates", "minhash_verified_dupes", "minmax_rescale",
-    "multi_key_sort", "multimodal_feature_stats", "ngram_jaccard_dupes",
-    "null_normalization", "order_status_histogram",
+    "multi_key_sort", "multimodal_feature_stats", "next_order_asof_forward",
+    "ngram_jaccard_dupes", "null_normalization", "order_status_histogram",
+    "orders_growth_mom", "pack_docs_budget", "pack_pretrain_sequences",
     "paginated_orders", "pct_change_daily", "per_customer_top3_orders",
     "percentile_stats", "pivot_priority_by_status", "pricing_summary",
-    "promo_revenue_share", "rag_retrieval_batch",
+    "promo_revenue_share", "rag_retrieval_batch", "rag_retrieval_pipeline",
     "region_revenue", "returned_items_by_customer", "rewrite_chain",
     "rollup_region_nation", "salted_skew_sum", "scalar_subquery_join",
     "session_window_native", "sessionize_events", "shipmode_priority_counts",
     "shipping_priority", "simhash_pairs", "sliding_window_counts",
-    "stratified_sample_langs", "supplier_balance_by_region",
-    "tfidf_top_terms", "token_stats", "top_orders_recent",
+    "small_quantity_revenue", "stratified_sample_langs",
+    "supplier_balance_by_region", "tfidf_top_terms", "token_stats",
+    "top_orders_recent", "top_parts_by_region", "top_supplier_revenue",
     "train_test_split_counts", "ts_daily_resample", "ts_forecast_metrics",
     "ts_interpolated", "ts_last_valid_window", "ts_longest_run",
     "ts_ratio_split", "ts_seasonal_features", "ts_sliding_windows",
     "tumbling_hourly_counts", "union_all_counts", "union_then_global_topn",
-    "upsert_orders", "user_context_star", "watermark_late_drop",
-    "weighted_recommend_score", "weighted_sample_docs"}
+    "upsert_orders", "user_context_star", "user_rapid_repeat_events",
+    "watermark_late_drop", "weighted_recommend_score", "weighted_sample_docs"}
 )
 _DRIVER_VERIFIED = _R1_VERIFIED
-# Round-2 semantics changes not yet re-hashed by the driver — deliberately
-# NOT in the verified set above (VERDICT r02 directive #1): pack_docs_budget,
-# rag_retrieval_pipeline (min-remainder packing rule), embedding_near_dup,
-# knn_top10_dot/l2, knn_batch_top5, knn_margin_topk (matmul rewrite), and
-# ingest_pipeline_chunks (round 3: recursive-ladder default).
+# All round-2 semantics changes (packing min-remainder rule, knn/near-dup
+# matmul rewrites, recursive-ladder ingest default) were re-hashed green by
+# the round-3 driver sweep (CORRECTNESS_r03.json) and are back in the set.
 
 # oracle=None queries already run by the driver with spark_rows > 0
 # (rows-only green in CORRECTNESS_r01/r02) — demoted behind anything that
 # still needs its first driver row.
 _ROWS_ONLY_EXERCISED = frozenset(
-    {"ann_lsh_top10", "chunk_documents_recursive", "doc_embed_knn",
-     "embedding_near_dup_lsh", "fruit_prices_daily",
-     "ingest_pipeline_embedded"}
+    {"ann_ivf_top10", "ann_lsh_top10", "approx_sketch_stats",
+     "chunk_documents_recursive", "doc_embed_knn", "embedding_near_dup_lsh",
+     "fruit_prices_daily", "ingest_pipeline_embedded"}
 )
 
 

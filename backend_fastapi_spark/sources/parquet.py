@@ -41,8 +41,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for c in _NANOS_TS_COLS[name]:
-            if isinstance(df.schema[c].dataType, T.LongType):
+            dt = df.schema[c].dataType
+            if isinstance(dt, T.LongType):
                 # integer division: double division loses precision at ns scale
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            elif isinstance(dt, T.TimestampNTZType):
+                # Newer testdata writes TIMESTAMP(MICROS, isAdjustedToUTC=false),
+                # which Spark reads as TIMESTAMP_NTZ. The session tz is pinned
+                # UTC above, so a plain cast reinterprets the naive wall-clock
+                # as the identical UTC instant — same values the UTC-naive
+                # DuckDB oracle sees, and downstream instant functions
+                # (unix_micros, window, to_utc_timestamp) work unchanged.
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
