@@ -70,6 +70,14 @@ class Engine:
             exclude_self=False,
         )
 
+    def knn_sql(self, query_vec: list[float], k: int = 5) -> DataFrame:
+        """VECTOR_SEARCH through the SQL surface (SURVEY §4 optional):
+        same fixed-point top-k as ``knn`` but executed as one
+        ``spark.sql`` statement over the registered ``embeddings`` view —
+        array-literal query vector, codegen'd higher-order dot, no UDF."""
+        lit = "array(" + ", ".join(f"cast({float(x)} as double)" for x in query_vec) + ")"
+        return self.spark.sql(V.knn_sql_statement("embeddings", lit, k=k))
+
     def rag(
         self,
         query_vec: list[float],

@@ -59,6 +59,46 @@ def fixed_l2sq(a: Column, b: Column) -> Column:
     )
 
 
+# Spark-SQL-dialect twin of fixed_dot for the eng.sql / VECTOR_SEARCH
+# surface: same fixed-point quantization, expressed as a higher-order
+# function string a user can paste into spark.sql. Stays in whole-stage
+# codegen — no UDF.
+DOT_I64_SPARK_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "cast(round(cast(x as double) * 1000000, 0) as bigint) * "
+    "cast(round(cast(y as double) * 1000000, 0) as bigint)), "
+    "cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def knn_sql_statement(
+    corpus_view: str,
+    query_vec_sql: str,
+    k: int = 5,
+    payload_cols: str = "vec_id, label",
+) -> str:
+    """Build the VECTOR_SEARCH-style SQL statement (SURVEY §4 optional
+    entry point): top-k by exact fixed-point dot product against a
+    registered corpus view. ``query_vec_sql`` is any SQL expression
+    producing ARRAY<FLOAT/DOUBLE> — an array literal, or a scalar
+    subquery like ``(SELECT embedding FROM emb WHERE vec_id = 7)``.
+
+    Shape: Spark disallows subquery expressions inside higher-order
+    functions, so the query vector rides in as a 1-row scalar aggregate
+    (``first`` with no GROUP BY) broadcast against the corpus — the
+    bounded 1-row-augment idiom the plan-audit gate allows. Scoring runs
+    as a codegen'd higher-order aggregate and the ORDER BY+LIMIT
+    collapses to TakeOrderedAndProject: one corpus scan, zero shuffles.
+    """
+    dot = DOT_I64_SPARK_SQL.format(a="embedding", b="q.qe")
+    return f"""
+      WITH q AS (SELECT first(v) AS qe FROM (SELECT {query_vec_sql} AS v))
+      SELECT {payload_cols}, {dot} AS score_i64
+      FROM {corpus_view} CROSS JOIN q
+      ORDER BY score_i64 DESC, vec_id ASC LIMIT {int(k)}
+    """
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Production double-precision cosine (vectors assumed L2-normalized,
     as the reference normalizes at encode time, embedding_handler.py:45-49)."""

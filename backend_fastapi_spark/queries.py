@@ -615,6 +615,39 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vector_search_sql",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    scored AS (
+      SELECT vec_id, label,
+             {_DOT_I64_SQL.format(a='embedding', b='qe')} AS score_i64
+      FROM embeddings, q WHERE vec_id <> 7)
+    SELECT vec_id, label, score_i64 FROM scored
+    ORDER BY score_i64 DESC, vec_id ASC LIMIT 12
+    """,
+)
+def q_vector_search_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §4's declared-optional VECTOR_SEARCH SQL entry point: the
+    vector layer reached entirely through ``spark.sql`` (the eng.sql
+    surface), not the DataFrame API. The statement is built by
+    ``vector.knn_sql_statement`` — fixed-point dot as a codegen'd
+    higher-order aggregate, constant-key broadcast join for the one-row
+    query side, TakeOrderedAndProject for the top-k. Facade:
+    ``Engine.knn_sql`` (api.py). Reference analog: FAISS query route
+    ``enhanced_internal_db_service.py:602-727`` exposed over SQL."""
+    _t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 7).createOrReplaceTempView(
+        "emb_vector_search"
+    )
+    stmt = V.knn_sql_statement(
+        "emb_vector_search",
+        "(SELECT embedding FROM emb_vector_search_q WHERE vec_id = 7)",
+        k=12,
+    )
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("emb_vector_search_q")
+    return spark.sql(stmt)
+
+
 @register("embedding_near_dup_lsh", oracle=None)  # approximate by construction
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRIMARY embedding near-dup path at 100 TB: LSH-bucketed

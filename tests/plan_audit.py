@@ -23,10 +23,25 @@ def _scala_seq(jseq):
 
 def _walk(jnode):
     yield jnode
-    for child in _scala_seq(jnode.children()):
+    for child in _phys_children(jnode):
         yield from _walk(child)
     # subqueries (scalar subquery plans hang off expressions, skipped:
     # none of the registry's subqueries window or cross-join)
+
+
+def _phys_children(jnode):
+    """Children of a plan node, descending THROUGH the AQE wrappers:
+    ``AdaptiveSparkPlanExec`` and ``QueryStageExec`` expose their subtree
+    as a field, not via ``children()`` — a naive walk sees an empty tree
+    and the physical audit silently passes everything (found via the
+    gate's own negative test, round 4)."""
+    cls = jnode.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        # pre-execution static shape: AQE can only improve on it at runtime
+        return [jnode.initialPlan()]
+    if cls.endswith("QueryStageExec"):
+        return [jnode.plan()]
+    return _scala_seq(jnode.children())
 
 
 def _subtree_has_aggregate(jnode, scalar_only: bool = False) -> bool:
@@ -36,9 +51,16 @@ def _subtree_has_aggregate(jnode, scalar_only: bool = False) -> bool:
                    "SortAggregateExec"):
             if not scalar_only:
                 return True
-            # scalar aggregate = no grouping keys → at most 1 row
-            if "keys=[]" in n.simpleString(32) or "[], [" in n.simpleString(32):
-                return True
+            # scalar aggregate = no grouping keys → at most 1 row. Ask the
+            # node directly: string forms differ per operator
+            # (HashAggregate "keys=[]" vs SortAggregate "key=[]").
+            try:
+                if n.groupingExpressions().isEmpty():
+                    return True
+            except Exception:
+                s = n.simpleString(32)
+                if "keys=[]" in s or "key=[]" in s or "[], [" in s:
+                    return True
     return False
 
 
