@@ -3851,64 +3851,159 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Driver-evidence bookkeeping. The driver walks the registry in emitted
-# order and budget-caps how many queries it checks per round, so order by
-# how much a fresh driver row is worth:
-#   tier 0 — oracle-bearing queries with NO green hash row yet (includes
-#            queries whose semantics changed since their last green row:
-#            remove those names from _DRIVER_VERIFIED when changing them);
-#   tier 1 — oracle=None queries the driver has never even run;
-#   tier 2 — oracle=None queries already exercised rows-only (spark_rows>0
-#            in some round) — a re-run adds no evidence;
-#   tier 3 — hash-verified green in a prior round, semantics unchanged.
+# order and budget-caps how many queries it checks per round (~50 slots),
+# so order by how much a fresh driver row is worth. Round-4 lesson: a
+# green hash row is only evidence FOR THE DATA IT RAN ON — the driver
+# regenerated /root/testdata at round-4 start, so greens hashed before
+# _DATA_GEN_ROUND are STALE and must re-emit ahead of fresh greens.
+#
+# Emit order (stable within each tier by the order below / registry order):
+#   tier 0 — _PRIORITY_REFRESH: the events-reading family (events.ts is
+#            exactly the column whose layout changed in the regeneration)
+#            plus the reference's most user-facing CRUD/JSON surfaces;
+#   tier 1 — oracle-bearing queries with NO green hash row in ANY round
+#            (new queries; also queries whose semantics changed — delete
+#            their _LAST_GREEN entry when changing them);
+#   tier 2 — remaining stale greens, last-green round ASCENDING (r1
+#            evidence is two data-generations old, refresh first);
+#   tier 3 — oracle=None queries the driver has never even run;
+#   tier 4 — oracle=None queries already exercised rows-only;
+#   tier 5 — greens hashed on the CURRENT data generation (re-run adds
+#            nothing).
 # Maintained by scripts/update_verified.py after each round's CORRECTNESS
-# file lands (kept historical name _R1_VERIFIED = "verified in any prior
-# round" for that script's sake).
-_R1_VERIFIED = frozenset(
-    {"anchor_extraction", "ar_rollout_forecast", "asof_join_events_orders",
-    "attribute_filter", "brand_price_stats", "branded_quantity_revenue",
-    "chunk_documents", "cohort_retention", "cube_status_priority",
-    "customer_360", "customer_order_distribution", "customers_with_orders",
-    "customers_without_orders", "daily_value_by_type",
-    "decontaminate_test_split", "dedup_canonical_corpus", "dedup_min_event",
-    "delete_keys_orders", "distinct_count_stats", "diversified_docs",
-    "doc_fingerprint_groups", "doc_template_assembly", "dup_clusters",
-    "dup_rate_by_source", "embedding_near_dup", "events_burst_60s",
-    "exact_dup_groups", "filtered_projection", "forecast_revenue_change",
-    "from_json_native", "funnel_conversion", "gopher_repetition_filter",
-    "grocery_best_store", "grouping_sets_revenue", "html_strip",
-    "idle_rich_customers", "ingest_pipeline_chunks", "json_extract_stats",
-    "keyword_or_filter", "knn_batch_top5", "knn_margin_topk", "knn_top10_dot",
-    "knn_top10_l2", "lang_id_confusion", "lang_quality_score",
-    "large_volume_customers", "late_shipment_priority",
-    "minhash_lsh_candidates", "minhash_verified_dupes", "minmax_rescale",
-    "multi_key_sort", "multimodal_feature_stats", "next_order_asof_forward",
-    "ngram_jaccard_dupes", "null_normalization", "order_status_histogram",
-    "orders_growth_mom", "pack_docs_budget", "pack_pretrain_sequences",
-    "paginated_orders", "pct_change_daily", "per_customer_top3_orders",
-    "percentile_stats", "pivot_priority_by_status", "pricing_summary",
-    "promo_revenue_share", "rag_retrieval_batch", "rag_retrieval_pipeline",
-    "region_revenue", "returned_items_by_customer", "rewrite_chain",
-    "rollup_region_nation", "salted_skew_sum", "scalar_subquery_join",
-    "session_window_native", "sessionize_events", "shipmode_priority_counts",
-    "shipping_priority", "simhash_pairs", "sliding_window_counts",
-    "small_quantity_revenue", "stratified_sample_langs",
-    "supplier_balance_by_region", "tfidf_top_terms", "token_stats",
-    "top_orders_recent", "top_parts_by_region", "top_supplier_revenue",
-    "train_test_split_counts", "ts_daily_resample", "ts_forecast_metrics",
-    "ts_interpolated", "ts_last_valid_window", "ts_longest_run",
-    "ts_ratio_split", "ts_seasonal_features", "ts_sliding_windows",
-    "tumbling_hourly_counts", "union_all_counts", "union_then_global_topn",
-    "upsert_orders", "user_context_star", "user_rapid_repeat_events",
-    "watermark_late_drop", "weighted_recommend_score", "weighted_sample_docs"}
+# file lands. queries() writes QUERY_EMIT_ORDER.json beside the package so
+# every round's artifact records which names sat beyond the sweep budget.
+
+# Testdata generation this map is judged against: bump when the driver
+# regenerates /root/testdata (greens from earlier rounds become stale).
+_DATA_GEN_ROUND = 4
+
+# name -> round of most recent driver green-hash row (CORRECTNESS_r0N.json).
+_LAST_GREEN = {
+    "anchor_extraction": 2,
+    "ar_rollout_forecast": 1,
+    "asof_join_events_orders": 2,
+    "attribute_filter": 2,
+    "brand_price_stats": 4,
+    "branded_quantity_revenue": 3,
+    "chunk_documents": 4,
+    "cohort_retention": 2,
+    "cube_status_priority": 1,
+    "customer_360": 2,
+    "customer_order_distribution": 3,
+    "customers_with_orders": 4,
+    "customers_without_orders": 4,
+    "daily_value_by_type": 4,
+    "decontaminate_test_split": 2,
+    "dedup_canonical_corpus": 2,
+    "dedup_min_event": 4,
+    "delete_keys_orders": 2,
+    "distinct_count_stats": 2,
+    "diversified_docs": 4,
+    "doc_fingerprint_groups": 4,
+    "doc_template_assembly": 4,
+    "dup_clusters": 2,
+    "dup_rate_by_source": 3,
+    "embedding_near_dup": 4,
+    "events_burst_60s": 2,
+    "exact_dup_groups": 4,
+    "filtered_projection": 4,
+    "forecast_revenue_change": 2,
+    "from_json_native": 2,
+    "funnel_conversion": 2,
+    "gopher_repetition_filter": 2,
+    "grocery_best_store": 2,
+    "grouping_sets_revenue": 2,
+    "html_strip": 2,
+    "idle_rich_customers": 3,
+    "ingest_pipeline_chunks": 3,
+    "json_extract_stats": 1,
+    "keyword_or_filter": 4,
+    "knn_batch_top5": 4,
+    "knn_margin_topk": 4,
+    "knn_top10_dot": 4,
+    "knn_top10_l2": 4,
+    "lang_id_confusion": 3,
+    "lang_quality_score": 4,
+    "large_volume_customers": 2,
+    "late_shipment_priority": 3,
+    "minhash_lsh_candidates": 4,
+    "minhash_verified_dupes": 4,
+    "minmax_rescale": 2,
+    "multi_key_sort": 4,
+    "multimodal_feature_stats": 2,
+    "next_order_asof_forward": 3,
+    "ngram_jaccard_dupes": 4,
+    "null_normalization": 4,
+    "order_status_histogram": 4,
+    "orders_growth_mom": 3,
+    "pack_docs_budget": 4,
+    "pack_pretrain_sequences": 3,
+    "paginated_orders": 2,
+    "pct_change_daily": 2,
+    "per_customer_top3_orders": 4,
+    "percentile_stats": 2,
+    "pivot_priority_by_status": 1,
+    "pricing_summary": 4,
+    "promo_revenue_share": 2,
+    "rag_retrieval_batch": 1,
+    "rag_retrieval_pipeline": 3,
+    "region_revenue": 4,
+    "returned_items_by_customer": 2,
+    "rewrite_chain": 2,
+    "rollup_region_nation": 4,
+    "salted_skew_sum": 2,
+    "scalar_subquery_join": 4,
+    "session_window_native": 2,
+    "sessionize_events": 1,
+    "shipmode_priority_counts": 2,
+    "shipping_priority": 2,
+    "simhash_pairs": 2,
+    "sliding_window_counts": 1,
+    "small_quantity_revenue": 3,
+    "stratified_sample_langs": 2,
+    "supplier_balance_by_region": 2,
+    "tfidf_top_terms": 2,
+    "token_stats": 4,
+    "top_orders_recent": 4,
+    "top_parts_by_region": 3,
+    "top_supplier_revenue": 3,
+    "train_test_split_counts": 2,
+    "ts_daily_resample": 4,
+    "ts_forecast_metrics": 4,
+    "ts_interpolated": 4,
+    "ts_last_valid_window": 2,
+    "ts_longest_run": 4,
+    "ts_ratio_split": 4,
+    "ts_seasonal_features": 4,
+    "ts_sliding_windows": 4,
+    "tumbling_hourly_counts": 1,
+    "union_all_counts": 4,
+    "union_then_global_topn": 2,
+    "upsert_orders": 2,
+    "user_context_star": 4,
+    "user_rapid_repeat_events": 3,
+    "vector_search_sql": 4,
+    "watermark_late_drop": 2,
+    "weighted_recommend_score": 2,
+    "weighted_sample_docs": 2,
+}
+
+# Stale greens to refresh FIRST, in this order — the 12-query events family
+# (VERDICT r04 Missing #1; dedup_min_event already r04-green) then the
+# CRUD/JSON user-facing surfaces (VERDICT r04 directive #6).
+_PRIORITY_REFRESH = (
+    "sessionize_events", "tumbling_hourly_counts", "sliding_window_counts",
+    "watermark_late_drop", "session_window_native", "asof_join_events_orders",
+    "next_order_asof_forward", "events_burst_60s", "user_rapid_repeat_events",
+    "funnel_conversion", "cohort_retention",
+    "grocery_best_store", "upsert_orders", "delete_keys_orders",
+    "paginated_orders",
 )
-_DRIVER_VERIFIED = _R1_VERIFIED
-# All round-2 semantics changes (packing min-remainder rule, knn/near-dup
-# matmul rewrites, recursive-ladder ingest default) were re-hashed green by
-# the round-3 driver sweep (CORRECTNESS_r03.json) and are back in the set.
 
 # oracle=None queries already run by the driver with spark_rows > 0
-# (rows-only green in CORRECTNESS_r01/r02) — demoted behind anything that
-# still needs its first driver row.
+# (rows-only green in some round) — demoted behind anything that still
+# needs its first driver row.
 _ROWS_ONLY_EXERCISED = frozenset(
     {"ann_ivf_top10", "ann_lsh_top10", "approx_sketch_stats",
      "chunk_documents_recursive", "doc_embed_knn", "embedding_near_dup_lsh",
@@ -3917,23 +4012,56 @@ _ROWS_ONLY_EXERCISED = frozenset(
 
 
 def _ordered_names() -> list[str]:
-    names = list(REGISTRY)
-
-    def tier(n: str) -> int:
-        if n in _DRIVER_VERIFIED:
-            return 3
-        if n in _ROWS_ONLY_EXERCISED:
-            return 2
-        if REGISTRY[n].oracle is None:
-            return 1
-        return 0
+    def key(n: str):
+        green = _LAST_GREEN.get(n)
+        fresh = green is not None and green >= _DATA_GEN_ROUND
+        if green is not None and not fresh and n in _PRIORITY_REFRESH:
+            return (0, _PRIORITY_REFRESH.index(n))
+        if green is None and REGISTRY[n].oracle is not None and n not in _ROWS_ONLY_EXERCISED:
+            return (1, 0)
+        if green is not None and not fresh:
+            return (2, green)
+        if green is None and n in _ROWS_ONLY_EXERCISED:
+            return (4, 0)
+        if green is None:
+            return (3, 0)
+        return (5, 0)
 
     # sorted() is stable: registry insertion order preserved within a tier.
-    return sorted(names, key=tier)
+    return sorted(REGISTRY, key=key)
+
+
+def _write_emit_order(names: list[str]) -> None:
+    """Sidecar so each round's CORRECTNESS file self-describes its coverage
+    gap (VERDICT r04 directive #8): the driver sweeps a budget-capped
+    prefix of this list; everything past its horizon is recorded here."""
+    import json as _json
+    import os as _os
+
+    rows = [
+        {"pos": i, "name": n, "last_green_round": _LAST_GREEN.get(n),
+         "stale": _LAST_GREEN.get(n) is not None
+         and _LAST_GREEN[n] < _DATA_GEN_ROUND}
+        for i, n in enumerate(names)
+    ]
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "QUERY_EMIT_ORDER.json",
+    )
+    try:
+        with open(path, "w") as f:
+            _json.dump(
+                {"data_gen_round": _DATA_GEN_ROUND,
+                 "n_stale_green": sum(1 for r in rows if r["stale"]),
+                 "order": rows}, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the ordering itself is unaffected
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: REGISTRY[name].fn for name in _ordered_names()}
+    names = _ordered_names()
+    _write_emit_order(names)
+    return {name: REGISTRY[name].fn for name in names}
 
 
 def oracle_sql() -> dict[str, str]:

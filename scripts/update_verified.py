@@ -1,22 +1,25 @@
 #!/usr/bin/env python
-"""Round-N bookkeeping: merge the driver's latest CORRECTNESS file into
-the verified-name set that orders the registry (queries.py emits
-not-yet-driver-verified queries first so a budget-capped driver sweep
-always covers new work).
+"""Round-N bookkeeping: merge the driver's latest CORRECTNESS file(s) into
+the last-green-round map that orders the registry (queries.py emits stale
+and never-verified queries first so a budget-capped driver sweep always
+covers the most evidence-starved work).
 
 Usage:
-    python scripts/update_verified.py CORRECTNESS_r02.json
-prints the python literal for the updated frozenset — paste it over
-`_R1_VERIFIED` in backend_fastapi_spark/queries.py (keep the name; it
-means "verified by any prior round's driver run").
+    python scripts/update_verified.py CORRECTNESS_r05.json
+The round number is parsed from each filename (CORRECTNESS_r0N.json).
+Prints the python literal for the updated map — paste it over
+`_LAST_GREEN` in backend_fastapi_spark/queries.py.
+
+If the driver regenerates /root/testdata, also bump `_DATA_GEN_ROUND` in
+queries.py to the new round — that is what demotes older greens to stale.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
-import textwrap
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,8 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     import backend_fastapi_spark.queries as Q
 
-    verified = set(Q._R1_VERIFIED)
+    last_green = dict(Q._LAST_GREEN)
     for path in sys.argv[1:]:
+        m = re.search(r"_r0*(\d+)", os.path.basename(path))
+        if not m:
+            raise SystemExit(f"cannot parse round number from {path!r}")
+        rnd = int(m.group(1))
         rows = json.load(open(path))
         for name, row in rows.items():
             if (
@@ -34,16 +41,19 @@ def main() -> None:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                verified.add(name)
+                last_green[name] = max(last_green.get(name, 0), rnd)
     known = set(Q.REGISTRY)
-    verified &= known  # drop renamed/retired queries
-    names = sorted(verified)
-    body = ", ".join(f'"{n}"' for n in names)
-    print("_R1_VERIFIED = frozenset(")
-    print(textwrap.fill("{" + body + "}", width=78, initial_indent="    ",
-                        subsequent_indent="    "))
-    print(")")
-    print(f"# {len(names)} verified / {len(known)} registered", file=sys.stderr)
+    last_green = {n: r for n, r in last_green.items() if n in known}
+    print("_LAST_GREEN = {")
+    for n in sorted(last_green):
+        print(f'    "{n}": {last_green[n]},')
+    print("}")
+    fresh = sum(1 for r in last_green.values() if r >= Q._DATA_GEN_ROUND)
+    print(
+        f"# {len(last_green)} ever-green / {fresh} fresh (>= data gen r{Q._DATA_GEN_ROUND}) "
+        f"/ {len(known)} registered",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":
