@@ -124,6 +124,12 @@ def ngram_jaccard_pairs(
     )
 
 
+# Instrumentation from the most recent connected_components() run in this
+# process (VERDICT r04 directive #3: a CC timing swing must be attributable
+# to data shape — edge count / round count — at a glance).
+LAST_CC_STATS: dict = {}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -143,6 +149,12 @@ def connected_components(
     loop holds only a per-round ``changed`` COUNT (a scalar), never rows.
 
     Returns (id, cluster_id) with cluster_id = min vertex id reachable.
+
+    After each call, ``LAST_CC_STATS`` holds {edges, vertices, rounds,
+    changed_per_round} for the run. CC cost is data-shape-dependent
+    (rounds = component diameter, work/round ∝ edges), so a timing swing
+    with no code change must be attributable to these numbers — bench.py
+    embeds them in the BENCH json.
     """
     # Materialize the (possibly expensive) edge pipeline BEFORE mirroring:
     # the union references it twice, so an unmaterialized plan would
@@ -151,6 +163,13 @@ def connected_components(
     both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         both.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    )
+    # e is checkpointed: this count reads materialized rows, no recompute.
+    changed_hist: list[int] = []
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS.update(
+        {"edges": e.count(), "vertices": None, "rounds": 0,
+         "changed_per_round": changed_hist}
     )
     for _ in range(max_iter):
         nbr = (
@@ -174,7 +193,12 @@ def connected_components(
         )
         changed = stepped.filter(F.col("_changed")).count()
         labels = stepped.drop("_changed")
+        changed_hist.append(changed)
+        LAST_CC_STATS["rounds"] = len(changed_hist)
         if changed == 0:
+            if LAST_CC_STATS["vertices"] is None:
+                # one cheap count on checkpointed rows, final round only
+                LAST_CC_STATS["vertices"] = stepped.count()
             break
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
