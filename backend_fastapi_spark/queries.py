@@ -1890,10 +1890,17 @@ def q_union_then_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ingest_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§3.2 ingest stages 1-4 (inference → assembly → chunking), the
-    deterministic prefix of the ingest plan (embedding stage excluded from
-    the oracle — it's the UDF boundary, covered rows-only by
-    ingest_pipeline_embedded)."""
+    """§3.2 ingest stages 1-3 with the FIXED-SIZE chunker (char_chunks
+    700/580): inference → assembly → chunking. NOTE this is NOT the
+    ingest plan's default chunker — plans/ingest.py defaults to the
+    recursive separator ladder (reference rag_service.py:78-83,
+    enhanced_internal_db_service.py:591-600). Hash-level driver evidence
+    for the recursive splitter's merge/overlap machinery is
+    ``recursive_chunk_merge_oracle``; the full-ladder descent is covered
+    by golden parity tests (tests/test_chunker.py) and rows-only by
+    ``chunk_documents_recursive``. The embedding stage is excluded from
+    all chunk oracles — it's the UDF boundary, covered rows-only by
+    ingest_pipeline_embedded."""
     from backend_fastapi_spark.plans.ingest import assemble_documents
 
     docs = assemble_documents(_t(spark, sf_dir, "documents"), "docs_idx")
@@ -1931,6 +1938,112 @@ def q_ingest_pipeline_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_str.alias("embedding_fx"),
         F.to_json("metadata").alias("metadata_json"),
     )
+
+
+@register(
+    "recursive_chunk_merge_oracle",
+    oracle=r"""
+    WITH RECURSIVE
+    docs AS (
+      SELECT doc_id, doc_id % 50 AS grp,
+             trim(regexp_replace(regexp_replace(
+                  text, '[\n\r\t。.?!]+', ' ', 'g'), ' +', ' ', 'g')) AS t
+      FROM documents),
+    g AS (
+      SELECT grp, string_agg(t, ' ' ORDER BY doc_id) AS t
+      FROM docs WHERE t <> '' GROUP BY grp),
+    gok AS (
+      SELECT grp, t FROM g
+      WHERE list_max(list_transform(string_split(t, ' '),
+                                    w -> length(w))) <= 399),
+    words AS (
+      SELECT grp, i,
+             CASE WHEN i = 1 THEN length(w[i]) ELSE 1 + length(w[i]) END AS plen
+      FROM (SELECT grp, string_split(t, ' ') AS w FROM gok) s,
+           LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) u),
+    pfx AS (
+      SELECT grp, i, sum(plen) OVER (PARTITION BY grp ORDER BY i) AS p
+      FROM words),
+    tot AS (SELECT grp, max(p) AS tot FROM pfx GROUP BY grp),
+    -- greedy merge with sliding overlap as a boundary chain over prefix
+    -- sums: pe = end offset of the chunk (max p <= start + 700),
+    -- next start ps = min p >= pe - 120 (pop-to-overlap survivors)
+    chain(grp, tot, k, ps, pe) AS (
+      SELECT t.grp, t.tot, 0, 0,
+             (SELECT max(p2.p) FROM pfx p2
+               WHERE p2.grp = t.grp AND p2.p <= 700)
+      FROM tot t
+      UNION ALL
+      SELECT c.grp, c.tot, c.k + 1,
+             (SELECT min(p2.p) FROM pfx p2
+               WHERE p2.grp = c.grp AND p2.p >= c.pe - 120),
+             (SELECT max(p3.p) FROM pfx p3
+               WHERE p3.grp = c.grp
+                 AND p3.p <= (SELECT min(p4.p) FROM pfx p4
+                               WHERE p4.grp = c.grp
+                                 AND p4.p >= c.pe - 120) + 700)
+      FROM chain c WHERE c.pe < c.tot)
+    SELECT c.grp AS grp, c.k AS chunk_idx,
+           CASE WHEN c.k = 0 THEN substr(gt.t, 1, CAST(c.pe AS INT))
+                ELSE substr(gt.t, CAST(c.ps + 2 AS INT),
+                            CAST(c.pe - c.ps - 1 AS INT)) END AS chunk
+    FROM chain c JOIN gok gt USING (grp)
+    """,
+)
+def q_recursive_chunk_merge_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-level driver evidence for the RECURSIVE splitter's greedy
+    merge + sliding-overlap machinery (operators/chunker.py::_merge_pieces
+    — the part the fixed-size oracle of ingest_pipeline_chunks never
+    touches; VERDICT r04 directive #4).
+
+    Restricted-input identity: on text whose only ladder separator is the
+    last rung " " and whose pieces are all < chunk_overlap short of the
+    chunk size, the separator-ladder recursion reduces to ONE greedy merge
+    pass, and its chunk boundaries are a deterministic chain over piece
+    prefix sums: chunk k spans (ps, pe] with pe = max prefix <= ps + 700,
+    next ps = min prefix >= pe - 120. That chain IS SQL-expressible
+    (recursive CTE in the oracle) — validated piece-for-piece against
+    recursive_split on this corpus before registration.
+
+    Documents are normalized to that regime (higher-rung separators → " ")
+    and concatenated into 50 multi-KB groups (doc_id % 50, ordered) so
+    every group genuinely overflows several chunks. The Spark side runs
+    the REAL pandas-UDF chunker (recursive_chunks with the reference
+    ladder, 700/120 — enhanced_internal_db_service.py:591-600), not a
+    reimplementation; the full ladder DESCENT (multi-rung) stays covered
+    by tests/test_chunker.py golden parity.
+    """
+    from backend_fastapi_spark.operators.chunker import recursive_chunks
+
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("text", "[\\n\\r\\t。.?!]+", " "), " +", " "
+        )
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 50).alias("grp"), "doc_id", clean.alias("t"))
+        .filter(F.col("t") != "")
+    )
+    # one row per group: texts concatenated in doc_id order (array_sort on
+    # (doc_id, t) structs — deterministic, no Window/shuffle beyond the agg)
+    merged = d.groupBy("grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "t"))),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("t")
+    )
+    # merge-only regime guard (mirrors the oracle's gok CTE): every word
+    # far below chunk_size so no piece ever recurses or re-pops
+    merged = merged.filter(
+        F.array_max(F.transform(F.split("t", " "), F.length)) <= 399
+    )
+    return recursive_chunks(
+        merged, text_col="t", id_col="grp", chunk_size=700, chunk_overlap=120
+    ).select("grp", "chunk_idx", "chunk")
 
 
 @register(
