@@ -17,6 +17,7 @@ the whole ad-hoc surface.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,7 +76,12 @@ class Engine:
         same fixed-point top-k as ``knn`` but executed as one
         ``spark.sql`` statement over the registered ``embeddings`` view —
         array-literal query vector, codegen'd higher-order dot, no UDF."""
-        lit = "array(" + ", ".join(f"cast({float(x)} as double)" for x in query_vec) + ")"
+        vals = [float(x) for x in query_vec]
+        if not all(math.isfinite(x) for x in vals):
+            # nan/inf render as bare SQL tokens that fail to resolve as
+            # columns — raise a clear input error instead
+            raise ValueError(f"query_vec must be finite, got {query_vec!r}")
+        lit = "array(" + ", ".join(f"cast({x} as double)" for x in vals) + ")"
         return self.spark.sql(V.knn_sql_statement("embeddings", lit, k=k))
 
     def rag(

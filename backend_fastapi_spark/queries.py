@@ -636,15 +636,14 @@ def q_vector_search_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     query side, TakeOrderedAndProject for the top-k. Facade:
     ``Engine.knn_sql`` (api.py). Reference analog: FAISS query route
     ``enhanced_internal_db_service.py:602-727`` exposed over SQL."""
-    _t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 7).createOrReplaceTempView(
-        "emb_vector_search"
-    )
+    emb = _t(spark, sf_dir, "embeddings")
+    emb.where(F.col("vec_id") != 7).createOrReplaceTempView("emb_vector_search")
+    emb.createOrReplaceTempView("emb_vector_search_q")
     stmt = V.knn_sql_statement(
         "emb_vector_search",
         "(SELECT embedding FROM emb_vector_search_q WHERE vec_id = 7)",
         k=12,
     )
-    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("emb_vector_search_q")
     return spark.sql(stmt)
 
 

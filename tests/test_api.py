@@ -119,3 +119,20 @@ def test_engine_funnel_and_retention(spark):
     assert funnel["view"] >= funnel["view_click"] >= funnel["view_click_purchase"]
     ret = eng.retention().collect()
     assert all(r.week_offset >= 0 and r.n_users > 0 for r in ret)
+
+
+def test_engine_knn_sql_matches_dataframe_path(spark):
+    eng = Engine.open(spark, SF_ORACLE)
+    qvec = [float(x) for x in eng.table("embeddings").head()["embedding"]]
+    via_sql = [(r.vec_id, r.score_i64) for r in eng.knn_sql(qvec, k=5).collect()]
+    via_df = [(r.vec_id, r.score_i64) for r in eng.knn(qvec, k=5).collect()]
+    assert via_sql == via_df
+
+
+def test_engine_knn_sql_rejects_non_finite(spark):
+    import pytest as _pytest
+
+    eng = Engine.open(spark, SF_ORACLE)
+    for bad in [float("nan"), float("inf"), float("-inf")]:
+        with _pytest.raises(ValueError, match="finite"):
+            eng.knn_sql([1.0, bad, 0.5])
