@@ -191,14 +191,16 @@ def connected_components(
                 ),
             )
         )
-        changed = stepped.filter(F.col("_changed")).count()
+        # ONE job yields both the convergence scalar and the vertex count
+        # (same per-round job count as the uninstrumented loop).
+        changed, n_vertices = stepped.agg(
+            F.sum(F.col("_changed").cast("int")), F.count(F.lit(1))
+        ).first()
         labels = stepped.drop("_changed")
-        changed_hist.append(changed)
+        changed_hist.append(int(changed or 0))
         LAST_CC_STATS["rounds"] = len(changed_hist)
-        if changed == 0:
-            if LAST_CC_STATS["vertices"] is None:
-                # one cheap count on checkpointed rows, final round only
-                LAST_CC_STATS["vertices"] = stepped.count()
+        LAST_CC_STATS["vertices"] = n_vertices
+        if not changed:
             break
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 

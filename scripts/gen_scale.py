@@ -56,12 +56,19 @@ def main() -> None:
         )
 
     def doc_text(df):
-        # interleave a per-copy token between words for copies > 0
+        # suffix every token with a per-copy marker for copies > 0: two
+        # docs in copy i share a shingle iff they shared it in copy 0, so
+        # the dup structure (near-dup groups, shingle frequency shape) is
+        # EXACTLY the source's, replicated k times. (An earlier interleave
+        # variant created (marker, word, marker) shingles shared across a
+        # whole copy — 37x edge blowup at 10x data instead of 10x.)
         return df.withColumn(
             "text",
             F.when(F.col("_copy") == 0, F.col("text")).otherwise(
                 F.regexp_replace(
-                    F.col("text"), " ", F.concat(F.lit(" c"), F.col("_copy"), F.lit(" "))
+                    F.col("text"),
+                    r"(\S+)",
+                    F.concat(F.lit("$1_c"), F.col("_copy")),
                 )
             ),
         )
