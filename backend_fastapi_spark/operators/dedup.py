@@ -129,12 +129,60 @@ def ngram_jaccard_pairs(
 # to data shape — edge count / round count — at a glance).
 LAST_CC_STATS: dict = {}
 
+# Edge-count ceiling for the driver-side union-find short-circuit: 100k
+# (id, id) longs ≈ 3 MB collected — trivially driver-safe, same guarded-
+# collect discipline as vector.py's bounded query-side collect. The
+# capped Jaccard/MinHash pair generators upstream emit edge lists orders
+# of magnitude below the corpus size, so this is the common case even at
+# 100 TB; a denser graph falls through to the distributed loop.
+CC_DRIVER_MAX_EDGES = 100_000
+
+
+def _cc_driver_union_find(e: DataFrame) -> DataFrame:
+    """Bounded-collect union-find: one job to collect ≤ CC_DRIVER_MAX_EDGES
+    edges, exact same (id, cluster_id=component-min) contract as the
+    distributed loop. At small edge counts the distributed loop's cost is
+    ALL fixed job overhead (2 shuffles + a checkpoint per round); this is
+    one collect + one createDataFrame."""
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    out = [(v, comp_min[find(v)]) for v in parent]
+    LAST_CC_STATS.update({"vertices": len(parent), "mode": "driver"})
+    from pyspark.sql import types as T
+
+    id_type = e.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+    )
+    return e.sparkSession.createDataFrame(out, schema)
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over an undirected edge list — the clustering
     step that turns pairwise near-dup PAIRS into dedup GROUPS (keep one
@@ -150,8 +198,14 @@ def connected_components(
 
     Returns (id, cluster_id) with cluster_id = min vertex id reachable.
 
+    Scale-aware hybrid: edge lists at or under ``driver_max_edges`` take a
+    bounded-collect union-find (one job — at small edge counts the
+    distributed loop is pure fixed job overhead); larger graphs run the
+    distributed loop. Both produce the identical labeling (property-tested
+    against each other).
+
     After each call, ``LAST_CC_STATS`` holds {edges, vertices, rounds,
-    changed_per_round} for the run. CC cost is data-shape-dependent
+    changed_per_round, mode} for the run. CC cost is data-shape-dependent
     (rounds = component diameter, work/round ∝ edges), so a timing swing
     with no code change must be attributable to these numbers — bench.py
     embeds them in the BENCH json.
@@ -160,16 +214,19 @@ def connected_components(
     # the union references it twice, so an unmaterialized plan would
     # evaluate the upstream pair computation twice in one job.
     e = materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
-        both.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    )
     # e is checkpointed: this count reads materialized rows, no recompute.
+    n_edges = e.count()
     changed_hist: list[int] = []
     LAST_CC_STATS.clear()
     LAST_CC_STATS.update(
-        {"edges": e.count(), "vertices": None, "rounds": 0,
-         "changed_per_round": changed_hist}
+        {"edges": n_edges, "vertices": None, "rounds": 0,
+         "changed_per_round": changed_hist, "mode": "distributed"}
+    )
+    if n_edges <= driver_max_edges:
+        return _cc_driver_union_find(e)
+    both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        both.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
     )
     for _ in range(max_iter):
         nbr = (

@@ -29,11 +29,13 @@ def test_connected_components_known_graph(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    # A 12-vertex path needs ~diameter rounds; checks the fixpoint loop.
+    # A 12-vertex path needs ~diameter rounds; checks the DISTRIBUTED
+    # fixpoint loop (driver_max_edges=0 disables the union-find
+    # short-circuit so the Pregel-style path is what's exercised).
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
     )
-    rows = connected_components(edges).collect()
+    rows = connected_components(edges, driver_max_edges=0).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert len(rows) == 13
 

@@ -166,11 +166,19 @@ def test_connected_components_matches_union_find(spark, raw_edges):
     expected = {v: find(v) for v in parent}
 
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    got = {
+    # both execution paths must produce the identical labeling: the
+    # bounded-collect union-find (default at this size) and the
+    # distributed min-label loop (forced via driver_max_edges=0)
+    got_driver = {
         r["id"]: r["cluster_id"]
         for r in connected_components(df).collect()
     }
-    assert got == expected
+    got_dist = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got_driver == expected
+    assert got_dist == expected
 
 
 # ---------------------------------------------------------------------------
