@@ -69,3 +69,106 @@ def ann_similarity_join(
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-projection LSH (round 5)
+#
+# MLlib's BucketedRandomProjectionLSH draws hyperplanes from a JVM-seeded
+# RNG — deterministic per JVM but not reproducible in another engine, so
+# its candidates can only ever be rows-only-checked. The signed-projection
+# family below derives every hyperplane component from md5 (Rademacher
+# ±1 per (table, plane, dim)) and takes every sign decision in int64
+# fixed-point — the bucketing, the candidate set, and the verify scores
+# are all EXACTLY reproducible in any engine (driver hash-checkable SQL
+# oracle). Same scale shape as MinHash banding: one narrow projection
+# pass, one equi-join on exploded (table, bucket) keys, exact verify on
+# collisions only. Recall knob = tables × planes (collision probability
+# per plane is 1 - theta/pi — classic SRP/SimHash-for-cosine).
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+from backend_fastapi_spark.operators.vector import FIXED_SCALE
+
+
+def rp_planes(dim: int, n_tables: int, n_planes: int) -> list[list[list[int]]]:
+    """Rademacher hyperplanes H[t][p][d] in {-1, +1}, each component the
+    md5 parity of "t|p|d" — a pure function, identical everywhere."""
+    return [
+        [
+            [
+                1 if _hashlib.md5(f"{t}|{p}|{d}".encode()).digest()[0] & 1 else -1
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def rp_near_dup_pairs(
+    df: DataFrame,
+    threshold_i64: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 4,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate near-dup pairs with fully deterministic LSH: rows
+    colliding in at least one table's bucket are verified with the exact
+    fixed-point dot; pairs at or above ``threshold_i64`` survive.
+
+    Plan shape: quantize once (narrow), n_tables×n_planes codegen'd
+    integer aggregates → bucket ids, ONE equi-join on the exploded
+    (table, bucket) key — never all-pairs, no model fit, no UDF.
+    """
+    planes = rp_planes(dim, n_tables, n_planes)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * FIXED_SCALE).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("_id"), q.alias("_q"))
+
+    def bucket(t: int):
+        bits = None
+        for p in range(n_planes):
+            h = F.array(*[F.lit(v) for v in planes[t][p]])
+            dot = F.aggregate(
+                F.zip_with(F.col("_q"), h, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bit = (dot >= 0).cast("long") * F.lit(1 << p)
+            bits = bit if bits is None else bits + bit
+        return bits
+
+    keyed = base.select(
+        "_id",
+        "_q",
+        F.posexplode(F.array(*[bucket(t) for t in range(n_tables)])).alias(
+            "t", "bucket"
+        ),
+    )
+    a = keyed.select(
+        F.col("_id").alias("id_a"), F.col("_q").alias("_qa"), "t", "bucket"
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_q").alias("_qb"), "t", "bucket"
+    )
+    pairs = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with("_qa", "_qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score_i64"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("score_i64") >= threshold_i64)

@@ -647,6 +647,75 @@ def q_vector_search_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(stmt)
 
 
+# Deterministic RP-LSH shared constants: the oracle SQL below is GENERATED
+# from the same md5-derived hyperplanes the Spark operator uses, so both
+# engines take bit-identical integer sign decisions.
+def _rp_oracle_sql(threshold_i64: int, dim=64, n_tables=4, n_planes=8) -> str:
+    from backend_fastapi_spark.operators.lsh import rp_planes
+
+    planes = rp_planes(dim, n_tables, n_planes)
+
+    def bucket_expr(t: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            h = "[" + ",".join(str(v) for v in planes[t][p]) + "]"
+            dot = (
+                "list_sum(list_transform(list_zip(qv, "
+                + h
+                + "), x -> x[1]*x[2]))"
+            )
+            bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+        return " + ".join(bits)
+
+    keyed = "\n      UNION ALL ".join(
+        f"SELECT vec_id, qv, {t} AS t, ({bucket_expr(t)}) AS b FROM q"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+    keyed AS (
+      {keyed}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+               x -> x[1]*x[2])) AS BIGINT) AS score_i64
+      FROM keyed a JOIN keyed b
+        ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, score_i64 FROM pairs
+    WHERE score_i64 >= {threshold_i64}
+    """
+
+
+@register("embedding_near_dup_rp", oracle=_rp_oracle_sql(250_000_000_000))
+def q_embedding_near_dup_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via DETERMINISTIC random-projection LSH
+    (operators/lsh.py::rp_near_dup_pairs) — the hash-checkable ANN path.
+    MLlib's seeded LSH (embedding_near_dup_lsh) can only ever be
+    rows-only-checked because its hyperplanes live in a JVM RNG; here
+    every hyperplane component is an md5 parity and every sign decision
+    is int64 fixed-point, so the bucketing, candidate set, and verify
+    scores are reproducible in any engine — the driver hash-checks an
+    approximate index end to end. Same scale shape as MinHash banding:
+    narrow projection pass, one equi-join on exploded (table, bucket)
+    keys, exact verify on collisions only.
+
+    Precision is exactly 1 (every emitted pair passes the exact
+    fixed-point verify); recall is the tables×planes knob and is a
+    function of the threshold's angle. The 0.25 threshold here matches
+    the exact twin (embedding_near_dup) for comparability, but sits far
+    below the regime cosine-LSH prunes well at — measured ~8% recall on
+    this corpus's low-sim pairs. The operator's working regime is
+    high-similarity dedup: tests/test_vector.py plants cos≥0.95 near-dups
+    and asserts recall ≥ 0.8 with precision 1."""
+    from backend_fastapi_spark.operators.lsh import rp_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return rp_near_dup_pairs(emb, threshold_i64=250_000_000_000)
+
+
 @register("embedding_near_dup_lsh", oracle=None)  # approximate by construction
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRIMARY embedding near-dup path at 100 TB: LSH-bucketed

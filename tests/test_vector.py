@@ -177,3 +177,39 @@ def test_near_dup_matmul_strip_invariance(spark):
         ).collect()
     }
     assert wide == narrow and len(wide) > 0
+
+
+def test_rp_lsh_recall_on_planted_near_dups(spark):
+    """Deterministic RP-LSH in its working regime: plant cos>=0.95
+    near-dup pairs among random unit vectors; the 4x8-plane family must
+    recover >= 80% of them, and the exact-verify step makes precision
+    exactly 1 (no emitted pair below threshold)."""
+    import numpy as np
+
+    from backend_fastapi_spark.operators.lsh import rp_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(120, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # 40 planted near-dups: noise norm ~0.025*sqrt(64)=0.2 keeps cos ~0.98
+    pert = base[:40] + rng.normal(scale=0.025, size=(40, 64))
+    pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+    M = np.vstack([base, pert])
+    ids = np.arange(len(M))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, M)],
+        ["vec_id", "embedding"],
+    )
+    thr = int(0.95 * 1e12)
+    Q = np.round(M * 1e6).astype(np.int64)
+    S = Q @ Q.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = S[iu] >= thr
+    exact = {(int(a), int(b)) for a, b in zip(iu[0][mask], iu[1][mask])}
+    assert len(exact) >= 30  # the planting worked
+    got_rows = rp_near_dup_pairs(df, threshold_i64=thr).collect()
+    got = {(r.id_a, r.id_b) for r in got_rows}
+    # precision exactly 1: every emitted pair is exact-verified
+    assert got <= exact
+    # recall in the high-similarity regime
+    assert len(got & exact) / len(exact) >= 0.8
