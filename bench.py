@@ -63,6 +63,7 @@ HEADLINE = [
 EXTRA = [
     "dup_clusters",
     "dedup_canonical_corpus",
+    "embedding_near_dup_rp",
     "decontaminate_test_split",
     "gopher_repetition_filter",
     "train_test_split_counts",
