@@ -1,0 +1,109 @@
+"""Emit-order invariants for the driver-evidence bookkeeping.
+
+The driver hash-checks only a budget-capped prefix of queries(), so the
+ordering IS the evidence-refresh policy (COVERAGE.md "freshness &
+rotation"). These tests pin its invariants so a registry edit can't
+silently push stale or never-verified work past the budget horizon.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import os
+
+from backend_fastapi_spark import queries as Q
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiers() -> dict[str, int]:
+    names = Q._ordered_names()
+    return {n: i for i, n in enumerate(names)}
+
+
+def test_priority_refresh_block_leads():
+    pos = _tiers()
+    prio = [n for n in Q._PRIORITY_REFRESH if n in Q.REGISTRY]
+    stale_prio = [
+        n for n in prio
+        if Q._LAST_GREEN.get(n) is not None
+        and Q._LAST_GREEN[n] < Q._DATA_GEN_ROUND
+    ]
+    # every stale priority name sits in the leading block, in list order
+    got = sorted(stale_prio, key=lambda n: pos[n])
+    assert got == stale_prio
+    assert all(pos[n] < len(stale_prio) for n in stale_prio)
+
+
+def test_never_green_oracle_queries_precede_other_stale():
+    pos = _tiers()
+    new = [
+        n for n in Q.REGISTRY
+        if Q._LAST_GREEN.get(n) is None
+        and Q.REGISTRY[n].oracle is not None
+        and n not in Q._ROWS_ONLY_EXERCISED
+    ]
+    nonprio_stale = [
+        n for n in Q.REGISTRY
+        if Q._LAST_GREEN.get(n) is not None
+        and Q._LAST_GREEN[n] < Q._DATA_GEN_ROUND
+        and n not in Q._PRIORITY_REFRESH
+    ]
+    if new and nonprio_stale:
+        assert max(pos[n] for n in new) < min(pos[n] for n in nonprio_stale)
+
+
+def test_stale_greens_precede_fresh_greens():
+    pos = _tiers()
+    stale = [
+        n for n in Q.REGISTRY
+        if Q._LAST_GREEN.get(n) is not None
+        and Q._LAST_GREEN[n] < Q._DATA_GEN_ROUND
+    ]
+    fresh = [
+        n for n in Q.REGISTRY
+        if Q._LAST_GREEN.get(n, 0) >= Q._DATA_GEN_ROUND
+    ]
+    assert stale and fresh  # round-5 reality; drop if a round greens all
+    assert max(pos[n] for n in stale) < min(pos[n] for n in fresh)
+
+
+def test_stale_greens_ordered_oldest_first_within_tier():
+    pos = _tiers()
+    nonprio_stale = sorted(
+        (
+            n for n in Q.REGISTRY
+            if Q._LAST_GREEN.get(n) is not None
+            and Q._LAST_GREEN[n] < Q._DATA_GEN_ROUND
+            and n not in Q._PRIORITY_REFRESH
+        ),
+        key=lambda n: pos[n],
+    )
+    rounds = [Q._LAST_GREEN[n] for n in nonprio_stale]
+    assert rounds == sorted(rounds)
+
+
+def test_emit_order_sidecar_written(tmp_path):
+    Q.queries()
+    path = os.path.join(ROOT, "QUERY_EMIT_ORDER.json")
+    data = json.load(open(path))
+    assert data["data_gen_round"] == Q._DATA_GEN_ROUND
+    assert len(data["order"]) == len(Q.REGISTRY)
+    assert data["order"][0]["pos"] == 0
+
+
+def test_update_verified_script_round_parsing():
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "update_verified.py"),
+         os.path.join(ROOT, "CORRECTNESS_r04.json")],
+        capture_output=True, text=True, check=True,
+    )
+    assert "_LAST_GREEN = {" in out.stdout
+    # every emitted name is registered and every round is sane
+    body = out.stdout.split("{", 1)[1].rsplit("}", 1)[0]
+    for line in body.strip().splitlines():
+        name, rnd = line.strip().rstrip(",").split(": ")
+        assert name.strip('"') in Q.REGISTRY
+        assert 1 <= int(rnd) <= 99
