@@ -216,3 +216,80 @@ def test_banded_interval_join_matches_bruteforce(spark, offsets, gap_s):
         if tj > ti and tj <= ti + gap
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# round-5 oracle identities, pinned as properties (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=30),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_merge_chain_model_matches_recursive_split(words):
+    """The recursive_chunk_merge_oracle's prefix-sum boundary chain must
+    equal recursive_split on merge-only-regime text (single-space joined
+    short words) — the identity its DuckDB oracle encodes. A chunker
+    refactor that shifts any boundary must fail here before it reaches
+    the driver as a hash mismatch."""
+    from backend_fastapi_spark.operators.chunker import recursive_split
+
+    t = " ".join(words)
+    C, O = 700, 120
+
+    plens = [len(words[0])] + [1 + len(w) for w in words[1:]]
+    pfx = [0]
+    for L in plens:
+        pfx.append(pfx[-1] + L)
+    tot = pfx[-1]
+    chain, ps, k = [], 0, 0
+    pe = max(p for p in pfx if p <= ps + C)
+    while True:
+        chain.append(t[:pe] if k == 0 else t[ps + 1:pe])
+        if pe >= tot:
+            break
+        ps = min(p for p in pfx if p >= pe - O)
+        pe = max(p for p in pfx if p <= ps + C)
+        k += 1
+    assert chain == recursive_split(t, C, O)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_rp_pairs_subset_of_exact_with_precision_one(spark, seed):
+    """RP-LSH output ⊆ exact threshold pairs for arbitrary vectors: the
+    verify step makes precision exactly 1 regardless of bucketing."""
+    import numpy as np
+
+    from backend_fastapi_spark.operators.lsh import rp_near_dup_pairs
+
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(30, 64))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    # plant a couple of duplicates so the subset check isn't vacuous
+    M[1] = M[0]
+    M[3] = M[2]
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(M)],
+        ["vec_id", "embedding"],
+    )
+    thr = int(0.9 * 1e12)
+    Q = np.round(M * 1e6).astype(np.int64)
+    S = Q @ Q.T
+    iu = np.triu_indices(len(M), k=1)
+    exact = {
+        (int(a), int(b)): int(s)
+        for a, b, s in zip(iu[0], iu[1], S[iu])
+        if s >= thr
+    }
+    got = {(r.id_a, r.id_b): r.score_i64
+           for r in rp_near_dup_pairs(df, threshold_i64=thr).collect()}
+    assert set(got) <= set(exact)
+    for pair, score in got.items():
+        assert score == exact[pair]  # scores are the exact fixed-point dot
+    # identical vectors always collide (every sign decision equal)
+    assert (0, 1) in got and (2, 3) in got
