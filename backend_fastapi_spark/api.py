@@ -77,10 +77,13 @@ class Engine:
         ``spark.sql`` statement over the registered ``embeddings`` view —
         array-literal query vector, codegen'd higher-order dot, no UDF."""
         vals = [float(x) for x in query_vec]
-        if not all(math.isfinite(x) for x in vals):
+        bad = next((i for i, x in enumerate(vals) if not math.isfinite(x)), None)
+        if bad is not None:
             # nan/inf render as bare SQL tokens that fail to resolve as
-            # columns — raise a clear input error instead
-            raise ValueError(f"query_vec must be finite, got {query_vec!r}")
+            # columns — raise a clear, constant-size input error instead
+            raise ValueError(
+                f"query_vec must be finite; element {bad} is {vals[bad]!r}"
+            )
         lit = "array(" + ", ".join(f"cast({x} as double)" for x in vals) + ")"
         return self.spark.sql(V.knn_sql_statement("embeddings", lit, k=k))
 

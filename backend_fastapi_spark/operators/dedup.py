@@ -222,7 +222,9 @@ def connected_components(
         {"edges": n_edges, "vertices": None, "rounds": 0,
          "changed_per_round": changed_hist, "mode": "distributed"}
     )
-    if n_edges <= driver_max_edges:
+    # driver_max_edges=0 disables the short-circuit entirely (tests use it
+    # to force the distributed loop, including on empty edge lists)
+    if 0 < driver_max_edges and n_edges <= driver_max_edges:
         return _cc_driver_union_find(e)
     both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (

@@ -144,22 +144,30 @@ def rp_near_dup_pairs(
             bits = bit if bits is None else bits + bit
         return bits
 
+    # Collision join carries IDS ONLY: a near-identical pair collides in
+    # most tables, so scoring inside the join would redo the 64-multiply
+    # dot per collision and shuffle the 64-long arrays t× per row. Dedup
+    # the (id_a, id_b) set first, then attach the quantized vectors once
+    # per unique pair and score once.
     keyed = base.select(
         "_id",
-        "_q",
         F.posexplode(F.array(*[bucket(t) for t in range(n_tables)])).alias(
             "t", "bucket"
         ),
     )
-    a = keyed.select(
-        F.col("_id").alias("id_a"), F.col("_q").alias("_qa"), "t", "bucket"
-    )
-    b = keyed.select(
-        F.col("_id").alias("id_b"), F.col("_q").alias("_qb"), "t", "bucket"
-    )
-    pairs = (
-        a.join(b, ["t", "bucket"])
+    pair_ids = (
+        keyed.select(F.col("_id").alias("id_a"), "t", "bucket")
+        .join(keyed.select(F.col("_id").alias("id_b"), "t", "bucket"),
+              ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = (
+        pair_ids.join(base.select(F.col("_id").alias("id_a"),
+                                  F.col("_q").alias("_qa")), "id_a")
+        .join(base.select(F.col("_id").alias("id_b"),
+                          F.col("_q").alias("_qb")), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -169,6 +177,5 @@ def rp_near_dup_pairs(
                 lambda acc, x: acc + x,
             ).alias("score_i64"),
         )
-        .distinct()
     )
-    return pairs.filter(F.col("score_i64") >= threshold_i64)
+    return scored.filter(F.col("score_i64") >= threshold_i64)

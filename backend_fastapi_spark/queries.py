@@ -1728,7 +1728,7 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH
     toks AS (
       SELECT doc_id, unnest(list_filter(
-               regexp_split_to_array(lower(text), '[ \t\n\r\x0b\x0c]+'),
+               string_split(lower(regexp_replace(text, '[^ -~]', ' ', 'g')), ' '),
                t -> t <> '')) AS tok
       FROM documents
       UNION ALL
@@ -1776,11 +1776,20 @@ def q_doc_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     embed, quantize, dot, top-k — is reproducible in SQL. The driver's
     hash row therefore certifies the V1 boundary itself (Arrow batching,
     float32 rounding, fixed-point scoring), not just the plumbing around
-    it. The production bge-m3 path stays non-oracle by nature."""
+    it. The production bge-m3 path stays non-oracle by nature.
+
+    Text is ASCII-sanitized ([^ -~] → space) IN BOTH ENGINES before
+    embedding: Python str.split() splits on Unicode whitespace (NBSP,
+    U+3000, NEL…) that no portable SQL regex class reproduces, so the
+    identity is pinned to a content-independent tokenization rather than
+    hoping regenerated testdata stays ASCII."""
     from backend_fastapi_spark.functions.embedder import hashing_embedder
 
     embed = hashing_embedder(dim=64)
-    docs = _t(spark, sf_dir, "documents").withColumn("embedding", embed("text"))
+    ascii_text = F.regexp_replace("text", "[^ -~]", " ")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "embedding", embed(ascii_text)
+    )
     qdf = (
         spark.createDataFrame([("q0", "vector search with spark")], ["q_id", "qtext"])
         .withColumn("q_embedding", embed("qtext"))
@@ -4251,7 +4260,11 @@ def _ordered_names() -> list[str]:
         fresh = green is not None and green >= _DATA_GEN_ROUND
         if green is not None and not fresh and n in _PRIORITY_REFRESH:
             return (0, _PRIORITY_REFRESH.index(n))
-        if green is None and REGISTRY[n].oracle is not None and n not in _ROWS_ONLY_EXERCISED:
+        # ANY oracle-bearing query without a green row queues at tier 1 —
+        # including one freshly promoted from rows-only (membership in
+        # _ROWS_ONLY_EXERCISED must never demote a new oracle past the
+        # sweep horizon).
+        if green is None and REGISTRY[n].oracle is not None:
             return (1, 0)
         if green is not None and not fresh:
             return (2, green)
@@ -4283,11 +4296,15 @@ def _write_emit_order(names: list[str]) -> None:
         "QUERY_EMIT_ORDER.json",
     )
     try:
-        with open(path, "w") as f:
+        # temp-file + rename: concurrent callers (driver sweep, bench,
+        # parallel tests) must never leave torn JSON in the artifact
+        tmp = f"{path}.{_os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             _json.dump(
                 {"data_gen_round": _DATA_GEN_ROUND,
                  "n_stale_green": sum(1 for r in rows if r["stale"]),
                  "order": rows}, f, indent=1)
+        _os.replace(tmp, path)
     except OSError:
         pass  # read-only checkout: the ordering itself is unaffected
 

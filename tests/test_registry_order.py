@@ -38,12 +38,13 @@ def test_priority_refresh_block_leads():
 
 
 def test_never_green_oracle_queries_precede_other_stale():
+    # tier 1 is ANY oracle-bearing query without a green row — including
+    # one promoted from rows-only (the set must not demote a new oracle)
     pos = _tiers()
     new = [
         n for n in Q.REGISTRY
         if Q._LAST_GREEN.get(n) is None
         and Q.REGISTRY[n].oracle is not None
-        and n not in Q._ROWS_ONLY_EXERCISED
     ]
     nonprio_stale = [
         n for n in Q.REGISTRY
@@ -85,7 +86,9 @@ def test_stale_greens_ordered_oldest_first_within_tier():
     assert rounds == sorted(rounds)
 
 
-def test_emit_order_sidecar_written(tmp_path):
+def test_emit_order_sidecar_written():
+    # regenerates the repo-root sidecar — deterministic given code state,
+    # so overwriting the committed copy is idempotent, not a side effect
     Q.queries()
     path = os.path.join(ROOT, "QUERY_EMIT_ORDER.json")
     data = json.load(open(path))
