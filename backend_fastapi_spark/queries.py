@@ -4111,8 +4111,9 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   tier 5 — greens hashed on the CURRENT data generation (re-run adds
 #            nothing).
 # Maintained by scripts/update_verified.py after each round's CORRECTNESS
-# file lands. queries() writes QUERY_EMIT_ORDER.json beside the package so
-# every round's artifact records which names sat beyond the sweep budget.
+# file lands. scripts/write_emit_order.py regenerates the committed
+# QUERY_EMIT_ORDER.json sidecar so every round's artifact records which
+# names sat beyond the sweep budget (tests pin committed == computed).
 
 # Testdata generation this map is judged against: bump when the driver
 # regenerates /root/testdata (greens from earlier rounds become stale).
@@ -4120,44 +4121,46 @@ _DATA_GEN_ROUND = 4
 
 # name -> round of most recent driver green-hash row (CORRECTNESS_r0N.json).
 _LAST_GREEN = {
-    "anchor_extraction": 2,
-    "ar_rollout_forecast": 1,
-    "asof_join_events_orders": 2,
-    "attribute_filter": 2,
+    "anchor_extraction": 5,
+    "ar_rollout_forecast": 5,
+    "asof_join_events_orders": 5,
+    "attribute_filter": 5,
     "brand_price_stats": 4,
     "branded_quantity_revenue": 3,
     "chunk_documents": 4,
-    "cohort_retention": 2,
-    "cube_status_priority": 1,
-    "customer_360": 2,
+    "cohort_retention": 5,
+    "cube_status_priority": 5,
+    "customer_360": 5,
     "customer_order_distribution": 3,
     "customers_with_orders": 4,
     "customers_without_orders": 4,
     "daily_value_by_type": 4,
-    "decontaminate_test_split": 2,
-    "dedup_canonical_corpus": 2,
+    "decontaminate_test_split": 5,
+    "dedup_canonical_corpus": 5,
     "dedup_min_event": 4,
-    "delete_keys_orders": 2,
-    "distinct_count_stats": 2,
+    "delete_keys_orders": 5,
+    "distinct_count_stats": 5,
     "diversified_docs": 4,
+    "doc_embed_knn": 5,
     "doc_fingerprint_groups": 4,
     "doc_template_assembly": 4,
-    "dup_clusters": 2,
+    "dup_clusters": 5,
     "dup_rate_by_source": 3,
     "embedding_near_dup": 4,
-    "events_burst_60s": 2,
+    "embedding_near_dup_rp": 5,
+    "events_burst_60s": 5,
     "exact_dup_groups": 4,
     "filtered_projection": 4,
     "forecast_revenue_change": 2,
-    "from_json_native": 2,
-    "funnel_conversion": 2,
-    "gopher_repetition_filter": 2,
-    "grocery_best_store": 2,
-    "grouping_sets_revenue": 2,
-    "html_strip": 2,
+    "from_json_native": 5,
+    "funnel_conversion": 5,
+    "gopher_repetition_filter": 5,
+    "grocery_best_store": 5,
+    "grouping_sets_revenue": 5,
+    "html_strip": 5,
     "idle_rich_customers": 3,
     "ingest_pipeline_chunks": 3,
-    "json_extract_stats": 1,
+    "json_extract_stats": 5,
     "keyword_or_filter": 4,
     "knn_batch_top5": 4,
     "knn_margin_topk": 4,
@@ -4169,64 +4172,65 @@ _LAST_GREEN = {
     "late_shipment_priority": 3,
     "minhash_lsh_candidates": 4,
     "minhash_verified_dupes": 4,
-    "minmax_rescale": 2,
+    "minmax_rescale": 5,
     "multi_key_sort": 4,
-    "multimodal_feature_stats": 2,
-    "next_order_asof_forward": 3,
+    "multimodal_feature_stats": 5,
+    "next_order_asof_forward": 5,
     "ngram_jaccard_dupes": 4,
     "null_normalization": 4,
     "order_status_histogram": 4,
     "orders_growth_mom": 3,
     "pack_docs_budget": 4,
     "pack_pretrain_sequences": 3,
-    "paginated_orders": 2,
-    "pct_change_daily": 2,
+    "paginated_orders": 5,
+    "pct_change_daily": 5,
     "per_customer_top3_orders": 4,
-    "percentile_stats": 2,
-    "pivot_priority_by_status": 1,
+    "percentile_stats": 5,
+    "pivot_priority_by_status": 5,
     "pricing_summary": 4,
     "promo_revenue_share": 2,
-    "rag_retrieval_batch": 1,
+    "rag_retrieval_batch": 5,
     "rag_retrieval_pipeline": 3,
+    "recursive_chunk_merge_oracle": 5,
     "region_revenue": 4,
     "returned_items_by_customer": 2,
-    "rewrite_chain": 2,
+    "rewrite_chain": 5,
     "rollup_region_nation": 4,
-    "salted_skew_sum": 2,
+    "salted_skew_sum": 5,
     "scalar_subquery_join": 4,
-    "session_window_native": 2,
-    "sessionize_events": 1,
+    "session_window_native": 5,
+    "sessionize_events": 5,
     "shipmode_priority_counts": 2,
-    "shipping_priority": 2,
-    "simhash_pairs": 2,
-    "sliding_window_counts": 1,
+    "shipping_priority": 5,
+    "simhash_pairs": 5,
+    "sliding_window_counts": 5,
     "small_quantity_revenue": 3,
-    "stratified_sample_langs": 2,
-    "supplier_balance_by_region": 2,
-    "tfidf_top_terms": 2,
+    "stratified_sample_langs": 5,
+    "supplier_balance_by_region": 5,
+    "tfidf_top_terms": 5,
     "token_stats": 4,
     "top_orders_recent": 4,
     "top_parts_by_region": 3,
     "top_supplier_revenue": 3,
-    "train_test_split_counts": 2,
+    "train_test_split_counts": 5,
     "ts_daily_resample": 4,
     "ts_forecast_metrics": 4,
     "ts_interpolated": 4,
-    "ts_last_valid_window": 2,
+    "ts_last_valid_window": 5,
     "ts_longest_run": 4,
     "ts_ratio_split": 4,
     "ts_seasonal_features": 4,
     "ts_sliding_windows": 4,
-    "tumbling_hourly_counts": 1,
+    "tumbling_hourly_counts": 5,
     "union_all_counts": 4,
-    "union_then_global_topn": 2,
-    "upsert_orders": 2,
+    "union_then_global_topn": 5,
+    "upsert_orders": 5,
     "user_context_star": 4,
-    "user_rapid_repeat_events": 3,
+    "user_rapid_repeat_events": 5,
     "vector_search_sql": 4,
-    "watermark_late_drop": 2,
-    "weighted_recommend_score": 2,
-    "weighted_sample_docs": 2,
+    "watermark_late_drop": 5,
+    "weighted_recommend_score": 5,
+    "weighted_sample_docs": 5,
 }
 
 # Stale greens to refresh FIRST, in this order — the 12-query events family
@@ -4278,41 +4282,44 @@ def _ordered_names() -> list[str]:
     return sorted(REGISTRY, key=key)
 
 
-def _write_emit_order(names: list[str]) -> None:
-    """Sidecar so each round's CORRECTNESS file self-describes its coverage
-    gap (VERDICT r04 directive #8): the driver sweeps a budget-capped
-    prefix of this list; everything past its horizon is recorded here."""
-    import json as _json
-    import os as _os
-
+def emit_order_doc() -> dict:
+    """The emit order as a JSON-able document — the content of the
+    committed QUERY_EMIT_ORDER.json sidecar (VERDICT r04 directive #8:
+    each round's CORRECTNESS file self-describes its coverage gap; the
+    driver sweeps a budget-capped prefix of this list)."""
     rows = [
         {"pos": i, "name": n, "last_green_round": _LAST_GREEN.get(n),
          "stale": _LAST_GREEN.get(n) is not None
          and _LAST_GREEN[n] < _DATA_GEN_ROUND}
-        for i, n in enumerate(names)
+        for i, n in enumerate(_ordered_names())
     ]
+    return {"data_gen_round": _DATA_GEN_ROUND,
+            "n_stale_green": sum(1 for r in rows if r["stale"]),
+            "order": rows}
+
+
+def write_emit_order() -> str:
+    """Regenerate the committed sidecar. Deliberately NOT called from
+    queries(): a plain accessor must not mutate the repo (ADVICE r05 #3);
+    tests/test_registry_order.py pins committed content == computed order
+    instead, so divergence is a test failure, not a silent drift."""
+    import json as _json
+    import os as _os
+
     path = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         "QUERY_EMIT_ORDER.json",
     )
-    try:
-        # temp-file + rename: concurrent callers (driver sweep, bench,
-        # parallel tests) must never leave torn JSON in the artifact
-        tmp = f"{path}.{_os.getpid()}.tmp"
-        with open(tmp, "w") as f:
-            _json.dump(
-                {"data_gen_round": _DATA_GEN_ROUND,
-                 "n_stale_green": sum(1 for r in rows if r["stale"]),
-                 "order": rows}, f, indent=1)
-        _os.replace(tmp, path)
-    except OSError:
-        pass  # read-only checkout: the ordering itself is unaffected
+    # temp-file + rename: a concurrent reader must never see torn JSON
+    tmp = f"{path}.{_os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(emit_order_doc(), f, indent=1)
+    _os.replace(tmp, path)
+    return path
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    names = _ordered_names()
-    _write_emit_order(names)
-    return {name: REGISTRY[name].fn for name in names}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:

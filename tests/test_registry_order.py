@@ -67,8 +67,8 @@ def test_stale_greens_precede_fresh_greens():
         n for n in Q.REGISTRY
         if Q._LAST_GREEN.get(n, 0) >= Q._DATA_GEN_ROUND
     ]
-    assert stale and fresh  # round-5 reality; drop if a round greens all
-    assert max(pos[n] for n in stale) < min(pos[n] for n in fresh)
+    if stale and fresh:  # vacuous once a round greens everything fresh
+        assert max(pos[n] for n in stale) < min(pos[n] for n in fresh)
 
 
 def test_stale_greens_ordered_oldest_first_within_tier():
@@ -86,15 +86,16 @@ def test_stale_greens_ordered_oldest_first_within_tier():
     assert rounds == sorted(rounds)
 
 
-def test_emit_order_sidecar_written():
-    # regenerates the repo-root sidecar — deterministic given code state,
-    # so overwriting the committed copy is idempotent, not a side effect
-    Q.queries()
+def test_emit_order_sidecar_matches_committed():
+    # queries() is a plain accessor (no repo writes — ADVICE r05 #3); the
+    # committed sidecar must equal the computed order, else someone edited
+    # ordering state without rerunning scripts/write_emit_order.py
     path = os.path.join(ROOT, "QUERY_EMIT_ORDER.json")
-    data = json.load(open(path))
-    assert data["data_gen_round"] == Q._DATA_GEN_ROUND
-    assert len(data["order"]) == len(Q.REGISTRY)
-    assert data["order"][0]["pos"] == 0
+    committed = json.load(open(path))
+    assert committed == Q.emit_order_doc()
+    assert committed["data_gen_round"] == Q._DATA_GEN_ROUND
+    assert len(committed["order"]) == len(Q.REGISTRY)
+    assert committed["order"][0]["pos"] == 0
 
 
 def test_update_verified_script_round_parsing():
