@@ -124,10 +124,22 @@ def ngram_jaccard_pairs(
     )
 
 
-# Instrumentation from the most recent connected_components() run in this
-# process (VERDICT r04 directive #3: a CC timing swing must be attributable
-# to data shape — edge count / round count — at a glance).
-LAST_CC_STATS: dict = {}
+# Instrumentation from the most recent connected_components() run in the
+# CURRENT THREAD (VERDICT r04 directive #3: a CC timing swing must be
+# attributable to data shape — edge count / round count — at a glance).
+# Thread-local rather than a plain module global so concurrent callers
+# (parallel tests, a multi-threaded driver) can't attribute another
+# thread's run to their own timed query (ADVICE r05 #1).
+import threading as _threading
+
+_CC_LOCAL = _threading.local()
+
+
+def last_cc_stats() -> dict:
+    """Stats dict {edges, vertices, rounds, changed_per_round, mode} from
+    the most recent connected_components() call on this thread ({} if
+    none). bench.py snapshots this right after timing a CC query."""
+    return getattr(_CC_LOCAL, "stats", {})
 
 # Edge-count ceiling for the driver-side union-find short-circuit: 100k
 # (id, id) longs ≈ 3 MB collected — trivially driver-safe, same guarded-
@@ -167,10 +179,27 @@ def _cc_driver_union_find(e: DataFrame) -> DataFrame:
         if r not in comp_min or v < comp_min[r]:
             comp_min[r] = v
     out = [(v, comp_min[find(v)]) for v in parent]
-    LAST_CC_STATS.update({"vertices": len(parent), "mode": "driver"})
+    _CC_LOCAL.stats.update({"vertices": len(parent), "mode": "driver"})
     from pyspark.sql import types as T
 
-    id_type = e.schema["a"].dataType
+    # Vertex ids mix values from BOTH edge columns; if their types differ
+    # (e.g. int vs bigint) the output must use the wider one — building
+    # from e.schema['a'] alone could silently coerce b-side ids
+    # (ADVICE r05 #2). Integer widths: widest wins; otherwise demand an
+    # exact match (the distributed path's unionByName has the same rule).
+    a_t, b_t = e.schema["a"].dataType, e.schema["b"].dataType
+    if a_t == b_t:
+        id_type = a_t
+    else:
+        _INT_WIDTH = {"byte": 1, "short": 2, "integer": 4, "long": 8}
+        an, bn = a_t.typeName(), b_t.typeName()
+        if an in _INT_WIDTH and bn in _INT_WIDTH:
+            id_type = a_t if _INT_WIDTH[an] >= _INT_WIDTH[bn] else b_t
+        else:
+            raise TypeError(
+                f"connected_components edge columns must share a type "
+                f"(or both be integers): got {a_t} vs {b_t}"
+            )
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
     )
@@ -204,11 +233,11 @@ def connected_components(
     distributed loop. Both produce the identical labeling (property-tested
     against each other).
 
-    After each call, ``LAST_CC_STATS`` holds {edges, vertices, rounds,
-    changed_per_round, mode} for the run. CC cost is data-shape-dependent
-    (rounds = component diameter, work/round ∝ edges), so a timing swing
-    with no code change must be attributable to these numbers — bench.py
-    embeds them in the BENCH json.
+    After each call, ``last_cc_stats()`` returns {edges, vertices, rounds,
+    changed_per_round, mode} for this thread's run. CC cost is data-shape-
+    dependent (rounds = component diameter, work/round ∝ edges), so a
+    timing swing with no code change must be attributable to these
+    numbers — bench.py embeds them in the BENCH context sidecar.
     """
     # Materialize the (possibly expensive) edge pipeline BEFORE mirroring:
     # the union references it twice, so an unmaterialized plan would
@@ -217,11 +246,11 @@ def connected_components(
     # e is checkpointed: this count reads materialized rows, no recompute.
     n_edges = e.count()
     changed_hist: list[int] = []
-    LAST_CC_STATS.clear()
-    LAST_CC_STATS.update(
-        {"edges": n_edges, "vertices": None, "rounds": 0,
-         "changed_per_round": changed_hist, "mode": "distributed"}
-    )
+    _CC_LOCAL.stats = {
+        "edges": n_edges, "vertices": None, "rounds": 0,
+        "changed_per_round": changed_hist, "mode": "distributed",
+    }
+    stats = _CC_LOCAL.stats
     # driver_max_edges=0 disables the short-circuit entirely (tests use it
     # to force the distributed loop, including on empty edge lists)
     if 0 < driver_max_edges and n_edges <= driver_max_edges:
@@ -257,8 +286,8 @@ def connected_components(
         ).first()
         labels = stepped.drop("_changed")
         changed_hist.append(int(changed or 0))
-        LAST_CC_STATS["rounds"] = len(changed_hist)
-        LAST_CC_STATS["vertices"] = n_vertices
+        stats["rounds"] = len(changed_hist)
+        stats["vertices"] = n_vertices
         if not changed:
             break
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))

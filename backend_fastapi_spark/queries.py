@@ -480,15 +480,18 @@ def q_dedup_min_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # CAST(list_sum AS BIGINT): DuckDB's list_sum yields DOUBLE; our sums stay
-# < 2^53 so the round-trip is exact.
+# < 2^53 so the round-trip is exact. The quantization scale is interpolated
+# from the operator's FIXED_SCALE constant (ADVICE r05 #4: a literal here
+# would silently desynchronize the oracle if the operator's scale changed).
+_Q = f"CAST(ROUND(CAST({{x}} AS DOUBLE)*{V.FIXED_SCALE}) AS BIGINT)"
 _DOT_I64_SQL = (
     "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-    "x -> CAST(ROUND(CAST(x[1] AS DOUBLE)*1000000) AS BIGINT) * CAST(ROUND(CAST(x[2] AS DOUBLE)*1000000) AS BIGINT))) AS BIGINT)"
+    f"x -> {_Q.format(x='x[1]')} * {_Q.format(x='x[2]')})) AS BIGINT)"
 )
 _L2_I64_SQL = (
     "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-    "x -> (CAST(ROUND(CAST(x[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(ROUND(CAST(x[2] AS DOUBLE)*1000000) AS BIGINT))"
-    " * (CAST(ROUND(CAST(x[1] AS DOUBLE)*1000000) AS BIGINT) - CAST(ROUND(CAST(x[2] AS DOUBLE)*1000000) AS BIGINT)))) AS BIGINT)"
+    f"x -> ({_Q.format(x='x[1]')} - {_Q.format(x='x[2]')})"
+    f" * ({_Q.format(x='x[1]')} - {_Q.format(x='x[2]')}))) AS BIGINT)"
 )
 
 
@@ -671,10 +674,12 @@ def _rp_oracle_sql(threshold_i64: int, dim=64, n_tables=4, n_planes=8) -> str:
         f"SELECT vec_id, qv, {t} AS t, ({bucket_expr(t)}) AS b FROM q"
         for t in range(n_tables)
     )
+    from backend_fastapi_spark.operators.vector import FIXED_SCALE
+
     return f"""
     WITH q AS (
       SELECT vec_id, list_transform(embedding,
-               x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+               x -> CAST(ROUND(CAST(x AS DOUBLE)*{FIXED_SCALE}) AS BIGINT)) AS qv
       FROM embeddings),
     keyed AS (
       {keyed}),
@@ -1757,10 +1762,7 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY d.doc_id),
     q AS (SELECT emb AS qemb FROM vecs WHERE doc_id = -1)
     SELECT 'q0' AS q_id, v.doc_id,
-           CAST(list_sum(list_transform(list_zip(v.emb, q.qemb),
-             x -> CAST(ROUND(CAST(x[1] AS DOUBLE)*1000000) AS BIGINT)
-                * CAST(ROUND(CAST(x[2] AS DOUBLE)*1000000) AS BIGINT)))
-             AS BIGINT) AS score_i64
+           """ + f"""{_DOT_I64_SQL.format(a='v.emb', b='q.qemb')} AS score_i64
     FROM vecs v, q WHERE v.doc_id <> -1
     ORDER BY score_i64 DESC, doc_id ASC LIMIT 10
     """,

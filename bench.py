@@ -1,19 +1,25 @@
 #!/usr/bin/env python
 """Headline benchmark: runs the engine's flagship queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line {"metric", "value", "unit", "queries", "sf", ...}.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Each query is executed to completion (count() forces the full plan; results
 stay distributed — no driver-side collect of payload rows).
 
-Besides timings the line carries the context needed to read a swing without
-re-running anything (VERDICT r04 directives #3/#7):
-  "data"          — per-table row/byte counts of the input dir, so a
-                    testdata regeneration is visible in the artifact;
-  "cardinalities" — result row count per timed query (candidate-pair and
-                    cluster counts are exactly these numbers);
-  "cc_stats"      — edge/round counts from connected_components for the
-                    queries that run it (cost ∝ edges × rounds).
+Output contract (VERDICT r05 directive #1 — the driver captures only the
+LAST ~2,000 chars of stdout, and round 5's everything-in-one-line artifact
+truncated past parseability):
+  - stdout, FINAL line: the compact headline object ONLY —
+    {"metric", "value", "unit", "queries", "sf"} (~1 KB, well under the
+    driver's tail window).
+  - sidecar BENCH_CONTEXT_r{N}.json (committed, repo root): everything
+    needed to read a swing without re-running — "data" (per-table
+    row/byte counts, makes a testdata regeneration visible),
+    "cardinalities" (result rows per timed query), "cc_stats"
+    (edges/rounds per connected-components query, cost ∝ edges × rounds),
+    "extra_queries" (corpus-pipeline set), and the optional "sf1_*"
+    10×-scale stanzas (VERDICT r05 directive #5).
+  N = 1 + max existing BENCH_r*.json round, i.e. the round whose BENCH
+  artifact the driver is about to write; override with $SPARK_GRAFT_ROUND.
 """
 
 from __future__ import annotations
@@ -109,11 +115,29 @@ def time_set(spark, names, sf_dir, runs, timings, cards, cc_stats, tag=""):
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         cards[name] = rows
-        if name in CC_QUERIES and D.LAST_CC_STATS:
+        # last_cc_stats() is thread-local: this snapshot is attributable
+        # to the query just timed on THIS thread (ADVICE r05 #1).
+        stats = D.last_cc_stats()
+        if name in CC_QUERIES and stats:
             cc_stats[name] = {
-                k: v for k, v in D.LAST_CC_STATS.items() if k != "changed_per_round"
-            } | {"changed_per_round": list(D.LAST_CC_STATS["changed_per_round"])}
+                k: v for k, v in stats.items() if k != "changed_per_round"
+            } | {"changed_per_round": list(stats["changed_per_round"])}
         print(f"# {tag}{name}: {timings[name]:.3f}s rows={rows}", file=sys.stderr)
+
+
+def bench_round() -> int:
+    """Round number for the context-sidecar filename: the BENCH_r{N}.json
+    the driver is about to write is one past the newest on disk."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r0*(\d+)\.json$", os.path.basename(p)))
+    ]
+    return max(rounds, default=0) + 1
 
 
 def main() -> None:
@@ -124,22 +148,13 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so timings measure the queries;
     # the data stanza doubles as the warmup pass.
-    data = data_stanza(spark, sf_dir)
+    context: dict = {"data": data_stanza(spark, sf_dir)}
 
     cards: dict[str, int] = {}
     cc_stats: dict[str, dict] = {}
 
     timings: dict[str, float] = {}
     time_set(spark, HEADLINE, sf_dir, 3, timings, cards, cc_stats)
-
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "data": data,
-    }
 
     # Each section stands alone: drop the shared substrate caches so a
     # section's timings never pay (or profit from) another section's
@@ -148,7 +163,7 @@ def main() -> None:
 
     extra: dict[str, float] = {}
     time_set(spark, EXTRA, sf_dir, 2, extra, cards, cc_stats, tag="extra ")
-    out["extra_queries"] = extra
+    context["extra_queries"] = extra
 
     # Optional 10x scale point (scripts/gen_scale.py output): one timed run
     # per query so sf-growth is recorded alongside the primary metric.
@@ -161,8 +176,8 @@ def main() -> None:
         sf1_timings: dict[str, float] = {}
         sf1_cards: dict[str, int] = {}
         time_set(spark, HEADLINE, sf1_dir, 2, sf1_timings, sf1_cards, sf1_cc, tag="sf1 ")
-        out["sf1_queries"] = sf1_timings
-        out["sf1_total"] = round(sum(sf1_timings.values()), 3)
+        context["sf1_queries"] = sf1_timings
+        context["sf1_total"] = round(sum(sf1_timings.values()), 3)
         spark.catalog.clearCache()
         sf1_extra: dict[str, float] = {}
         time_set(
@@ -173,15 +188,36 @@ def main() -> None:
              "events_burst_60s", "funnel_conversion", "next_order_asof_forward"],
             sf1_dir, 1, sf1_extra, sf1_cards, sf1_cc, tag="sf1-extra ",
         )
-        out["sf1_extra_queries"] = sf1_extra
-        out["sf1_cardinalities"] = sf1_cards
-        out["sf1_cc_stats"] = sf1_cc
-        out["sf1_data"] = data_stanza(spark, sf1_dir)
+        context["sf1_extra_queries"] = sf1_extra
+        context["sf1_cardinalities"] = sf1_cards
+        context["sf1_cc_stats"] = sf1_cc
+        context["sf1_data"] = data_stanza(spark, sf1_dir)
 
-    out["cardinalities"] = cards
-    out["cc_stats"] = cc_stats
+    context["cardinalities"] = cards
+    context["cc_stats"] = cc_stats
 
-    print(json.dumps(out))
+    headline = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Context goes to a committed sidecar, NOT the headline line: the
+    # driver tails only the last ~2,000 chars of stdout, and round 5's
+    # single fat line truncated to parsed:null (VERDICT r05 #1).
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_CONTEXT_r{bench_round():02d}.json",
+    )
+    with open(sidecar, "w") as f:
+        json.dump({"headline": headline, **context}, f, indent=1)
+    print(f"# context sidecar: {sidecar}", file=sys.stderr)
+
+    line = json.dumps(headline)
+    assert len(line) < 1900, f"headline line {len(line)} chars — tail window is 2000"
+    print(line)
 
 
 if __name__ == "__main__":

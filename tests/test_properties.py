@@ -278,7 +278,12 @@ def test_rp_pairs_subset_of_exact_with_precision_one(spark, seed):
         ["vec_id", "embedding"],
     )
     thr = int(0.9 * 1e12)
-    Q = np.round(M * 1e6).astype(np.int64)
+    # Sign-aware half-UP quantization to match Spark's round() (HALF_UP);
+    # np.round is banker's (half-even) and would diverge on exact-.5
+    # components — measure-zero for random normals but a latent flake
+    # under hypothesis seeds (ADVICE r05 #5).
+    X = M * 1e6
+    Q = (np.sign(X) * np.floor(np.abs(X) + 0.5)).astype(np.int64)
     S = Q @ Q.T
     iu = np.triu_indices(len(M), k=1)
     exact = {
