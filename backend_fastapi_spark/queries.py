@@ -361,14 +361,25 @@ def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1999-01-01')
     """,
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 anti-join (delete-path analog)."""
+    """J6 anti-join: customers with no order since 1999 (churn shape).
+    Every testdata customer has at least one order overall, so the
+    unfiltered anti-join was structurally empty and its green row
+    vacuous (same defect class as VERDICT r05 #3); the date-filtered
+    right side keeps the anti-join plan and yields 6/29/305 rows at
+    sf0.001/0.01/0.1."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return R.anti_join(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return R.anti_join(cust, recent, ["c_custkey"]).select("c_custkey", "c_name")
 
 
 # ---------------------------------------------------------------------------
@@ -783,13 +794,27 @@ def q_chunk_documents_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "exact_dup_groups",
     oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0)
     SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
-    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
     """,
 )
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via content-hash group-by."""
-    return D.exact_dup_groups(_t(spark, sf_dir, "documents"))
+    """Exact dedup via content-hash group-by. The synthetic corpus has no
+    exact text duplicates at any sf (probed in DuckDB), so dedup over the
+    raw table was a vacuous green (VERDICT r05 #3's defect class); the
+    input unions a deterministic re-ingested slice (every 97th doc under
+    new ids — the re-crawl scenario exact dedup exists for), giving the
+    group-by real collisions: 6 groups at sf0.01, 60 at sf0.1."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    reingested = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return D.exact_dup_groups(docs.unionByName(reingested))
 
 
 @register(
@@ -2226,18 +2251,22 @@ def q_ts_last_valid_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
     FROM part
     WHERE p_size BETWEEN 10 AND 30
-      AND lower(p_type) LIKE '%brass%'
-      AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+      AND lower(p_type) LIKE '%economy%'
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
     """,
 )
 def q_attribute_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 attribute filter over a dim table (RAM/GPU range + category +
-    keyword, routes.py:646-701)."""
+    keyword, routes.py:646-701). Predicates are tuned to the testdata
+    vocabulary (p_type ∈ {ECONOMY, SMALL, ...}, brands Brand#1..25) so
+    the conjunction selects real rows — the r2/r5 version matched the
+    oracle on an empty set, which certifies nothing (VERDICT r05 #3):
+    18 rows at sf0.01, 195 at sf0.1, ≥1 at sf0.001."""
     p = _t(spark, sf_dir, "part")
     return p.filter(
         F.col("p_size").between(10, 30)
-        & F.lower(F.col("p_type")).contains("brass")
-        & F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & F.lower(F.col("p_type")).contains("economy")
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
     ).select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
 
 
@@ -4126,7 +4155,6 @@ _LAST_GREEN = {
     "anchor_extraction": 5,
     "ar_rollout_forecast": 5,
     "asof_join_events_orders": 5,
-    "attribute_filter": 5,
     "brand_price_stats": 4,
     "branded_quantity_revenue": 3,
     "chunk_documents": 4,
@@ -4135,7 +4163,6 @@ _LAST_GREEN = {
     "customer_360": 5,
     "customer_order_distribution": 3,
     "customers_with_orders": 4,
-    "customers_without_orders": 4,
     "daily_value_by_type": 4,
     "decontaminate_test_split": 5,
     "dedup_canonical_corpus": 5,
@@ -4151,7 +4178,6 @@ _LAST_GREEN = {
     "embedding_near_dup": 4,
     "embedding_near_dup_rp": 5,
     "events_burst_60s": 5,
-    "exact_dup_groups": 4,
     "filtered_projection": 4,
     "forecast_revenue_change": 2,
     "from_json_native": 5,
