@@ -4121,6 +4121,76 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assigned, centroids, q, k=10, nprobe=4)
 
 
+def _ivf_det_oracle_sql(
+    n_queries: int = 3, k: int = 10, k_clusters: int = 16, nprobe: int = 2
+) -> str:
+    """DuckDB twin of ivf_deterministic_topk: md5-ranked medoid centroids,
+    int64 fixed-point distances, total tie-break orders — bit-identical to
+    the Spark plan at every step. Generated so the constants (and
+    FIXED_SCALE) can never desynchronize from the operator."""
+    from backend_fastapi_spark.operators.vector import FIXED_SCALE
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE)*{FIXED_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings),
+    med AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INTEGER) AS cluster,
+             qv AS cv
+      FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k_clusters}),
+    dist AS (
+      SELECT a.vec_id, m.cluster,
+             CAST(list_sum(list_transform(list_zip(a.qv, m.cv),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS d
+      FROM q a, med m),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist) WHERE rn = 1),
+    probe AS (
+      SELECT q_id, cluster FROM (
+        SELECT vec_id AS q_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.q_id, a.vec_id, a.cluster,
+             CAST(list_sum(list_transform(list_zip(qq.qv, vv.qv),
+               x -> x[1]*x[2])) AS BIGINT) AS score_i64
+      FROM assign a
+      JOIN probe p USING (cluster)
+      JOIN q qq ON qq.vec_id = p.q_id
+      JOIN q vv ON vv.vec_id = a.vec_id
+      WHERE a.vec_id <> p.q_id)
+    SELECT q_id, vec_id, cluster, score_i64 FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score_i64 DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= {k}
+    """
+
+
+@register("ann_ivf_deterministic", oracle=_ivf_det_oracle_sql())
+def q_ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/V3: IVF search with a DETERMINISTIC coarse quantizer — the
+    RP-LSH trick (embedding_near_dup_rp) applied to the IVF probe path
+    (VERDICT r05 directive #4). Medoid centroids selected by md5(vec_id)
+    rank, every distance in int64 fixed-point, so the coarse assignment,
+    the nprobe probe, and the pruned re-rank are all hash-checked by the
+    driver end to end. ann_ivf_top10 stays the MLlib-KMeans production
+    path (rows-only by JVM-RNG nature); this twin certifies the same plan
+    shape: argmin-assign -> probe -> re-rank only probed lists."""
+    from backend_fastapi_spark.operators.ivf import ivf_deterministic_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_deterministic_topk(
+        emb, _query_vectors(spark, sf_dir, 3), k=10, k_clusters=16, nprobe=2
+    )
+
+
 # Driver-evidence bookkeeping. The driver walks the registry in emitted
 # order and budget-caps how many queries it checks per round (~50 slots),
 # so order by how much a fresh driver row is worth. Round-4 lesson: a

@@ -70,6 +70,7 @@ EXTRA = [
     "dup_clusters",
     "dedup_canonical_corpus",
     "embedding_near_dup_rp",
+    "ann_ivf_deterministic",
     "decontaminate_test_split",
     "gopher_repetition_filter",
     "train_test_split_counts",

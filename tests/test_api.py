@@ -61,6 +61,48 @@ def test_ivf_recall_vs_exact(spark):
     assert {r.vec_id for r in full} == exact_ids
 
 
+def test_ivf_deterministic_degrades_to_exact_and_is_stable(spark):
+    """The hash-checkable IVF twin (deterministic medoid quantizer): at
+    nprobe = k_clusters it must equal exact kNN (same ids AND the same
+    fixed-point scores knn_exact computes); at nprobe=2 recall stays
+    sane; and two invocations are bit-identical (no hidden RNG)."""
+    from backend_fastapi_spark.operators.ivf import ivf_deterministic_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = V.knn_exact(emb, queries, k=10).collect()
+    exact_ids: dict = {}
+    for r in exact:
+        exact_ids.setdefault(r.q_id, set()).add(r.vec_id)
+    exact_scores = {(r.q_id, r.vec_id): r.score_i64 for r in exact}
+
+    full = ivf_deterministic_topk(
+        emb, queries, k=10, k_clusters=8, nprobe=8
+    ).collect()
+    full_ids: dict = {}
+    for r in full:
+        full_ids.setdefault(r.q_id, set()).add(r.vec_id)
+        assert r.score_i64 == exact_scores[(r.q_id, r.vec_id)]
+    assert full_ids == exact_ids
+
+    pruned = ivf_deterministic_topk(
+        emb, queries, k=10, k_clusters=8, nprobe=2
+    ).collect()
+    by_q: dict = {}
+    for r in pruned:
+        by_q.setdefault(r.q_id, set()).add(r.vec_id)
+    for q_id, ids in by_q.items():
+        recall = len(ids & exact_ids[q_id]) / 10
+        assert recall >= 0.4, f"q{q_id} deterministic-IVF recall {recall}"
+
+    again = ivf_deterministic_topk(
+        emb, queries, k=10, k_clusters=8, nprobe=2
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in pruned}
+
+
 def test_engine_corpus_report_and_clusters(spark):
     from backend_fastapi_spark.api import Engine
 
