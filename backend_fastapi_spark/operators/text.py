@@ -124,3 +124,41 @@ def pack_by_budget(
             F.when(fits, F.col(clip_col)).otherwise(remaining).cast("long"),
         )
     return out.drop("_cum")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 6) — the standard corpus-prep redaction pass
+# (emails / URLs / phone numbers → typed placeholder tokens) a
+# training-data pipeline runs before tokenization. Not in the reference
+# (its corpus never leaves the DB); patterns kept to the regex subset
+# whose semantics are identical in Java regex (Spark) and RE2 (DuckDB),
+# so the whole pass is oracle-checkable. Scrub order is URL → EMAIL →
+# PHONE: URLs may embed @ or digit runs, so they must leave the text
+# first; the remaining two cannot overlap.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    # (kind, pattern) in scrub order. Conservative on purpose: a corpus
+    # scrubber wants high precision (no mangled prose) — recall comes
+    # from adding patterns, not loosening these.
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``scrubbed`` (text with each PII span replaced by
+    ``<URL>``/``<EMAIL>``/``<PHONE>``) and per-kind match counts
+    ``n_url``/``n_email``/``n_phone`` (counted on the ORIGINAL text, so
+    counts are independent of scrub order). Pure regexp_replace /
+    regexp_extract_all column expressions — whole-stage codegen, no UDF,
+    embarrassingly parallel at any corpus size."""
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn("scrubbed", scrubbed)

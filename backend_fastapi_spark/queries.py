@@ -3069,6 +3069,99 @@ def q_gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic PII planting for pii_scrub_stats: the synthetic corpus
+# contains no emails/URLs/phone numbers (DuckDB probe: 0 matches for all
+# three patterns at every sf), so scrubbing the raw table would be a
+# vacuous green. The query plants id-derived PII on deterministic subsets
+# in BOTH engines — the redaction machinery, not the corpus, is what the
+# hash certifies (same honesty pattern as exact_dup_groups' re-ingest
+# slice).
+_PII_PLANT_SQL = """
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' see https://docs.example.com/d/' || CAST(doc_id AS VARCHAR)
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN ' call 010-1234-5678' ELSE '' END AS text
+      FROM documents"""
+
+
+def _pii_oracle_sql() -> str:
+    from backend_fastapi_spark.operators.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    repl = "planted.text"
+    # same scrub order as the operator: URL -> EMAIL -> PHONE
+    for kind, _ in PII_PATTERNS:
+        repl = f"regexp_replace({repl}, '{pats[kind]}', '<{kind.upper()}>', 'g')"
+    counts = ",\n             ".join(
+        f"len(regexp_extract_all(planted.text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS
+    )
+    return f"""
+    WITH planted AS ({_PII_PLANT_SQL}),
+    scrubbed AS (
+      SELECT source,
+             {counts},
+             {repl} AS s
+      FROM planted)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_url) AS BIGINT) AS n_url,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(length(s)) AS BIGINT) AS chars_after
+    FROM scrubbed GROUP BY source
+    """
+
+
+@register("pii_scrub_stats", oracle=_pii_oracle_sql())
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII redaction pass (operators/text.py::scrub_pii): plant
+    deterministic emails/URLs/phones (see _PII_PLANT_SQL), scrub with the
+    shared Java/RE2-compatible patterns, and report per-source match
+    counts plus the post-scrub char total — the char total certifies the
+    REPLACEMENTS (not just the counts) are byte-identical across engines.
+    Pure regexp column expressions: codegen'd, no UDF, one groupBy
+    shuffle on the 20-value source key."""
+    from backend_fastapi_spark.operators.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" see https://docs.example.com/d/"),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call 010-1234-5678"))
+            .otherwise(""),
+        ).alias("text"),
+    )
+    return (
+        scrub_pii(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_url").alias("n_url"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_phone").alias("n_phone"),
+            F.sum(F.length("scrubbed")).alias("chars_after"),
+        )
+    )
+
+
 @register(
     "dup_clusters",
     oracle=f"""

@@ -123,3 +123,26 @@ def test_diversify_round_robin_order(spark):
     # round 1: best of each group by sim desc (b .95, a .9, c .5),
     # round 2: second of each group (a .8, b .6)
     assert [r.id for r in got] == [4, 1, 6, 2, 5]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@corp.example.org today"),
+        (2, "docs at https://a.example.com/x?q=1 and http://b.io/y"),
+        (3, "call 010-1234-5678 or 02-555-1234 maybe"),  # 2nd: 2-digit area, no match
+        (4, "plain text, nothing to scrub"),
+        (5, "https://e.com/u?m=bob@x.io mixed"),  # email inside URL: URL wins
+    ]
+    from backend_fastapi_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r for r in scrub_pii(df).collect()}
+    assert got[1].scrubbed == "mail me at <EMAIL> today"
+    assert (got[1].n_email, got[1].n_url, got[1].n_phone) == (1, 0, 0)
+    assert got[2].scrubbed == "docs at <URL> and <URL>"
+    assert got[2].n_url == 2
+    assert got[3].scrubbed == "call <PHONE> or 02-555-1234 maybe"
+    assert got[3].n_phone == 1
+    assert got[4].scrubbed == got[4].text and got[4].n_email == 0
+    # URL scrubbed first, so the embedded email never survives to match
+    assert got[5].scrubbed == "<URL> mixed"
