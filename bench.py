@@ -71,6 +71,7 @@ EXTRA = [
     "dedup_canonical_corpus",
     "embedding_near_dup_rp",
     "ann_ivf_deterministic",
+    "pii_scrub_stats",
     "decontaminate_test_split",
     "gopher_repetition_filter",
     "train_test_split_counts",

@@ -298,3 +298,35 @@ def test_rp_pairs_subset_of_exact_with_precision_one(spark, seed):
         assert score == exact[pair]  # scores are the exact fixed-point dot
     # identical vectors always collide (every sign decision equal)
     assert (0, 1) in got and (2, 3) in got
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["plain words here", "x@y.org", "https://h.example/p q",
+             "010-123-4567", "123-4567-8901", "a.b@c.d.co", "no pii at all"]
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_scrub_pii_matches_python_re_reference(spark, parts):
+    """Engine parity for the PII scrubber: Spark regexp_replace (Java
+    regex) must equal Python re.sub for the restricted pattern subset —
+    the same compatibility claim the DuckDB oracle relies on (RE2). Also
+    pins the invariant that a scrubbed text contains no residual
+    matches."""
+    import re
+
+    from backend_fastapi_spark.operators.text import PII_PATTERNS, scrub_pii
+
+    text = " ".join(parts)
+    expected = text
+    for kind, pat in PII_PATTERNS:
+        expected = re.sub(pat, f"<{kind.upper()}>", expected)
+    row = scrub_pii(spark.createDataFrame([(text,)], ["text"])).head()
+    assert row.scrubbed == expected
+    for kind, pat in PII_PATTERNS:
+        assert not re.search(pat, row.scrubbed)
+        assert getattr(row, f"n_{kind}") == len(re.findall(pat, text))
