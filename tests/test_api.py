@@ -178,3 +178,24 @@ def test_engine_knn_sql_rejects_non_finite(spark):
     for bad in [float("nan"), float("inf"), float("-inf")]:
         with _pytest.raises(ValueError, match="finite"):
             eng.knn_sql([1.0, bad, 0.5])
+
+
+def test_ivf_deterministic_small_corpus_edges(spark):
+    """k_clusters larger than the corpus: medoids = whole corpus, every
+    vector its own cluster neighborhood — search still returns exact
+    results; empty query side returns empty."""
+    from backend_fastapi_spark.operators.ivf import (
+        deterministic_medoids,
+        ivf_deterministic_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(5)
+    med = deterministic_medoids(emb, k_clusters=16)
+    assert len(med) == 5  # bounded by corpus size
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = ivf_deterministic_topk(emb, queries, k=10, k_clusters=16, nprobe=16)
+    assert 0 < got.count() <= 4  # self excluded
+    empty_q = queries.filter("q_id < -1")
+    assert ivf_deterministic_topk(emb, empty_q, k=5).count() == 0
