@@ -192,3 +192,28 @@ class Engine:
             F.lit("minhash_lsh").alias("method"), F.count(F.lit(1)).alias("n_groups")
         )
         return exact.unionByName(jac).unionByName(lsh)
+
+    def scrub(self, df: DataFrame | None = None, text_col: str = "text") -> DataFrame:
+        """Corpus PII redaction (operators/text.py::scrub_pii): returns the
+        input (default: the documents table) with ``scrubbed`` +
+        per-kind match counts — the pass a training pipeline runs before
+        tokenization."""
+        from backend_fastapi_spark.operators.text import scrub_pii
+
+        return scrub_pii(df if df is not None else self.table("documents"),
+                         text_col)
+
+    def pii_report(self, text_col: str = "text") -> DataFrame:
+        """Per-source PII incidence: doc counts + email/URL/phone match
+        totals over the documents table. Zeroes on a clean corpus — the
+        point of the report is proving it."""
+        return (
+            self.scrub(text_col=text_col)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_url").alias("n_url"),
+                F.sum("n_email").alias("n_email"),
+                F.sum("n_phone").alias("n_phone"),
+            )
+        )

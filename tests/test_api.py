@@ -199,3 +199,15 @@ def test_ivf_deterministic_small_corpus_edges(spark):
     assert 0 < got.count() <= 4  # self excluded
     empty_q = queries.filter("q_id < -1")
     assert ivf_deterministic_topk(emb, empty_q, k=5).count() == 0
+
+
+def test_engine_scrub_and_pii_report(spark):
+    eng = Engine.open(spark, SF_ORACLE)
+    row = eng.scrub(
+        spark.createDataFrame([("reach me: a@b.co",)], ["text"])
+    ).head()
+    assert row.scrubbed == "reach me: <EMAIL>" and row.n_email == 1
+    rep = eng.pii_report().collect()
+    assert len(rep) == 20  # one row per source
+    # synthetic corpus is PII-free — the report proves it
+    assert all(r.n_url == 0 and r.n_email == 0 and r.n_phone == 0 for r in rep)
