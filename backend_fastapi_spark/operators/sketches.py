@@ -1,0 +1,193 @@
+"""Deterministic, hash-checkable sketches — HyperLogLog and Count-Min.
+
+SURVEY §2 lists sketch aggregations as the 100 TB answer to distinct
+counts and heavy hitters (reference analog: the stats surfaces in
+src/services/db_llm_service.py aggregate over full tables; at scale those
+become sketches). Spark's builtins (approx_count_distinct /
+count_min_sketch) are engine-specific — their estimates can't be
+reproduced in another engine, so they can only ever be rows-only
+evidence (`approx_sketch_stats`). These twins extend the round-5
+deterministic-oracle pattern (md5-derived parameters + pure integer
+arithmetic, see operators/lsh.py rp_lsh) to sketches: every hash bit
+comes from md5, every register update and estimate is int64 arithmetic,
+so DuckDB reproduces the sketch BIT-FOR-BIT and the driver hash-checks
+bucketing, registers, and estimates — the first oracle-green sketches.
+
+Scale posture (both sketches):
+- ONE shuffle with map-side combine. HLL partials are ≤ m rows per
+  (group, partition); CMS partials are ≤ d·w rows per partition — the
+  classic mergeable-summary property, expressed as a plain groupBy so
+  Catalyst plans the partial/final aggregate split itself.
+- No exact-distinct shuffle of the raw keys, no global sort. The
+  estimate step runs over ≤ m (resp. d·w) rows — driver-scale constants.
+- CMS keyside join: the counter table (d·w rows) is broadcast, so the
+  per-key probe is shuffle-free.
+
+Determinism rules (so the DuckDB oracle hash-matches):
+- hash = first 8 hex chars of md5(CAST(key AS STRING)) parsed base-16 —
+  a 32-bit value; identical strings on both engines.
+- HLL rho via integer bit-length (length(bin(w))), never float log2.
+- 2^k via integer shiftleft, never POWER() doubles.
+- Estimates via int64 multiply + floor division (DIV / //), never
+  double division; alpha is a parts-per-million integer constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- HyperLogLog (p=8 -> m=256 registers, ~6.5% std error) ------------
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_W_BITS = 32 - HLL_P  # 24-bit remainder
+HLL_W_MOD = 1 << HLL_W_BITS  # 16777216
+HLL_RHO_MAX = HLL_W_BITS + 1  # 25: rho when the remainder is all zeros
+# alpha_256 = 0.7213 / (1 + 1.079/256), scaled to parts-per-million.
+HLL_ALPHA_PPM = 718271
+# E = alpha * m^2 / sum(2^-M_j).  With reg_sum = sum(2^(RHO_MAX - M_j))
+# (an exact int64: each term is a shift), sum(2^-M_j) = reg_sum / 2^RHO_MAX
+# so E = HLL_NUMER / reg_sum / 1e6 with the all-integer numerator below
+# (1.58e18 — fits int64 with 5.8x headroom).
+HLL_NUMER = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+
+# --- Count-Min (d=4 rows x w=256 buckets, eps ~ e/256, delta ~ e^-4) --
+CMS_D = 4
+CMS_W = 256
+
+
+def _h32(col):
+    """First 32 bits of md5(string col) as a BIGINT — the shared
+    deterministic hash (same idiom as the DuckDB oracle's
+    CAST('0x'||substr(md5(x),1,8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hll_sketch(df: DataFrame, key_col: str, label: str) -> DataFrame:
+    """One-row DataFrame (src, n_rows, v_zero, reg_sum, hll_est): the
+    deterministic-HLL distinct-count estimate of ``key_col``.
+
+    Register update is groupBy(bucket).max(rho); absent buckets (register
+    0) contribute 2^RHO_MAX each to reg_sum, added arithmetically from
+    the present-bucket count — the 256-slot register array is never
+    materialized dense.
+    """
+    h = df.select(_h32(F.col(key_col).cast("string")).alias("hv")).select(
+        F.shiftright(F.col("hv"), HLL_W_BITS).alias("bucket"),
+        (F.col("hv") % F.lit(HLL_W_MOD)).alias("w"),
+    )
+    # rho = leading zeros in the 24-bit remainder + 1 = 25 - bitlen(w).
+    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        h.select(F.col("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"), F.count(F.lit(1)).alias("n_in_bucket"))
+    )
+    agg = regs.agg(
+        F.sum("n_in_bucket").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_j)")).alias(
+            "present_sum"
+        ),
+    )
+    return agg.select(
+        F.lit(label).alias("src"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("v_zero"),
+        (
+            F.col("present_sum")
+            + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << HLL_RHO_MAX)
+        )
+        .cast("long")
+        .alias("reg_sum"),
+    ).withColumn(
+        "hll_est",
+        F.expr(f"CAST({HLL_NUMER} AS BIGINT) DIV reg_sum DIV 1000000"),
+    )
+
+
+def hll_oracle_sql(table: str, key_expr: str, label: str) -> str:
+    """DuckDB twin of hll_sketch — generated from the same constants so
+    the two can never desynchronize."""
+    return f"""
+    SELECT '{label}' AS src,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+           CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+           CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j))
+                + ({HLL_M} - COUNT(*)) * CAST({1 << HLL_RHO_MAX} AS BIGINT)
+                AS BIGINT) AS reg_sum,
+           CAST({HLL_NUMER} AS BIGINT)
+             // CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j))
+                     + ({HLL_M} - COUNT(*)) * CAST({1 << HLL_RHO_MAX} AS BIGINT)
+                     AS BIGINT)
+             // 1000000 AS hll_est
+    FROM (
+      SELECT bucket,
+             MAX(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
+                      ELSE {HLL_RHO_MAX} - length(bin(w)) END) AS m_j
+      FROM (
+        SELECT hv // {HLL_W_MOD} AS bucket, hv % {HLL_W_MOD} AS w
+        FROM (
+          SELECT CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS hv
+          FROM {table})
+      ) GROUP BY bucket
+    )
+    """
+
+
+def cms_topk(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Count-Min heavy hitters: (key, est_count) for the top-``k`` keys by
+    CMS-estimated frequency (ties broken by key ascending).
+
+    Shape: explode each row into CMS_D (row, bucket) updates, ONE
+    groupBy((i, bucket)) with map-side combine -> the d·w counter table;
+    the distinct-key probe joins that table broadcast, takes min over the
+    d rows, and top-k's the result. The counter table is O(d·w) rows
+    regardless of input size — the whole reduction is one shuffle.
+    """
+    rows = F.array(*[F.lit(i) for i in range(CMS_D)])
+    key_s = F.col(key_col).cast("string")
+    bucketed = df.select(
+        key_s.alias("key"), F.explode(rows).alias("i")
+    ).select(
+        "key",
+        "i",
+        (
+            _h32(F.concat(F.col("key"), F.lit("#"), F.col("i").cast("string")))
+            % F.lit(CMS_W)
+        ).alias("bucket"),
+    )
+    counters = bucketed.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probes = bucketed.select("key", "i", "bucket").distinct()
+    est = (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.orderBy(F.col("est_count").desc(), F.col("key").asc()).limit(k)
+
+
+def cms_oracle_sql(table: str, key_expr: str, k: int = 20) -> str:
+    """DuckDB twin of cms_topk — same md5 buckets, same min-over-rows."""
+    return f"""
+    WITH b AS (
+      SELECT CAST({key_expr} AS VARCHAR) AS key, i.i,
+             CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)
+                                       || '#' || CAST(i.i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {CMS_W} AS bucket
+      FROM {table}, (SELECT unnest(range({CMS_D})) AS i) i),
+    counters AS (
+      SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY i, bucket),
+    probes AS (SELECT DISTINCT key, i, bucket FROM b)
+    SELECT p.key, MIN(c.cnt) AS est_count
+    FROM probes p JOIN counters c USING (i, bucket)
+    GROUP BY p.key
+    ORDER BY est_count DESC, key ASC
+    LIMIT {k}
+    """

@@ -26,6 +26,7 @@ from backend_fastapi_spark.operators import relational as R
 from backend_fastapi_spark.operators import vector as V
 from backend_fastapi_spark.operators import text as TX
 from backend_fastapi_spark.operators import dedup as D
+from backend_fastapi_spark.operators import sketches as SK
 from backend_fastapi_spark.sources.parquet import read_table
 
 
@@ -4282,6 +4283,52 @@ def q_ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_deterministic_topk(
         emb, _query_vectors(spark, sf_dir, 3), k=10, k_clusters=16, nprobe=2
     )
+
+
+def _hll_det_oracle_sql() -> str:
+    return (
+        SK.hll_oracle_sql("orders", "o_orderkey", "orders.o_orderkey")
+        + " UNION ALL "
+        + SK.hll_oracle_sql("lineitem", "l_orderkey", "lineitem.l_orderkey")
+        + " ORDER BY src"
+    )
+
+
+@register("hll_distinct_deterministic", oracle=_hll_det_oracle_sql())
+def q_hll_distinct_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch (m=256 registers,
+    md5 hashing, pure int64 register/estimate arithmetic) over two
+    distinct-count shapes: orders.o_orderkey (all-unique) and
+    lineitem.l_orderkey (~4x fan-in dedup). The hash-checkable twin of
+    approx_sketch_stats's approx_count_distinct (which stays the
+    engine-native production path): registers, zero-count, and estimate
+    are all driver hash-verified — the first oracle-green sketch.
+    Accuracy vs exact is bounded in tests/test_sketches.py."""
+    from backend_fastapi_spark.operators.sketches import hll_sketch
+
+    o = hll_sketch(_t(spark, sf_dir, "orders"), "o_orderkey", "orders.o_orderkey")
+    li = hll_sketch(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"
+    )
+    return o.unionByName(li).orderBy("src")
+
+
+@register(
+    "cms_heavy_users_deterministic",
+    oracle=SK.cms_oracle_sql("events", "user_id", 20),
+)
+def q_cms_heavy_users_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Count-Min heavy hitters (d=4 x w=256, md5 row-hashes)
+    over events.user_id: top-20 users by CMS-estimated event count with a
+    total (est DESC, key ASC) tie-break. The counter table is one
+    map-side-combined shuffle to d*w=1024 rows; the per-key probe joins it
+    broadcast. Estimates are integers, so the sketch — buckets, counters,
+    min-over-rows, and ranking — is reproduced bit-for-bit by the DuckDB
+    oracle. CMS >= exact (one-sided error) is property-tested in
+    tests/test_sketches.py."""
+    from backend_fastapi_spark.operators.sketches import cms_topk
+
+    return cms_topk(_t(spark, sf_dir, "events"), "user_id", k=20)
 
 
 # Driver-evidence bookkeeping. The driver walks the registry in emitted

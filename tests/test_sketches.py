@@ -1,0 +1,122 @@
+"""Deterministic-sketch evidence beyond the driver's hash check.
+
+The oracle parity test (test_oracle_parity.py) proves Spark == DuckDB;
+these tests prove the sketches are also *correct as sketches*:
+- an engine-independent pure-Python reference (hashlib.md5 + integer
+  arithmetic) reproduces the HLL registers and estimate exactly, so a
+  shared Spark/DuckDB bug can't hide behind the parity check;
+- accuracy bounds vs exact answers (HLL within its m=256 error regime,
+  CMS one-sided overestimate);
+- conservation invariants (each CMS counter row sums to n_rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark.operators import sketches as SK
+from tests.conftest import SF_SMOKE
+
+
+def _py_hll(keys) -> tuple[int, int, int]:
+    """Pure-Python deterministic HLL: (v_zero, reg_sum, est)."""
+    regs: dict[int, int] = {}
+    for k in keys:
+        hv = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        bucket, w = hv >> SK.HLL_W_BITS, hv % SK.HLL_W_MOD
+        rho = SK.HLL_RHO_MAX if w == 0 else SK.HLL_RHO_MAX - w.bit_length()
+        if rho > regs.get(bucket, 0):
+            regs[bucket] = rho
+    v_zero = SK.HLL_M - len(regs)
+    reg_sum = sum(1 << (SK.HLL_RHO_MAX - m) for m in regs.values()) + v_zero * (
+        1 << SK.HLL_RHO_MAX
+    )
+    return v_zero, reg_sum, SK.HLL_NUMER // reg_sum // 1_000_000
+
+
+def test_hll_matches_pure_python_reference(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    row = SK.hll_sketch(df, "o_orderkey", "o").collect()[0]
+    keys = [r[0] for r in df.select("o_orderkey").collect()]
+    v_zero, reg_sum, est = _py_hll(keys)
+    assert (row["v_zero"], row["reg_sum"], row["hll_est"]) == (v_zero, reg_sum, est)
+    assert row["n_rows"] == len(keys)
+
+
+def test_hll_estimate_accuracy(spark):
+    # m=256 -> ~6.5% std error; assert a generous 3-sigma-ish bound in
+    # the raw-estimator regime (n >> 2.5m), which the chosen inputs are in.
+    for table, col in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+        df = spark.read.parquet(f"{SF_SMOKE}/{table}.parquet")
+        exact = df.select(col).distinct().count()
+        assert exact > int(2.5 * SK.HLL_M)
+        est = SK.hll_sketch(df, col, "x").collect()[0]["hll_est"]
+        assert abs(est - exact) / exact < 0.20, (table, col, est, exact)
+
+
+def test_hll_insensitive_to_duplication_and_order(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select("o_orderkey")
+    base = SK.hll_sketch(df, "o_orderkey", "x").collect()[0]
+    doubled = SK.hll_sketch(
+        df.unionAll(df.orderBy(F.col("o_orderkey").desc())), "o_orderkey", "x"
+    ).collect()[0]
+    assert (base["v_zero"], base["reg_sum"], base["hll_est"]) == (
+        doubled["v_zero"],
+        doubled["reg_sum"],
+        doubled["hll_est"],
+    )
+    assert doubled["n_rows"] == 2 * base["n_rows"]
+
+
+def test_cms_overestimates_and_conserves_mass(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_rows = ev.count()
+    exact = {
+        str(r["user_id"]): r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    top = SK.cms_topk(ev, "user_id", k=20).collect()
+    assert len(top) == min(20, len(exact))
+    for r in top:
+        # CMS error is one-sided: est >= exact, always.
+        assert r["est_count"] >= exact[r["key"]], r
+        # ...and bounded: est - exact <= sum of colliding keys < n_rows.
+        assert r["est_count"] <= n_rows
+    # ranking is by estimate with a total tie-break
+    ranks = [(-r["est_count"], r["key"]) for r in top]
+    assert ranks == sorted(ranks)
+
+
+def test_cms_counter_rows_each_conserve_total(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_rows = ev.count()
+    rows = F.array(*[F.lit(i) for i in range(SK.CMS_D)])
+    bucketed = ev.select(
+        F.col("user_id").cast("string").alias("key"), F.explode(rows).alias("i")
+    ).select(
+        "i",
+        (
+            SK._h32(F.concat(F.col("key"), F.lit("#"), F.col("i").cast("string")))
+            % F.lit(SK.CMS_W)
+        ).alias("bucket"),
+    )
+    per_row = (
+        bucketed.groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("i")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    )
+    assert len(per_row) == SK.CMS_D
+    for r in per_row:
+        assert r["total"] == n_rows
+
+
+@pytest.mark.parametrize("w,expect_rho", [(0, 25), (1, 24), (2, 23), (3, 23)])
+def test_rho_bitlength_identity(w, expect_rho):
+    # rho = 25 - bitlength(w) (w > 0), matching both engines' length(bin()).
+    rho = SK.HLL_RHO_MAX if w == 0 else SK.HLL_RHO_MAX - w.bit_length()
+    assert rho == expect_rho
