@@ -4285,6 +4285,31 @@ def q_ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle_sql() -> str:
+    from backend_fastapi_spark.operators.pq import pq_oracle_sql
+
+    return pq_oracle_sql(n_queries=3, k=10, rerank=50)
+
+
+@register("ann_pq_adc_top10", oracle=_pq_oracle_sql())
+def q_ann_pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/V3 third index family: product quantization with ADC search and
+    exact re-rank (operators/pq.py) — the memory-compression path a
+    100 TB corpus needs (8 × 4-bit codes = 4 B/vector, 128× smaller than
+    the raw doubles; reference store is a flat index, PQ is the standard
+    FAISS step beyond it). md5-medoid codebooks + int64 arithmetic make
+    codebooks, codes, ADC sums, and both rankings hash-checkable — the
+    deterministic-oracle pattern's third application after RP-LSH and
+    IVF. Encode is a zero-shuffle Arrow matmul scan; ADC scoring is a
+    numpy table-gather per batch; the only search shuffle is the final
+    per-query top-k window. Recall vs exact kNN bounded in
+    tests/test_pq.py."""
+    from backend_fastapi_spark.operators.pq import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, _query_vectors(spark, sf_dir, 3), k=10, rerank=50)
+
+
 def _hll_det_oracle_sql() -> str:
     return (
         SK.hll_oracle_sql("orders", "o_orderkey", "orders.o_orderkey")

@@ -71,6 +71,9 @@ EXTRA = [
     "dedup_canonical_corpus",
     "embedding_near_dup_rp",
     "ann_ivf_deterministic",
+    "ann_pq_adc_top10",
+    "hll_distinct_deterministic",
+    "cms_heavy_users_deterministic",
     "pii_scrub_stats",
     "decontaminate_test_split",
     "gopher_repetition_filter",
