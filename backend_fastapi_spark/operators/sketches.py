@@ -21,7 +21,11 @@ Scale posture (both sketches):
 - No exact-distinct shuffle of the raw keys, no global sort. The
   estimate step runs over ≤ m (resp. d·w) rows — driver-scale constants.
 - CMS keyside join: the counter table (d·w rows) is broadcast, so the
-  per-key probe is shuffle-free.
+  per-key probe join is shuffle-free; enumerating probe keys costs one
+  distinct over (key, row, bucket) — map-side partial dedup means that
+  exchange carries at most (distinct keys per partition)·d rows, the
+  candidate-set cost every batch heavy-hitter report pays, not a
+  raw-row shuffle.
 
 Determinism rules (so the DuckDB oracle hash-matches):
 - hash = first 8 hex chars of md5(CAST(key AS STRING)) parsed base-16 —
@@ -170,6 +174,99 @@ def cms_topk(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
         .agg(F.min("cnt").alias("est_count"))
     )
     return est.orderBy(F.col("est_count").desc(), F.col("key").asc()).limit(k)
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    k: int = 1024,
+    qs: list[tuple[str, int, int]] = (
+        ("p10", 1, 10),
+        ("p25", 1, 4),
+        ("p50", 1, 2),
+        ("p75", 3, 4),
+        ("p90", 9, 10),
+    ),
+) -> DataFrame:
+    """(q, est_value): quantile estimates from a bottom-k (KMV-style)
+    md5-rank sample — the third mergeable sketch beside HLL and CMS.
+
+    The sample is the ``k`` rows whose (md5(key), key) sorts first: a
+    uniform, ORDER-INDEPENDENT, mergeable sample (union two sketches,
+    re-take bottom-k) with no RNG state — the same md5-rank idiom as the
+    corpus-pipeline samplers. orderBy().limit(k) compiles to
+    TakeOrderedAndProject (map-side top-k + driver merge, no global sort
+    shuffle). The estimate is element selection, not interpolation: the
+    sample folds through a scalar sort_array(collect_list(...)) aggregate
+    (k rows -> one array — the bounded-global-scan shape the plan-audit
+    gate allows) and each quantile picks index (n-1)*num/den + 1 with
+    pure integer arithmetic, so the emitted value is a RAW input double —
+    bit-exact in any engine. Rank error is O(1/sqrt(k)) ~ 3% at k=1024
+    (bounded in tests/test_sketches.py).
+    """
+    sample = df.select(
+        F.col(val_col).cast("double").alias("_v"),
+        F.col(key_col).alias("_k"),
+        F.md5(F.col(key_col).cast("string")).alias("_h"),
+    ).orderBy("_h", "_k").limit(k)
+    agg = sample.agg(
+        F.sort_array(F.collect_list(F.struct("_v", "_k"))).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    picks = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("q"),
+                F.element_at(
+                    F.col("arr"),
+                    (
+                        F.expr(f"CAST((n - 1) * {num} AS BIGINT) DIV {den}")
+                        + F.lit(1)
+                    ).cast("int"),
+                )["_v"].alias("est_value"),
+            )
+            for label, num, den in qs
+        ]
+    )
+    return (
+        agg.select(F.explode(picks).alias("p"))
+        .select(F.col("p.q").alias("q"), F.col("p.est_value").alias("est_value"))
+        .orderBy("q")
+    )
+
+
+def bottomk_oracle_sql(
+    table: str,
+    key_expr: str,
+    val_expr: str,
+    k: int = 1024,
+    qs: list[tuple[str, int, int]] = (
+        ("p10", 1, 10),
+        ("p25", 1, 4),
+        ("p50", 1, 2),
+        ("p75", 3, 4),
+        ("p90", 9, 10),
+    ),
+) -> str:
+    """DuckDB twin of bottomk_quantiles: same md5-rank sample, same
+    integer index arithmetic, same raw-double emission."""
+    spec = ", ".join(f"('{label}', {num}, {den})" for label, num, den in qs)
+    return f"""
+    WITH s AS (
+      SELECT CAST({val_expr} AS DOUBLE) AS v, {key_expr} AS k
+      FROM {table}
+      ORDER BY md5(CAST({key_expr} AS VARCHAR)), {key_expr}
+      LIMIT {k}),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v, k) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s),
+    spec(q, num, den) AS (VALUES {spec})
+    SELECT spec.q, r.v AS est_value
+    FROM r JOIN spec ON r.rn = (r.n - 1) * spec.num // spec.den + 1
+    ORDER BY spec.q
+    """
 
 
 def cms_oracle_sql(table: str, key_expr: str, k: int = 20) -> str:

@@ -4339,6 +4339,25 @@ def q_hll_distinct_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bottomk_sample_quantiles",
+    oracle=SK.bottomk_oracle_sql("orders", "o_orderkey", "o_totalprice"),
+)
+def q_bottomk_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third deterministic sketch: bottom-k (KMV-style) md5-rank sample
+    quantiles of o_totalprice — the mergeable, order-independent,
+    RNG-free estimate of the distribution (the scale answer where
+    percentile_stats' exact per-group sort is the small-data answer, and
+    approx_percentile's GK sketch the engine-native one). The sample is
+    TakeOrderedAndProject (map-side top-k, no global sort shuffle);
+    estimates are raw input doubles picked by integer index, so DuckDB
+    reproduces them bit-for-bit. Rank-error ≲ 3% at k=1024, bounded in
+    tests/test_sketches.py."""
+    return SK.bottomk_quantiles(
+        _t(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
     "cms_heavy_users_deterministic",
     oracle=SK.cms_oracle_sql("events", "user_id", 20),
 )

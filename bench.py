@@ -74,6 +74,7 @@ EXTRA = [
     "ann_pq_adc_top10",
     "hll_distinct_deterministic",
     "cms_heavy_users_deterministic",
+    "bottomk_sample_quantiles",
     "pii_scrub_stats",
     "decontaminate_test_split",
     "gopher_repetition_filter",

@@ -115,6 +115,56 @@ def test_cms_counter_rows_each_conserve_total(spark):
         assert r["total"] == n_rows
 
 
+def test_bottomk_quantiles_rank_error_bounded(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n = df.count()
+    vals = sorted(r[0] for r in df.select("o_totalprice").collect())
+    est = {
+        r["q"]: r["est_value"]
+        for r in SK.bottomk_quantiles(df, "o_orderkey", "o_totalprice").collect()
+    }
+    targets = {"p10": 0.10, "p25": 0.25, "p50": 0.50, "p75": 0.75, "p90": 0.90}
+    import bisect
+
+    for label, q in targets.items():
+        # rank of the estimate in the TRUE distribution must sit within
+        # ~4/sqrt(k) of q (k=1024 -> 12.5pp; typical error is ~1-3pp)
+        rank = bisect.bisect_left(vals, est[label]) / n
+        assert abs(rank - q) < 0.125, (label, est[label], rank, q)
+    # every estimate is a raw input value, not an interpolation
+    sv = set(vals)
+    assert all(v in sv for v in est.values())
+
+
+def test_bottomk_sample_is_mergeable(spark):
+    # bottom-k of a union == bottom-k of (bottom-k(A) ∪ bottom-k(B)):
+    # the defining property that lets partial sketches merge at scale.
+    df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    a = df.filter(F.col("o_orderkey") % 2 == 0)
+    b = df.filter(F.col("o_orderkey") % 2 == 1)
+
+    def bottom(d, k=64):
+        return (
+            d.select(
+                F.col("o_orderkey").alias("k"),
+                F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+            )
+            .orderBy("h", "k")
+            .limit(k)
+        )
+
+    full = [r["k"] for r in bottom(df).collect()]
+    merged = [
+        r["k"]
+        for r in bottom(a, 64)
+        .unionAll(bottom(b, 64))
+        .orderBy("h", "k")
+        .limit(64)
+        .collect()
+    ]
+    assert full == merged
+
+
 @pytest.mark.parametrize("w,expect_rho", [(0, 25), (1, 24), (2, 23), (3, 23)])
 def test_rho_bitlength_identity(w, expect_rho):
     # rho = 25 - bitlength(w) (w > 0), matching both engines' length(bin()).
