@@ -212,6 +212,242 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    k_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVF + PQ + ADC + exact re-rank — the composed production-ANN shape
+    (FAISS ``IVFx,PQy``): the coarse quantizer prunes each query's
+    candidate set to ``nprobe``/``k_clusters`` of the corpus, ADC scores
+    only those candidates from their 4-byte codes, and the ADC
+    top-``rerank`` re-rank by exact int64 dot.
+
+    Returns (q_id, id_col, cluster, adc_d2, score_i64) top-``k`` per
+    query by exact dot (self excluded; ties (score DESC, id)).
+
+    Fusion: coarse assignment, PQ encoding, the per-query probe mask,
+    and the ADC table gather all run inside ONE mapInPandas over ONE
+    corpus scan — the coarse centroids, PQ codebooks, probe lists, and
+    distance tables are all small driver-side arrays (md5-medoid
+    selection + guarded |Q|-row query collect) closed over by the
+    scorer. Nothing shuffles until the ADC top-``rerank`` window, which
+    WindowGroupLimit bounds to ~rerank rows per query per partition.
+    Raw vectors are read exactly twice (index scan + broadcast-pruned
+    re-rank scan); at 100 TB the second scan is itself prunable when the
+    corpus is stored partitioned by cluster (write_ivf_index's layout).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    med = deterministic_medoids(df, k_clusters, id_col, vec_col)
+    C = np.array([cv for _, cv in med], dtype=np.int64)  # (kc, dim)
+    c_sq = (C * C).sum(axis=1)
+    cb = pq_codebooks(df, id_col, vec_col)
+    cb_sq = (cb * cb).sum(axis=2)
+
+    q_rows = (
+        queries.select(
+            F.col("q_id"), _quantize(F.col("q_embedding")).alias("_pq")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk collects the query side; got > {max_queries} rows"
+        )
+    q_ids = np.array([r["q_id"] for r in q_rows])
+    Qv = np.array([r["_pq"] for r in q_rows], dtype=np.int64)
+    # probe lists: nprobe nearest coarse centroids per query, (d², cluster)
+    # tie-break = np.argsort on the compound key via stable sort on cluster
+    # index after primary d² (lexsort: last key is primary).
+    qd2 = (Qv * Qv).sum(axis=1, keepdims=True) - 2 * (Qv @ C.T) + c_sq
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]  # ties → lower cluster
+    Qs = Qv.reshape(len(Qv), M_SUB, SUB_DIM)
+    dt = (
+        (Qs * Qs).sum(axis=2)[:, :, None]
+        - 2 * np.einsum("qsd,skd->qsk", Qs, cb)
+        + cb_sq[None, :, :]
+    )
+
+    base = df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_qv"))
+    id_field = base.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType(), False),
+            T.StructField(id_field.name, id_field.dataType, False),
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("adc_d2", T.LongType(), False),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            X = np.stack(pdf["_qv"].to_numpy()).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            # coarse assign (first-min argmin = (d², cluster) tie-break)
+            d2c = (X * X).sum(axis=1, keepdims=True) - 2 * (X @ C.T) + c_sq
+            clusters = d2c.argmin(axis=1)
+            # PQ encode
+            Xs = X.reshape(len(X), M_SUB, SUB_DIM)
+            codes = np.empty((len(X), M_SUB), dtype=np.int64)
+            for s in range(M_SUB):
+                d2 = (
+                    (Xs[:, s] * Xs[:, s]).sum(axis=1, keepdims=True)
+                    - 2 * (Xs[:, s] @ cb[s].T)
+                    + cb_sq[s]
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            for qi in range(len(q_ids)):
+                mask = np.isin(clusters, probes[qi]) & (ids != q_ids[qi])
+                if not mask.any():
+                    continue
+                adc = dt[qi][np.arange(M_SUB)[None, :], codes[mask]].sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.full(mask.sum(), q_ids[qi]),
+                        id_col: ids[mask],
+                        "cluster": clusters[mask].astype("int32"),
+                        "adc_d2": adc.astype(np.int64),
+                    }
+                )
+
+    scored = base.mapInPandas(score, schema=out_schema)
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.col("adc_d2").asc(), F.col(id_col).asc()
+    )
+    cands = (
+        scored.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= rerank)
+        .drop("_rn")
+    )
+    corpus_q = df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_cv"))
+    q_lit = queries.select(
+        F.col("q_id"), _quantize(F.col("q_embedding")).alias("_pq")
+    )
+    reranked = (
+        corpus_q.join(F.broadcast(cands), id_col)
+        .join(F.broadcast(q_lit), "q_id")
+        .select(
+            "q_id",
+            id_col,
+            "cluster",
+            "adc_d2",
+            F.aggregate(
+                F.zip_with("_cv", "_pq", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score_i64"),
+        )
+    )
+    w_final = Window.partitionBy("q_id").orderBy(
+        F.col("score_i64").desc(), F.col(id_col).asc()
+    )
+    return (
+        reranked.withColumn("_rn", F.row_number().over(w_final))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col, "cluster", "adc_d2", "score_i64")
+    )
+
+
+def ivfpq_oracle_sql(
+    n_queries: int = 3,
+    k: int = 10,
+    rerank: int = 50,
+    k_clusters: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of ivfpq_topk: md5-medoid coarse quantizer + PQ
+    encode + probe-masked ADC + exact re-rank, all int64."""
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)"
+    )
+    dot = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> x[1]*x[2])) AS BIGINT)"
+    )
+    sub_a = f"list_slice(a.qv, cb.s*{SUB_DIM}+1, cb.s*{SUB_DIM}+{SUB_DIM})"
+    sub_p = f"list_slice(p.qv, cb.s*{SUB_DIM}+1, cb.s*{SUB_DIM}+{SUB_DIM})"
+    return f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE)*{FIXED_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings),
+    med AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INTEGER) AS cluster,
+             qv AS cv
+      FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k_clusters}),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT a.vec_id, m.cluster,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {d2.format(a='a.qv', b='m.cv')},
+                                           m.cluster) AS rn
+        FROM q a, med m) WHERE rn = 1),
+    probe AS (
+      SELECT q_id, cluster FROM (
+        SELECT p.vec_id AS q_id, m.cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {d2.format(a='p.qv', b='m.cv')},
+                                           m.cluster) AS rn
+        FROM q p, med m WHERE p.vec_id < {n_queries}) WHERE rn <= {nprobe}),
+    sub AS (SELECT unnest(range({M_SUB})) AS s),
+    cb AS (
+      SELECT sub.s, med.cluster AS c,
+             list_slice(med.cv, sub.s*{SUB_DIM}+1, sub.s*{SUB_DIM}+{SUB_DIM}) AS sv
+      FROM med, sub),
+    enc AS (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT a.vec_id, cb.s, cb.c,
+               row_number() OVER (PARTITION BY a.vec_id, cb.s
+                                  ORDER BY {d2.format(a=sub_a, b='cb.sv')},
+                                           cb.c) AS rn
+        FROM q a, cb) WHERE rn = 1),
+    dt AS (
+      SELECT p.vec_id AS q_id, cb.s, cb.c,
+             {d2.format(a=sub_p, b='cb.sv')} AS d
+      FROM q p, cb WHERE p.vec_id < {n_queries}),
+    adc AS (
+      SELECT dt.q_id, e.vec_id, asg.cluster,
+             CAST(SUM(dt.d) AS BIGINT) AS adc_d2
+      FROM enc e
+      JOIN assign asg ON asg.vec_id = e.vec_id
+      JOIN probe pr ON pr.cluster = asg.cluster
+      JOIN dt ON dt.q_id = pr.q_id AND dt.s = e.s AND dt.c = e.code
+      WHERE e.vec_id <> dt.q_id
+      GROUP BY dt.q_id, e.vec_id, asg.cluster),
+    cand AS (
+      SELECT q_id, vec_id, cluster, adc_d2 FROM (
+        SELECT q_id, vec_id, cluster, adc_d2,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+        FROM adc) WHERE rn <= {rerank}),
+    rr AS (
+      SELECT c.q_id, c.vec_id, c.cluster, c.adc_d2,
+             {dot.format(a='v.qv', b='p.qv')} AS score_i64
+      FROM cand c
+      JOIN q v ON v.vec_id = c.vec_id
+      JOIN q p ON p.vec_id = c.q_id)
+    SELECT q_id, vec_id, cluster, adc_d2, score_i64 FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score_i64 DESC, vec_id ASC) AS rn
+      FROM rr) WHERE rn <= {k}
+    ORDER BY q_id, score_i64 DESC, vec_id
+    """
+
+
 def pq_oracle_sql(n_queries: int = 3, k: int = 10, rerank: int = 50) -> str:
     """DuckDB twin of pq_adc_topk over the ``embeddings`` view — codebook
     selection, per-subspace encoding, ADC sums, and both rankings in the

@@ -4310,6 +4310,33 @@ def q_ann_pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, _query_vectors(spark, sf_dir, 3), k=10, rerank=50)
 
 
+def _ivfpq_oracle_sql() -> str:
+    from backend_fastapi_spark.operators.pq import ivfpq_oracle_sql
+
+    return ivfpq_oracle_sql(n_queries=3, k=10, rerank=50, k_clusters=16, nprobe=4)
+
+
+@register("ann_ivfpq_top10", oracle=_ivfpq_oracle_sql())
+def q_ann_ivfpq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/V3 composed production-ANN shape (FAISS IVF16,PQ8): coarse
+    quantizer prunes to nprobe/k_clusters of the corpus, ADC scores only
+    those candidates from their 4-byte PQ codes, exact int64-dot re-rank
+    on the ADC top-50. Coarse assign + PQ encode + probe mask + ADC
+    gather are FUSED in one mapInPandas over one corpus scan — nothing
+    shuffles until the bounded candidate window. Deterministic
+    throughout (md5 medoids, int64 fixed-point), so the entire composed
+    index — assignment, probing, codes, ADC sums, both rankings — is
+    driver hash-checked. Recall vs exact kNN and prune accounting in
+    tests/test_pq.py."""
+    from backend_fastapi_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, _query_vectors(spark, sf_dir, 3), k=10, rerank=50,
+        k_clusters=16, nprobe=4,
+    )
+
+
 def _hll_det_oracle_sql() -> str:
     return (
         SK.hll_oracle_sql("orders", "o_orderkey", "orders.o_orderkey")

@@ -73,3 +73,50 @@ def test_pq_rerank_scores_are_true_dots(spark, emb):
 def test_pq_query_collect_guard(spark, emb):
     with pytest.raises(ValueError, match="query side"):
         PQ.pq_adc_topk(emb, _queries(emb, 100), k=3, max_queries=10)
+
+
+def test_ivfpq_recall_and_prune_accounting(spark, emb):
+    n = emb.count()
+    k_clusters, nprobe = 16, 4
+    out = PQ.ivfpq_topk(
+        emb, _queries(emb, 5), k=10, rerank=50,
+        k_clusters=k_clusters, nprobe=nprobe,
+    )
+    rows = out.collect()
+    exact = knn_exact(emb, _queries(emb, 5), k=10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    # two stacked approximations (IVF prune x untrained PQ codebooks):
+    # modest bar, the claim under test is the composition machinery
+    assert recall >= 0.3, f"IVFPQ recall too low: {recall}"
+    # prune accounting: every hit comes from a probed cluster, and the
+    # probed fraction of the corpus really is a strict subset
+    from backend_fastapi_spark.operators.ivf import deterministic_medoids
+    import numpy as np
+
+    med = deterministic_medoids(emb, k_clusters)
+    C = np.array([cv for _, cv in med], dtype=np.int64)
+    raw = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in raw])
+    X = np.array([r["embedding"] for r in raw], dtype=np.float64)
+    Q = (np.sign(X) * np.floor(np.abs(X) * 1e6 + 0.5)).astype(np.int64)
+    d2 = (Q * Q).sum(axis=1, keepdims=True) - 2 * (Q @ C.T) + (C * C).sum(axis=1)
+    cluster_of = dict(zip(ids.tolist(), d2.argmin(axis=1).tolist()))
+    for r in rows:
+        assert r["cluster"] == cluster_of[r["vec_id"]]
+    probed_sizes = np.bincount(d2.argmin(axis=1), minlength=k_clusters)
+    # nprobe/k_clusters pruning leaves strictly less than the corpus
+    assert probed_sizes.sum() == n and (probed_sizes > 0).sum() > nprobe
+
+
+def test_ivfpq_nprobe_full_recovers_pq_results(spark, emb):
+    # with nprobe = k_clusters nothing is pruned, so IVFPQ == PQ-only
+    # on the shared (codes, ADC, re-rank) machinery
+    full = PQ.ivfpq_topk(
+        emb, _queries(emb, 3), k=10, rerank=50, k_clusters=16, nprobe=16
+    )
+    pq_only = PQ.pq_adc_topk(emb, _queries(emb, 3), k=10, rerank=50)
+    f = [(r["q_id"], r["vec_id"], r["score_i64"]) for r in full.collect()]
+    p = [(r["q_id"], r["vec_id"], r["score_i64"]) for r in pq_only.collect()]
+    assert sorted(f) == sorted(p)
