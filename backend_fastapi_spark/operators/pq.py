@@ -44,17 +44,40 @@ M_SUB = 8  # subspaces
 SUB_DIM = 8  # dims per subspace (64-dim vectors)
 K_CODES = 16  # codebook entries per subspace
 
+# Shared int64 DuckDB arithmetic snippets — single definition so the two
+# PQ oracles (and any future one) can never drift from each other.
+D2_I64_SQL = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)"
+)
+DOT_I64_SQL = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> x[1]*x[2])) AS BIGINT)"
+)
+
 
 def pq_codebooks(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    medoids=None,
 ):
     """(M_SUB, K_CODES, SUB_DIM) int64 codebook tensor: the K_CODES
     md5-ranked medoid vectors (same deterministic selection as
-    ivf.deterministic_medoids — ONE bounded collect shared with the IVF
-    coarse quantizer when both indexes are built), sliced per subspace."""
+    ivf.deterministic_medoids), sliced per subspace. Pass ``medoids``
+    (≥ K_CODES already-collected (cluster, qv) pairs) to reuse a collect
+    an IVF build already paid for — the md5 ranking is prefix-stable, so
+    the first K_CODES entries of a longer medoid list ARE this
+    codebook's vectors."""
     import numpy as np
 
-    med = deterministic_medoids(df, K_CODES, id_col, vec_col)
+    med = (
+        medoids[:K_CODES]
+        if medoids is not None
+        else deterministic_medoids(df, K_CODES, id_col, vec_col)
+    )
+    if len(med) < K_CODES:
+        raise ValueError(f"need {K_CODES} medoids, got {len(med)}")
     C = np.array([cv for _, cv in med], dtype=np.int64)  # (K, dim)
     return C.reshape(K_CODES, M_SUB, SUB_DIM).transpose(1, 0, 2).copy()
 
@@ -247,10 +270,13 @@ def ivfpq_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    med = deterministic_medoids(df, k_clusters, id_col, vec_col)
-    C = np.array([cv for _, cv in med], dtype=np.int64)  # (kc, dim)
+    # ONE bounded corpus collect serves both quantizers: md5 ranking is
+    # prefix-stable, so coarse centroids = first k_clusters medoids and
+    # PQ codebooks = first K_CODES of the same list.
+    med_all = deterministic_medoids(df, max(k_clusters, K_CODES), id_col, vec_col)
+    C = np.array([cv for _, cv in med_all[:k_clusters]], dtype=np.int64)
     c_sq = (C * C).sum(axis=1)
-    cb = pq_codebooks(df, id_col, vec_col)
+    cb = pq_codebooks(df, id_col, vec_col, medoids=med_all)
     cb_sq = (cb * cb).sum(axis=2)
 
     q_rows = (
@@ -366,15 +392,12 @@ def ivfpq_oracle_sql(
     nprobe: int = 4,
 ) -> str:
     """DuckDB twin of ivfpq_topk: md5-medoid coarse quantizer + PQ
-    encode + probe-masked ADC + exact re-rank, all int64."""
-    d2 = (
-        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-        "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)"
-    )
-    dot = (
-        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-        "x -> x[1]*x[2])) AS BIGINT)"
-    )
+    encode + probe-masked ADC + exact re-rank, all int64. The coarse
+    quantizer (``med``, k_clusters entries) and the PQ codebook source
+    (``pqmed``, K_CODES entries) are SEPARATE prefixes of the same md5
+    ranking — exactly like the implementation, so the oracle stays
+    faithful for any k_clusters, not just k_clusters == K_CODES."""
+    d2, dot = D2_I64_SQL, DOT_I64_SQL
     sub_a = f"list_slice(a.qv, cb.s*{SUB_DIM}+1, cb.s*{SUB_DIM}+{SUB_DIM})"
     sub_p = f"list_slice(p.qv, cb.s*{SUB_DIM}+1, cb.s*{SUB_DIM}+{SUB_DIM})"
     return f"""
@@ -389,6 +412,13 @@ def ivfpq_oracle_sql(
       FROM q
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
       LIMIT {k_clusters}),
+    pqmed AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INTEGER) AS cluster,
+             qv AS cv
+      FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {K_CODES}),
     assign AS (
       SELECT vec_id, cluster FROM (
         SELECT a.vec_id, m.cluster,
@@ -405,9 +435,9 @@ def ivfpq_oracle_sql(
         FROM q p, med m WHERE p.vec_id < {n_queries}) WHERE rn <= {nprobe}),
     sub AS (SELECT unnest(range({M_SUB})) AS s),
     cb AS (
-      SELECT sub.s, med.cluster AS c,
-             list_slice(med.cv, sub.s*{SUB_DIM}+1, sub.s*{SUB_DIM}+{SUB_DIM}) AS sv
-      FROM med, sub),
+      SELECT sub.s, pqmed.cluster AS c,
+             list_slice(pqmed.cv, sub.s*{SUB_DIM}+1, sub.s*{SUB_DIM}+{SUB_DIM}) AS sv
+      FROM pqmed, sub),
     enc AS (
       SELECT vec_id, s, c AS code FROM (
         SELECT a.vec_id, cb.s, cb.c,
@@ -453,14 +483,7 @@ def pq_oracle_sql(n_queries: int = 3, k: int = 10, rerank: int = 50) -> str:
     selection, per-subspace encoding, ADC sums, and both rankings in the
     same int64 arithmetic. Generated from the module constants (and
     FIXED_SCALE) so oracle and operator can never desynchronize."""
-    d2 = (
-        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-        "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)"
-    )
-    dot = (
-        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
-        "x -> x[1]*x[2])) AS BIGINT)"
-    )
+    d2, dot = D2_I64_SQL, DOT_I64_SQL
     return f"""
     WITH q AS (
       SELECT vec_id, list_transform(embedding,

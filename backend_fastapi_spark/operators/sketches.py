@@ -54,6 +54,19 @@ HLL_ALPHA_PPM = 718271
 # so E = HLL_NUMER / reg_sum / 1e6 with the all-integer numerator below
 # (1.58e18 — fits int64 with 5.8x headroom).
 HLL_NUMER = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+# Small-range (linear-counting) correction: when the raw estimate is
+# ≤ 2.5m and zero registers remain, the standard HLL answer is
+# m·ln(m/V). ln is the one step that could diverge between engines'
+# libm, so it is PRECOMPUTED here — V ranges over 1..m-1, giving a
+# 255-entry integer table emitted as a literal lookup in BOTH the Spark
+# plan and the DuckDB oracle (single source of truth, zero runtime
+# floats). Computed once at import from Python's math.log.
+HLL_LC_CUT = 5 * HLL_M // 2  # 2.5m with m divisible by 2
+import math as _math
+
+HLL_LC_TABLE = [
+    int(round(HLL_M * _math.log(HLL_M / v))) for v in range(1, HLL_M)
+]  # HLL_LC_TABLE[V-1] = round(m * ln(m / V))
 
 # --- Count-Min (d=4 rows x w=256 buckets, eps ~ e/256, delta ~ e^-4) --
 CMS_D = 4
@@ -74,7 +87,11 @@ def hll_sketch(df: DataFrame, key_col: str, label: str) -> DataFrame:
     Register update is groupBy(bucket).max(rho); absent buckets (register
     0) contribute 2^RHO_MAX each to reg_sum, added arithmetically from
     the present-bucket count — the 256-slot register array is never
-    materialized dense.
+    materialized dense. Full estimator: the raw harmonic-mean estimate
+    above ~2.5m, the linear-counting correction m*ln(m/V) below it
+    (via the precomputed integer HLL_LC_TABLE — engine-float-free), 0
+    on empty input; accuracy in both regimes is bounded in
+    tests/test_sketches.py.
     """
     h = df.select(_h32(F.col(key_col).cast("string")).alias("hv")).select(
         F.shiftright(F.col("hv"), HLL_W_BITS).alias("bucket"),
@@ -96,48 +113,69 @@ def hll_sketch(df: DataFrame, key_col: str, label: str) -> DataFrame:
             "present_sum"
         ),
     )
-    return agg.select(
-        F.lit(label).alias("src"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("v_zero"),
-        (
-            F.col("present_sum")
-            + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << HLL_RHO_MAX)
+    lc = F.element_at(
+        F.array(*[F.lit(x).cast("long") for x in HLL_LC_TABLE]),
+        F.col("v_zero").cast("int"),
+    )
+    raw = F.expr(f"CAST({HLL_NUMER} AS BIGINT) DIV reg_sum DIV 1000000")
+    return (
+        agg.select(
+            F.lit(label).alias("src"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("v_zero"),
+            (
+                F.col("present_sum")
+                + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << HLL_RHO_MAX)
+            )
+            .cast("long")
+            .alias("reg_sum"),
         )
-        .cast("long")
-        .alias("reg_sum"),
-    ).withColumn(
-        "hll_est",
-        F.expr(f"CAST({HLL_NUMER} AS BIGINT) DIV reg_sum DIV 1000000"),
+        .withColumn("_raw", raw)
+        .withColumn(
+            "hll_est",
+            F.when(F.col("v_zero") >= HLL_M, F.lit(0).cast("long"))
+            .when(
+                (F.col("v_zero") > 0) & (F.col("_raw") <= HLL_LC_CUT), lc
+            )
+            .otherwise(F.col("_raw")),
+        )
+        .drop("_raw")
     )
 
 
 def hll_oracle_sql(table: str, key_expr: str, label: str) -> str:
-    """DuckDB twin of hll_sketch — generated from the same constants so
-    the two can never desynchronize."""
+    """DuckDB twin of hll_sketch — generated from the same constants
+    (including the precomputed linear-counting table) so the two can
+    never desynchronize."""
+    lc_list = ", ".join(str(x) for x in HLL_LC_TABLE)
     return f"""
-    SELECT '{label}' AS src,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
-           CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
-           CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j))
-                + ({HLL_M} - COUNT(*)) * CAST({1 << HLL_RHO_MAX} AS BIGINT)
-                AS BIGINT) AS reg_sum,
-           CAST({HLL_NUMER} AS BIGINT)
-             // CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j))
-                     + ({HLL_M} - COUNT(*)) * CAST({1 << HLL_RHO_MAX} AS BIGINT)
-                     AS BIGINT)
-             // 1000000 AS hll_est
+    SELECT src, n_rows, v_zero, reg_sum,
+           CASE WHEN v_zero >= {HLL_M} THEN CAST(0 AS BIGINT)
+                WHEN v_zero > 0
+                     AND CAST({HLL_NUMER} AS BIGINT) // reg_sum // 1000000
+                         <= {HLL_LC_CUT}
+                  THEN CAST([{lc_list}][CAST(v_zero AS INTEGER)] AS BIGINT)
+                ELSE CAST({HLL_NUMER} AS BIGINT) // reg_sum // 1000000
+           END AS hll_est
     FROM (
-      SELECT bucket,
-             MAX(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
-                      ELSE {HLL_RHO_MAX} - length(bin(w)) END) AS m_j
+      SELECT '{label}' AS src,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+             CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j))
+                  + ({HLL_M} - COUNT(*)) * CAST({1 << HLL_RHO_MAX} AS BIGINT)
+                  AS BIGINT) AS reg_sum
       FROM (
-        SELECT hv // {HLL_W_MOD} AS bucket, hv % {HLL_W_MOD} AS w
+        SELECT bucket,
+               MAX(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
+                        ELSE {HLL_RHO_MAX} - length(bin(w)) END) AS m_j
         FROM (
-          SELECT CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))
-                      AS BIGINT) AS hv
-          FROM {table})
-      ) GROUP BY bucket
+          SELECT hv // {HLL_W_MOD} AS bucket, hv % {HLL_W_MOD} AS w
+          FROM (
+            SELECT CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS hv
+            FROM {table})
+        ) GROUP BY bucket
+      )
     )
     """
 
@@ -164,12 +202,23 @@ def cms_topk(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
             % F.lit(CMS_W)
         ).alias("bucket"),
     )
-    counters = bucketed.groupBy("i", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # ONE scan: pre-aggregate per (key, i, bucket) — map-side combine
+    # compresses this to (distinct keys per partition)·d rows before the
+    # only raw-data shuffle — then MATERIALIZE the keyed partials
+    # (distinct-keys·d rows) so both downstream consumers (the d·w
+    # counter table and the probe set) read the aggregate instead of
+    # each re-running the scan+explode+md5 lineage.
+    from backend_fastapi_spark.operators.util import materialize
+
+    kc = materialize(
+        bucketed.groupBy("key", "i", "bucket").agg(
+            F.count(F.lit(1)).alias("ck")
+        )
     )
-    probes = bucketed.select("key", "i", "bucket").distinct()
+    counters = kc.groupBy("i", "bucket").agg(F.sum("ck").alias("cnt"))
     est = (
-        probes.join(F.broadcast(counters), ["i", "bucket"])
+        kc.select("key", "i", "bucket")
+        .join(F.broadcast(counters), ["i", "bucket"])
         .groupBy("key")
         .agg(F.min("cnt").alias("est_count"))
     )
@@ -230,7 +279,11 @@ def bottomk_quantiles(
         ]
     )
     return (
-        agg.select(F.explode(picks).alias("p"))
+        # n > 0 guard BEFORE the picks evaluate: on empty input the
+        # oracle returns 0 rows, and element_at(arr, 1) on an empty
+        # array must never run (ANSI mode makes it an error).
+        agg.filter(F.col("n") > 0)
+        .select(F.explode(picks).alias("p"))
         .select(F.col("p.q").alias("q"), F.col("p.est_value").alias("est_value"))
         .orderBy("q")
     )

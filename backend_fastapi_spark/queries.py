@@ -27,6 +27,7 @@ from backend_fastapi_spark.operators import vector as V
 from backend_fastapi_spark.operators import text as TX
 from backend_fastapi_spark.operators import dedup as D
 from backend_fastapi_spark.operators import sketches as SK
+from backend_fastapi_spark.operators import pq as PQ
 from backend_fastapi_spark.sources.parquet import read_table
 
 
@@ -4285,13 +4286,9 @@ def q_ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle_sql() -> str:
-    from backend_fastapi_spark.operators.pq import pq_oracle_sql
-
-    return pq_oracle_sql(n_queries=3, k=10, rerank=50)
-
-
-@register("ann_pq_adc_top10", oracle=_pq_oracle_sql())
+@register(
+    "ann_pq_adc_top10", oracle=PQ.pq_oracle_sql(n_queries=3, k=10, rerank=50)
+)
 def q_ann_pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2/V3 third index family: product quantization with ADC search and
     exact re-rank (operators/pq.py) — the memory-compression path a
@@ -4310,13 +4307,12 @@ def q_ann_pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, _query_vectors(spark, sf_dir, 3), k=10, rerank=50)
 
 
-def _ivfpq_oracle_sql() -> str:
-    from backend_fastapi_spark.operators.pq import ivfpq_oracle_sql
-
-    return ivfpq_oracle_sql(n_queries=3, k=10, rerank=50, k_clusters=16, nprobe=4)
-
-
-@register("ann_ivfpq_top10", oracle=_ivfpq_oracle_sql())
+@register(
+    "ann_ivfpq_top10",
+    oracle=PQ.ivfpq_oracle_sql(
+        n_queries=3, k=10, rerank=50, k_clusters=16, nprobe=4
+    ),
+)
 def q_ann_ivfpq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2/V3 composed production-ANN shape (FAISS IVF16,PQ8): coarse
     quantizer prunes to nprobe/k_clusters of the corpus, ADC scores only

@@ -110,6 +110,31 @@ def test_ivfpq_recall_and_prune_accounting(spark, emb):
     assert probed_sizes.sum() == n and (probed_sizes > 0).sum() > nprobe
 
 
+def test_ivfpq_oracle_faithful_for_nondefault_k_clusters(spark, emb):
+    # regression: the oracle used to build the PQ codebook from the
+    # k_clusters coarse medoids, so any k_clusters != K_CODES silently
+    # desynchronized it from the implementation (confirmed mismatch at
+    # k_clusters=8 before the fix).
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+    from tests.parity import compare, duck_con
+
+    out = PQ.ivfpq_topk(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"),
+        _queries(emb, 3),
+        k=10,
+        rerank=50,
+        k_clusters=8,
+        nprobe=3,
+    )
+    con = duck_con(SF_SMOKE)
+    oracle = con.execute(
+        PQ.ivfpq_oracle_sql(n_queries=3, k=10, rerank=50, k_clusters=8, nprobe=3)
+    ).fetchdf()
+    assert compare(out, oracle, "ivfpq_k8") == []
+
+
 def test_ivfpq_nprobe_full_recovers_pq_results(spark, emb):
     # with nprobe = k_clusters nothing is pruned, so IVFPQ == PQ-only
     # on the shared (codes, ADC, re-rank) machinery
