@@ -75,6 +75,13 @@ def ngram_jaccard_pairs(
 
     jaccard emitted as a ratio of int64 counts (deterministic division).
 
+    Precondition: ``id_col`` is a key (one row per document). Shingles
+    are deduped per ROW (array_distinct — no extra shuffle), so a
+    duplicated id would double-count intersections and surface as an
+    ANSI divide-by-zero in the union size — loud, rather than a silently
+    wrong Jaccard. (Observed exactly once: a corrupt composed scale
+    dataset with colliding id offsets; see scripts/gen_scale.py.)
+
     ``max_shingle_df`` caps shingle document frequency BEFORE the
     self-join: shingle frequency is power-law, and one hot shingle (a
     common phrase) otherwise creates a near-quadratic bucket on a skewed

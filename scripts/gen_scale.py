@@ -48,6 +48,19 @@ def main() -> None:
         # read_table passes through unchanged.
         df = read_table(spark, SRC.rstrip("/"), name).crossJoin(copies)
         for c in key_cols:
+            # The offset scheme is NOT composable: running this script on
+            # its own output would make copies (i, j) and (j, i) collide
+            # on base + (i+j)*OFF — duplicate keys that silently corrupt
+            # every id-keyed result (found as an ANSI divide-by-zero in
+            # Jaccard union sizes at a composed "sf10"). Generate every
+            # scale point directly from the BASE testdata instead.
+            src_max = df.agg(F.max(c)).collect()[0][0]
+            if src_max is not None and src_max >= OFF:
+                raise SystemExit(
+                    f"{name}.{c} max {src_max} >= OFF {OFF}: source already "
+                    f"offset (composed run?) — regenerate from base testdata "
+                    f"with a larger K instead"
+                )
             df = df.withColumn(c, F.col(c) + F.col("_copy") * F.lit(OFF))
         if extra is not None:
             df = extra(df)
@@ -74,15 +87,26 @@ def main() -> None:
         )
 
     def rotate_vec(df):
+        # rotation alone yields only `dim` distinct transforms — at
+        # K > dim (e.g. 100 copies of 64-dim vectors) copies i and
+        # i+dim would carry IDENTICAL directions, making cross-copy
+        # exact duplicates that quadratically blow up every near-dup
+        # pair query. Compose rotation with a sign flip on the second
+        # wrap: 2*dim distinct transforms, norms still preserved,
+        # neighborhoods still copy-local for K <= 2*dim.
         n = F.size("embedding")
         i = (F.col("_copy") % n).cast("int")
+        flip = ((F.col("_copy") / n).cast("int") % 2 == 1)
+        rotated = F.concat(
+            F.slice(F.col("embedding"), i + 1, n - i),
+            F.slice(F.col("embedding"), 1, i),
+        )
         return df.withColumn(
             "embedding",
             F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(
-                F.concat(
-                    F.slice(F.col("embedding"), i + 1, n - i),
-                    F.slice(F.col("embedding"), 1, i),
-                )
+                F.when(
+                    flip, F.transform(rotated, lambda x: -x)
+                ).otherwise(rotated)
             ),
         )
 
