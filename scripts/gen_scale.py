@@ -86,36 +86,31 @@ def main() -> None:
             ),
         )
 
-    def rotate_vec(df):
-        # rotation alone yields only `dim` distinct transforms — at
-        # K > dim (e.g. 100 copies of 64-dim vectors) copies i and
-        # i+dim would carry IDENTICAL directions, making cross-copy
-        # exact duplicates that quadratically blow up every near-dup
-        # pair query. Compose rotation with a sign flip on the second
-        # wrap: 2*dim distinct transforms, norms still preserved,
-        # neighborhoods still copy-local for K <= 2*dim.
-        n = F.size("embedding")
-        i = (F.col("_copy") % n).cast("int")
-        flip = ((F.col("_copy") / n).cast("int") % 2 == 1)
-        rotated = F.concat(
-            F.slice(F.col("embedding"), i + 1, n - i),
-            F.slice(F.col("embedding"), 1, i),
+    def rademacher_vec(df):
+        # Per-copy Rademacher diagonal: component k of copy c flips sign
+        # iff md5("c:k") is odd. Within a copy BOTH sides of any pair get
+        # the same diagonal, so every within-copy dot product — and
+        # therefore the whole near-dup/kNN structure — is preserved
+        # EXACTLY, k times. Cross-copy cosines become ±-random sums that
+        # concentrate near 0, so neighborhoods stay copy-local at ANY K.
+        # (The earlier rotation transform kept cross-copy cosines high —
+        # rotations of smooth vectors correlate — which made pair-output
+        # cardinality quadratic in K instead of linear; sign diagonals
+        # have no such alignment. Norms unchanged either way.)
+        sign = (
+            "transform(embedding, (x, k) -> CASE WHEN _copy = 0 THEN x "
+            "WHEN substr(md5(concat(CAST(_copy AS STRING), ':', "
+            "CAST(k AS STRING))), 1, 1) IN ('1','3','5','7','9','b','d','f') "
+            "THEN -x ELSE x END)"
         )
-        return df.withColumn(
-            "embedding",
-            F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(
-                F.when(
-                    flip, F.transform(rotated, lambda x: -x)
-                ).otherwise(rotated)
-            ),
-        )
+        return df.withColumn("embedding", F.expr(sign))
 
     fan("customer", ["c_custkey"])
     fan("orders", ["o_orderkey", "o_custkey"])
     fan("lineitem", ["l_orderkey"])
     fan("events", ["event_id", "user_id"])
     fan("documents", ["doc_id"], doc_text)
-    fan("embeddings", ["vec_id"], rotate_vec)
+    fan("embeddings", ["vec_id"], rademacher_vec)
     for dim in ["region", "nation", "supplier", "part"]:
         spark.read.parquet(f"{SRC}/{dim}.parquet").write.mode("overwrite").parquet(
             f"{DST}/{dim}.parquet"
