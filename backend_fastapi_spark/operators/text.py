@@ -92,6 +92,46 @@ def doc_fingerprint(w: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(w))))
 
 
+def winnow_fingerprints(hashes: Column, w: int = 12) -> Column:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    scheme): hash every char ``k``-gram of the lowercased text, slide a
+    window of ``w`` consecutive hashes, keep the minimum of each window,
+    distinct. Guarantees any shared substring of length ≥ k + w - 1
+    contributes at least one shared fingerprint, while storing ~1/w of
+    the k-gram hashes — the density knob that makes substring-level
+    dedup feasible at corpus scale.
+
+    Hash = first 16 hex chars of md5(k-gram); the window minimum is the
+    lexicographic string min, identical in any engine that agrees on
+    md5 + substr (the DuckDB oracle does). Pure column expression —
+    one scan, zero shuffles, no UDF.
+
+    Caller must filter ``length(lower(text)) >= k + w - 1`` first so
+    both sequence() bounds stay positive (Spark's sequence(1, 0) counts
+    DOWN, yielding [1, 0] instead of empty), and should compute
+    :func:`kgram_hashes` in its own projection: the hash array feeds
+    both size() and slice() here, and keeping it a named column stops
+    CollapseProject from inlining the non-cheap transform twice.
+    """
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        )
+    )
+
+
+def kgram_hashes(text: Column, k: int = 20) -> Column:
+    """Rolling char k-gram hash array: first 16 md5 hex chars of each
+    k-char substring of the lowercased text, in position order. The
+    substrate for :func:`winnow_fingerprints`."""
+    tx = F.lower(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(tx) - (k - 1)),
+        lambda i: F.md5(tx.substr(i, F.lit(k))).substr(1, 16),
+    )
+
+
 def pack_by_budget(
     df: DataFrame,
     group_col: str,

@@ -991,6 +991,114 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing (Schleimer et al., SIGMOD 2003): k-gram rolling hashes +
+# per-window minimum. k/w chosen for the synthetic corpus vocabulary
+# (20-char grams are selective where 8-char grams collide massively);
+# max_df guards the pair join against stop-fingerprints at scale.
+_WINNOW_K, _WINNOW_W = 20, 12
+_WINNOW_MAXDF, _WINNOW_MIN_SHARED = 8, 10
+_WINNOW_CTE = f"""
+    wt AS (SELECT doc_id, lower(text) AS tx FROM documents
+           WHERE length(lower(text)) >= {_WINNOW_K + _WINNOW_W - 1}),
+    wg AS (SELECT doc_id, list_transform(range(1, length(tx)-{_WINNOW_K - 1}+1),
+             i -> substr(md5(substr(tx, CAST(i AS INT), {_WINNOW_K})), 1, 16)) AS hs
+           FROM wt),
+    wf AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_kgrams,
+                  list_distinct(list_transform(range(1, len(hs)-{_WINNOW_W - 1}+1),
+                    j -> list_min(hs[CAST(j AS INT):CAST(j+{_WINNOW_W - 1} AS INT)]))) AS fps
+           FROM wg)"""
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_kgrams, fps) — hash array in its own projection so the
+    non-cheap transform is computed once (CollapseProject keeps it named)."""
+    from backend_fastapi_spark.operators.util import ensure_parallelism
+
+    # Per-row cost is ~len(text) md5 calls: spread small single-file
+    # scans across cores (no-op at real multi-file scale).
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
+    hs = docs.filter(
+        F.length(F.lower(F.col("text"))) >= _WINNOW_K + _WINNOW_W - 1
+    ).select("doc_id", TX.kgram_hashes(F.col("text"), _WINNOW_K).alias("hs"))
+    return hs.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_kgrams"),
+        TX.winnow_fingerprints(F.col("hs"), _WINNOW_W).alias("fps"),
+    )
+
+
+@register(
+    "winnow_fingerprint_stats",
+    oracle=f"""
+    WITH {_WINNOW_CTE}
+    SELECT doc_id, n_kgrams, CAST(len(fps) AS BIGINT) AS n_fp,
+           list_min(fps) AS min_fp
+    FROM wf
+    """,
+)
+def q_winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint density per document: the stored-fingerprint
+    count is ~1/w of the k-gram count — the compression the scheme buys
+    at corpus scale. One scan, zero shuffles, no UDF (the window minimum
+    is a lexicographic array_min over named-column hash arrays)."""
+    fps = _winnow_fps(spark, sf_dir)
+    return fps.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.array_min("fps").alias("min_fp"),
+    )
+
+
+@register(
+    "winnow_near_dup",
+    oracle=f"""
+    WITH {_WINNOW_CTE},
+    we AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+    wpruned AS (SELECT fp FROM we GROUP BY fp HAVING count(*) > {_WINNOW_MAXDF}),
+    wee AS (SELECT we.doc_id, we.fp FROM we ANTI JOIN wpruned USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM wee a JOIN wee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-duplicate pairs via shared winnowing
+    fingerprints — the fourth dedup family (shingle-Jaccard, MinHash,
+    SimHash are word-level; winnowing guarantees detection of any shared
+    run ≥ k + w - 1 chars, the plagiarism/contamination detector's
+    contract).
+
+    Scale shape: explode only the winnowed set (~1/w of k-grams), prune
+    stop-fingerprints by document frequency with a broadcast anti-join
+    (the heavy-hitter list is tiny by construction), then one equi-join
+    on fingerprint + one pair-count shuffle. No all-pairs product."""
+    from backend_fastapi_spark.operators.util import materialize
+
+    # Materialize the exploded fingerprint table once: it feeds the
+    # heavy-hitter agg AND both self-join sides, and re-evaluating it
+    # would re-run the per-char md5 transform up to 4x.
+    e = materialize(
+        _winnow_fps(spark, sf_dir).select("doc_id", F.explode("fps").alias("fp"))
+    )
+    common = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _WINNOW_MAXDF)
+        .select("fp")
+    )
+    pruned = e.join(F.broadcast(common), "fp", "left_anti")
+    return (
+        pruned.select(F.col("doc_id").alias("id_a"), "fp")
+        .join(pruned.select(F.col("doc_id").alias("id_b"), "fp"), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
 @register(
     "lang_quality_score",
     oracle=f"""

@@ -146,3 +146,38 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[4].scrubbed == got[4].text and got[4].n_email == 0
     # URL scrubbed first, so the embedded email never survives to match
     assert got[5].scrubbed == "<URL> mixed"
+
+
+def test_winnow_guarantee_and_density(spark):
+    # Winnowing contract (Schleimer et al. 2003): two docs sharing a
+    # substring of length >= k + w - 1 share at least one fingerprint,
+    # and each fingerprint covers at most w windows (density bound).
+    from backend_fastapi_spark.operators.text import kgram_hashes, winnow_fingerprints
+
+    k, w = 20, 12
+    shared = "the quick brown fox jumps over the lazy dog near the river"  # 59 >= 31
+    rows = [
+        (1, "prefix alpha " + shared + " suffix beta gamma"),
+        (2, "totally different opening text " + shared + " and another tail"),
+        (3, "no overlap here at all just unrelated filler words and numbers 123"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", kgram_hashes(F.col("text"), k).alias("hs")
+        )
+        .select(
+            "doc_id",
+            F.size("hs").alias("n_kgrams"),
+            winnow_fingerprints(F.col("hs"), w).alias("fps"),
+        )
+        .collect()
+    }
+    fps1, fps2, fps3 = (set(got[i].fps) for i in (1, 2, 3))
+    assert fps1 & fps2, "docs sharing a >=k+w-1 substring must share a fingerprint"
+    assert not (fps1 & fps3) and not (fps2 & fps3)
+    for r in got.values():
+        n_windows = r.n_kgrams - (w - 1)
+        assert len(r.fps) * w >= n_windows  # each fp covers <= w windows
+        assert len(r.fps) <= n_windows
