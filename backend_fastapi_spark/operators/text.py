@@ -123,12 +123,17 @@ def winnow_fingerprints(hashes: Column, w: int = 12) -> Column:
 
 def kgram_hashes(text: Column, k: int = 20) -> Column:
     """Rolling char k-gram hash array: first 16 md5 hex chars of each
-    k-char substring of the lowercased text, in position order. The
-    substrate for :func:`winnow_fingerprints`."""
-    tx = F.lower(text)
+    k-char substring of ``text``, in position order. The substrate for
+    :func:`winnow_fingerprints`.
+
+    ``text`` must be a NAMED, already-normalized (lowercased) column —
+    never an inline ``F.lower(...)``: the lambda body re-evaluates its
+    whole expression tree per element, so an embedded lower() turns one
+    O(len) pass into O(len²) interpreted ICU work per row (measured as a
+    minutes-long single-task straggler before this was hoisted)."""
     return F.transform(
-        F.sequence(F.lit(1), F.length(tx) - (k - 1)),
-        lambda i: F.md5(tx.substr(i, F.lit(k))).substr(1, 16),
+        F.sequence(F.lit(1), F.length(text) - (k - 1)),
+        lambda i: F.md5(text.substr(i, F.lit(k))).substr(1, 16),
     )
 
 

@@ -1015,11 +1015,14 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from backend_fastapi_spark.operators.util import ensure_parallelism
 
     # Per-row cost is ~len(text) md5 calls: spread small single-file
-    # scans across cores (no-op at real multi-file scale).
+    # scans across cores (no-op at real multi-file scale). lower(text)
+    # is projected ONCE as a named column — inlined into the transform
+    # lambda it would re-run per k-gram position, O(len²) per row.
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
-    hs = docs.filter(
+    base = docs.filter(
         F.length(F.lower(F.col("text"))) >= _WINNOW_K + _WINNOW_W - 1
-    ).select("doc_id", TX.kgram_hashes(F.col("text"), _WINNOW_K).alias("hs"))
+    ).select("doc_id", F.lower(F.col("text")).alias("tx"))
+    hs = base.select("doc_id", TX.kgram_hashes(F.col("tx"), _WINNOW_K).alias("hs"))
     return hs.select(
         "doc_id",
         F.size("hs").cast("long").alias("n_kgrams"),
@@ -1076,11 +1079,17 @@ def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on fingerprint + one pair-count shuffle. No all-pairs product."""
     from backend_fastapi_spark.operators.util import materialize
 
-    # Materialize the exploded fingerprint table once: it feeds the
-    # heavy-hitter agg AND both self-join sides, and re-evaluating it
-    # would re-run the per-char md5 transform up to 4x.
-    e = materialize(
-        _winnow_fps(spark, sf_dir).select("doc_id", F.explode("fps").alias("fp"))
+    # Materialize (doc_id, fps) BEFORE the explode, for two reasons:
+    # it feeds the heavy-hitter agg AND both self-join sides (re-eval
+    # would re-run the md5 transform up to 4x), and — the sharper one —
+    # InferFiltersFromGenerate puts `size(fps) > 0` UNDER the explode;
+    # against live lineage that predicate inlines the whole winnow
+    # transform and pushes through the repartition into the
+    # single-partition scan stage (measured: a 10-minute one-core
+    # straggler). Against the checkpointed relation it is a cheap
+    # attribute test.
+    e = materialize(_winnow_fps(spark, sf_dir)).select(
+        "doc_id", F.explode("fps").alias("fp")
     )
     common = (
         e.groupBy("fp")
@@ -2919,6 +2928,55 @@ def q_distinct_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "bpe_top_merges",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    prs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[CAST(i AS INT)]
+               || ' ' || w[CAST(i+1 AS INT)])) AS pair
+      FROM toks WHERE len(w) >= 2)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM prs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+)
+def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style vocabulary induction, first merge iteration: corpus-wide
+    adjacent-token-pair frequencies, top 20 (count desc, pair asc — total
+    order). The inner loop of byte-pair-encoding tokenizer training
+    expressed as explode → one map-side-combined count shuffle →
+    TakeOrdered top-k; at 100 TB the shuffle carries (distinct pairs ×
+    partitions) partials, never the raw corpus, and only 20 rows reach
+    the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    # Guard BEFORE sequence(): Spark's sequence(1, 0) counts DOWN to
+    # [1, 0] and index 0 / out-of-bounds element_at throws under ANSI.
+    pairs = (
+        docs.select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("w"), i),
+                        F.element_at(F.col("w"), i + 1),
+                    ),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
     )
 
 
