@@ -28,6 +28,7 @@ from backend_fastapi_spark.operators import text as TX
 from backend_fastapi_spark.operators import dedup as D
 from backend_fastapi_spark.operators import sketches as SK
 from backend_fastapi_spark.operators import pq as PQ
+from backend_fastapi_spark.operators import semdedup as SD
 from backend_fastapi_spark.sources.parquet import read_table
 
 
@@ -746,6 +747,50 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_similarity_join(emb, max_dist=1.1).select(
         "id_a", "id_b", "dist"
     )
+
+
+# SemDeDup threshold: cos 0.25 in fixed-point (matches the exact/RP
+# near-dup twins for cross-operator comparability; 464 within-cluster
+# pairs at sf0.01 — verified non-vacuous by DuckDB probe).
+_SEMDEDUP_TAU_I64 = 250_000_000_000
+
+
+@register(
+    "semantic_dedup_pairs",
+    oracle=SD.semdedup_pairs_oracle_sql(_SEMDEDUP_TAU_I64),
+)
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup pairs (SemDeDup, arXiv:2303.09540): deterministic
+    md5-medoid coarse clusters -> within-cluster int64-exact cosine
+    (unit-norm corpus) above tau. Complements the syntactic family
+    (exact/MinHash/SimHash/winnowing) — near-dups that share meaning,
+    not bytes. Assignment is the shared zero-shuffle Arrow int64 matmul
+    (operators/ivf.py); pairs come from a per-cluster numpy Gram matrix
+    inside applyInPandas — one shuffle on the cluster key, n_c^2 work
+    bounded by k_clusters ~ sqrt(n) sizing. Fully hash-checked: medoids,
+    assignment, pair set, and scores reproduce bit-for-bit in DuckDB."""
+    from backend_fastapi_spark.operators.semdedup import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold_i64=_SEMDEDUP_TAU_I64)
+
+
+@register(
+    "semantic_dedup_summary",
+    oracle=SD.semdedup_summary_oracle_sql(_SEMDEDUP_TAU_I64),
+)
+def q_semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup applied: per-cluster (n_vectors, n_removed, n_kept) under
+    the min-id-exemplar removal policy — the corpus-shrink report a
+    training-data pipeline reads before committing the prune. Same
+    deterministic cluster/pair machinery as semantic_dedup_pairs, reduced
+    to counts executor-side (nothing collected)."""
+    from backend_fastapi_spark.operators.semdedup import (
+        semantic_dedup_summary,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_summary(emb, threshold_i64=_SEMDEDUP_TAU_I64)
 
 
 # ---------------------------------------------------------------------------

