@@ -341,3 +341,125 @@ def cms_oracle_sql(table: str, key_expr: str, k: int = 20) -> str:
     ORDER BY est_count DESC, key ASC
     LIMIT {k}
     """
+
+
+# --- KMV (bottom-k) set similarity -----------------------------------
+KMV_K = 64
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group_a, group_b, n_common, est_jaccard): estimated Jaccard
+    similarity between every pair of groups' key SETS, from bottom-k
+    (KMV) sketches — the sketch family's set-operation member (HLL
+    answers |A|, CMS answers freq(x); KMV answers |A∩B|/|A∪B|).
+
+    Estimator (Beyer et al. 2007, "On synopses for distinct-value
+    estimation"): per group keep the k keys whose (md5(key), key) ranks
+    lowest; for a pair, take the bottom-k of the UNION of the two
+    sketches and count members present in BOTH sketches — J^ = count/k.
+    All decisions are md5-rank + integer arithmetic; k is a power of two
+    so count/k is an exact double. Both engines therefore emit identical
+    bits and the driver hash-checks an approximate set-similarity sketch
+    end to end (same evidence class as RP-LSH / deterministic HLL).
+
+    Scale posture: one distinct shuffle on (group, key), one window
+    top-k per group (rank cutoff, map-side partial via
+    TakeOrderedAndProject-like pruning is not available for windows, but
+    the post-distinct input is already grouped); everything after runs
+    on k-row sketches — pair enumeration is over the GROUP dimension
+    (assumed small: event types, sources, languages), never over rows.
+    Sketches are mergeable: union two groups' sketch rows and re-take
+    bottom-k, the exact operation the pair stage performs.
+    """
+    from pyspark.sql import Window
+
+    s = (
+        df.select(F.col(group_col).alias("g"),
+                  F.col(key_col).cast("string").alias("key"))
+        .distinct()
+        .withColumn("h", F.md5("key"))
+    )
+    w = Window.partitionBy("g").orderBy("h", "key")
+    sk = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "key", "h")
+    )
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.alias("ga")
+        .join(groups.alias("gb"),
+              F.col("ga.g") < F.col("gb.g"))
+        .select(F.col("ga.g").alias("group_a"),
+                F.col("gb.g").alias("group_b"))
+    )
+    # Sketch rows of both sides of each pair, deduped per key with a
+    # both-sides flag; the union's bottom-k is a window over <= 2k rows.
+    side_a = pairs.join(sk, F.col("group_a") == F.col("g")).select(
+        "group_a", "group_b", "key", "h", F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"))
+    side_b = pairs.join(sk, F.col("group_b") == F.col("g")).select(
+        "group_a", "group_b", "key", "h", F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("group_a", "group_b", "key", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("group_a", "group_b").orderBy("h", "key")
+    return (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+            (F.sum(F.col("in_a") * F.col("in_b"))
+             / F.lit(float(k))).alias("est_jaccard"),
+        )
+    )
+
+
+def kmv_jaccard_oracle_sql(
+    table: str, group_expr: str, key_expr: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of kmv_jaccard — same md5-rank sketches, same
+    union-bottom-k intersection count, same exact count/k division."""
+    return f"""
+    WITH s AS (
+      SELECT DISTINCT {group_expr} AS g, CAST({key_expr} AS VARCHAR) AS key
+      FROM {table}),
+    sk AS (
+      SELECT g, key, md5(key) AS h FROM (
+        SELECT g, key,
+               row_number() OVER (PARTITION BY g
+                                  ORDER BY md5(key), key) AS rn
+        FROM s) WHERE rn <= {k}),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b
+      FROM (SELECT DISTINCT g FROM sk) a
+      JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+    merged AS (
+      SELECT group_a, group_b, key, h,
+             MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM (
+        SELECT p.group_a, p.group_b, sk.key, sk.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk ON sk.g = p.group_a
+        UNION ALL
+        SELECT p.group_a, p.group_b, sk.key, sk.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk ON sk.g = p.group_b)
+      GROUP BY group_a, group_b, key, h),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY group_a, group_b
+                                   ORDER BY h, key) AS rn
+      FROM merged)
+    SELECT group_a, group_b,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+           CAST(SUM(in_a * in_b) AS BIGINT) / CAST({k} AS DOUBLE) AS est_jaccard
+    FROM ranked WHERE rn <= {k}
+    GROUP BY group_a, group_b
+    """

@@ -4609,6 +4609,27 @@ def q_cms_heavy_users_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
     return cms_topk(_t(spark, sf_dir, "events"), "user_id", k=20)
 
 
+@register(
+    "kmv_set_similarity",
+    oracle=SK.kmv_jaccard_oracle_sql("events", "event_type", "user_id"),
+)
+def q_kmv_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV (bottom-k) set-similarity sketch: estimated
+    Jaccard between every event-type pair's distinct-user SETS — the
+    sketch family's set-operation member (HLL = cardinality, CMS =
+    frequency, bottom-k = quantiles, KMV = overlap). md5-rank sketches
+    of k=64 keys per group; a pair's estimate is the both-sides fraction
+    of the union's bottom-k — every step integer/md5 arithmetic, k a
+    power of two, so the estimate divides exactly and the driver
+    hash-checks the sketch end to end. Pair enumeration is over the
+    GROUP dimension only; after the one distinct + window-top-k pass,
+    everything runs on 64-row sketches. Estimator error vs exact Jaccard
+    is bounded in tests/test_sketches.py."""
+    from backend_fastapi_spark.operators.sketches import kmv_jaccard
+
+    return kmv_jaccard(_t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
 # Driver-evidence bookkeeping. The driver walks the registry in emitted
 # order and budget-caps how many queries it checks per round (~50 slots),
 # so order by how much a fresh driver row is worth. Round-4 lesson: a

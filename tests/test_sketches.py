@@ -201,3 +201,31 @@ def test_rho_bitlength_identity(w, expect_rho):
     # rho = 25 - bitlength(w) (w > 0), matching both engines' length(bin()).
     rho = SK.HLL_RHO_MAX if w == 0 else SK.HLL_RHO_MAX - w.bit_length()
     assert rho == expect_rho
+
+
+def test_kmv_jaccard_estimate_accuracy(spark):
+    """KMV estimate vs exact Jaccard on constructed overlaps: three
+    groups sharing known fractions of a 600-key universe. k=64 gives
+    std ~ sqrt(J(1-J)/64) <= 0.063; assert within 3 sigma (~0.19) and
+    that ordering of clearly-separated overlaps is preserved."""
+    rows = []
+    # A = 0..399, B = 200..599 (J = 200/600 = 1/3), C = 0..99 disjoint
+    # from B except nothing (C subset of A: J(A,C) = 100/400 = 0.25,
+    # J(B,C) = 0).
+    for i in range(400):
+        rows.append(("A", i))
+    for i in range(200, 600):
+        rows.append(("B", i))
+    for i in range(100):
+        rows.append(("C", i))
+    df = spark.createDataFrame(rows, ["g", "k"])
+    got = {(r.group_a, r.group_b): r for r in
+           SK.kmv_jaccard(df, "g", "k").collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    exact = {("A", "B"): 200 / 600, ("A", "C"): 100 / 400, ("B", "C"): 0.0}
+    for pair, j in exact.items():
+        est = got[pair].est_jaccard
+        assert abs(est - j) <= 0.19, (pair, est, j)
+        assert got[pair].n_common == round(est * SK.KMV_K)
+    # disjoint sets estimate exactly zero (no common member can enter)
+    assert got[("B", "C")].est_jaccard == 0.0
