@@ -298,7 +298,7 @@ def near_dup_pairs_matmul(
     )
     strip_budget = 64 << 20  # gram-strip bytes per task
 
-    def block_pairs(pdf: pd.DataFrame):
+    def block_pairs(pdf):
         n = len(pdf)
         if n > max_block_rows:
             raise ValueError(

@@ -1733,7 +1733,7 @@ def q_ar_rollout_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = last.join(mean, "user_id")
 
-    def rollout(pdf: pd.DataFrame) -> pd.DataFrame:
+    def rollout(pdf):
         rows = []
         for _, r in pdf.iterrows():
             p = r["l"]
