@@ -433,3 +433,78 @@ def test_streaming_ingest_restart_same_checkpoint(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(idx, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_stream_interval_join(spark):
+    """Watermarked stream-stream interval join: purchases within 30 min
+    strictly after a click on the same user attribute to it; matches
+    across micro-batches work (both sides buffered in bounded state);
+    a purchase beyond the interval never joins. Result equals the batch
+    interval join on the same rows."""
+    from backend_fastapi_spark.streaming.join_stream import (
+        stream_interval_join,
+    )
+
+    tmp_l = tempfile.mkdtemp(prefix="ssj_l_")
+    tmp_r = tempfile.mkdtemp(prefix="ssj_r_")
+    chk = tempfile.mkdtemp(prefix="ssj_chk_")
+    try:
+        clicks = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [1, 1, 2, 3],
+                    "ts": pd.to_datetime(
+                        [
+                            "2024-01-01 00:00:00",
+                            "2024-01-01 01:00:00",
+                            "2024-01-01 00:10:00",
+                            "2024-01-01 00:20:00",
+                        ]
+                    ),
+                    "click_id": [10, 11, 20, 30],
+                }
+            )
+        )
+        purchases = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "user_id": [1, 2, 3, 1],
+                    "ts_r": pd.to_datetime(
+                        [
+                            "2024-01-01 00:15:00",  # joins click 10
+                            "2024-01-01 00:25:00",  # joins click 20
+                            "2024-01-01 02:00:00",  # beyond 30 min: none
+                            "2024-01-01 01:29:00",  # joins click 11
+                        ]
+                    ),
+                    "purchase_id": [100, 200, 300, 101],
+                }
+            )
+        )
+        # two micro-batch files per side: matches must span batches
+        clicks.filter("click_id < 20").write.parquet(f"{tmp_l}/b1")
+        clicks.filter("click_id >= 20").write.parquet(f"{tmp_l}/b2")
+        purchases.filter("purchase_id = 100").write.parquet(f"{tmp_r}/b1")
+        purchases.filter("purchase_id != 100").write.parquet(f"{tmp_r}/b2")
+
+        ls = spark.readStream.schema(clicks.schema).parquet(f"{tmp_l}/b*")
+        rs = spark.readStream.schema(purchases.schema).parquet(f"{tmp_r}/b*")
+        q = (
+            stream_interval_join(ls, rs, "user_id")
+            .writeStream.format("memory")
+            .queryName("ssj_out")
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.click_id, r.purchase_id)
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+        assert got == {(10, 100), (20, 200), (11, 101)}
+    finally:
+        shutil.rmtree(tmp_l, ignore_errors=True)
+        shutil.rmtree(tmp_r, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
