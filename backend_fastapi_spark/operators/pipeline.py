@@ -142,3 +142,92 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    target_den: int = 2,
+) -> DataFrame:
+    """Temperature-based mixture sampling (alpha = 0.5): sample
+    N/target_den rows total, with per-group quotas proportional to
+    sqrt(n_g) instead of n_g — the multilingual-corpus rebalancing move
+    (public analogs: mT5 / XLM-R temperature sampling; alpha < 1 lifts
+    low-resource groups, damps the head). Returns the sampled rows with
+    their group.
+
+    alpha = 0.5 is the one non-integer exponent that stays hash-exact
+    across engines: IEEE 754 requires sqrt to be correctly rounded
+    (pow is not), so CAST(ROUND(sqrt(n)*1e6) AS BIGINT) yields identical
+    int64 weights in Spark and DuckDB, and every later step — quota
+    (N DIV target_den) * w_g DIV W, per-group md5-rank cutoffs — is pure
+    integer arithmetic. Quotas are capped at n_g (no upsampling;
+    replacement-free by construction).
+
+    Plan shape: one groupBy for the per-group counts (tiny — group
+    dimension), a single-row global sum cross-joined back (the 1-row
+    scalar-augment idiom), one keyed window on the group for the
+    md5-rank cutoff. No collect; the corpus shuffles once on the group
+    key."""
+    stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    stats = stats.withColumn(
+        "w_i64",
+        F.round(F.sqrt(F.col("n_g").cast("double")) * 1_000_000).cast("long"),
+    )
+    tot = stats.agg(
+        F.sum("n_g").alias("n_total"), F.sum("w_i64").alias("w_total")
+    )
+    quota = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            # all-integer: (N DIV den) * w_g DIV W, capped at n_g
+            F.least(
+                F.col("n_g"),
+                F.expr(
+                    f"(CAST(n_total AS BIGINT) DIV {target_den})"
+                    " * w_i64 DIV w_total"
+                ),
+            ).cast("long").alias("quota"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(md5_of_id(id_col), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(quota), group_col)
+        .filter(F.col("_rn") <= F.col("quota"))
+        .drop("_rn", "quota")
+    )
+
+
+def temperature_sample_oracle_sql(
+    table: str,
+    group_expr: str,
+    id_expr: str,
+    select_cols: str,
+    target_den: int = 2,
+) -> str:
+    """DuckDB twin of temperature_sample — same int64 sqrt weights, same
+    integer quota arithmetic, same md5-rank cutoffs."""
+    return f"""
+    WITH stats AS (
+      SELECT {group_expr} AS g, COUNT(*) AS n_g,
+             CAST(ROUND(sqrt(CAST(COUNT(*) AS DOUBLE))*1000000) AS BIGINT) AS w_i64
+      FROM {table} GROUP BY {group_expr}),
+    tot AS (
+      SELECT SUM(n_g) AS n_total, SUM(w_i64) AS w_total FROM stats),
+    quota AS (
+      SELECT g, LEAST(n_g,
+               (CAST(n_total AS BIGINT) // {target_den}) * w_i64 // w_total
+             ) AS quota
+      FROM stats, tot),
+    ranked AS (
+      SELECT t.*, row_number() OVER (
+               PARTITION BY {group_expr}
+               ORDER BY md5(CAST({id_expr} AS VARCHAR)), {id_expr}) AS _rn
+      FROM {table} t)
+    SELECT {select_cols}
+    FROM ranked r JOIN quota q ON r.{group_expr} = q.g
+    WHERE r._rn <= q.quota
+    """

@@ -29,6 +29,7 @@ from backend_fastapi_spark.operators import dedup as D
 from backend_fastapi_spark.operators import sketches as SK
 from backend_fastapi_spark.operators import pq as PQ
 from backend_fastapi_spark.operators import semdedup as SD
+from backend_fastapi_spark.operators import pipeline as PL
 from backend_fastapi_spark.sources.parquet import read_table
 
 
@@ -3182,6 +3183,28 @@ def q_stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return stratified_sample(docs, "lang", 20).select("doc_id", "lang", "sample_rank")
+
+
+@register(
+    "temperature_sample_langs",
+    oracle=PL.temperature_sample_oracle_sql(
+        "documents", "lang", "doc_id", "r.doc_id, r.lang, r.source"
+    ),
+)
+def q_temperature_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (alpha=0.5) language rebalancing — the mT5/XLM-R
+    mixture-sampling move: sample half the corpus with per-language
+    quotas proportional to sqrt(n_lang), lifting low-resource languages
+    and damping the head (en holds 44% of docs but ~30% of the sample).
+    Hash-exact despite the fractional exponent: IEEE requires sqrt to be
+    correctly rounded, so the int64 fixed-point weights — and therefore
+    every integer quota and md5-rank cutoff after them — are identical
+    in both engines. One tiny groupBy + a 1-row scalar augment + one
+    keyed window on lang; the corpus shuffles once."""
+    from backend_fastapi_spark.operators.pipeline import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(docs, "lang").select("doc_id", "lang", "source")
 
 
 @register(

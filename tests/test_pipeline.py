@@ -218,3 +218,28 @@ def test_weighted_sample_is_subset_and_deterministic(spark):
     b = Q.REGISTRY["weighted_sample_docs"].fn(spark, SF_ORACLE).toPandas()
     assert sorted(a.doc_id) == sorted(b.doc_id)  # no RNG state
     assert (a.u < a.w).all()  # kept iff uniform under weight
+
+
+def test_temperature_sample_rebalances_head(spark):
+    """alpha=0.5 quotas: the head group's sample share must sit between
+    its sqrt-flattened share and its raw share, low-resource groups gain
+    share, total ~ N/2, and no group is upsampled past its size."""
+    from backend_fastapi_spark.operators.pipeline import temperature_sample
+
+    rows = [(i, "en" if i < 600 else ("fr" if i < 700 else "sw"))
+            for i in range(750)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = temperature_sample(df, "lang").groupBy("lang").count().collect()
+    n = {r.lang: r["count"] for r in got}
+    total = sum(n.values())
+    # <= N/2 minus floor losses and the sw cap (quota 63 capped to 50)
+    assert total <= 375
+    sizes = {"en": 600, "fr": 100, "sw": 50}
+    # exact integer quotas: (375 * w) // W with w = round(sqrt(n)*1e6)
+    w = {g: round((s ** 0.5) * 1e6) for g, s in sizes.items()}
+    W = sum(w.values())
+    for g, s in sizes.items():
+        assert n[g] == min(s, 375 * w[g] // W)
+    # head share damped below raw share; tail share lifted above raw
+    assert n["en"] / total < 600 / 750
+    assert n["sw"] / total > 50 / 750
