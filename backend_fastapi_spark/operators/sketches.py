@@ -389,14 +389,22 @@ def kmv_jaccard(
         s.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("g", "key", "h")
-    )
-    groups = sk.select("g").distinct()
-    pairs = (
-        groups.alias("ga")
-        .join(groups.alias("gb"),
-              F.col("ga.g") < F.col("gb.g"))
-        .select(F.col("ga.g").alias("group_a"),
-                F.col("gb.g").alias("group_b"))
+    ).cache()
+    # Pair enumeration: the group dimension is small BY CONTRACT (event
+    # types, sources, languages), so collect it (bounded, guarded) and
+    # broadcast literal pairs — an equi-join shape. The alternative — a
+    # g_a < g_b theta self-join — compiles to BroadcastNestedLoopJoin,
+    # which the plan-audit gate rightly flags as a pair-blowup risk.
+    gs = sorted(r.g for r in sk.select("g").distinct().collect())
+    if len(gs) > 256:
+        raise ValueError(
+            f"kmv_jaccard: {len(gs)} groups — pairwise enumeration is "
+            "quadratic in the group dimension; this operator is for "
+            "small group dimensions (<= 256)"
+        )
+    pairs = df.sparkSession.createDataFrame(
+        [(a, b) for i, a in enumerate(gs) for b in gs[i + 1:]],
+        ["group_a", "group_b"],
     )
     # Sketch rows of both sides of each pair, deduped per key with a
     # both-sides flag; the union's bottom-k is a window over <= 2k rows.
