@@ -77,6 +77,9 @@ EXTRA = [
     "cms_heavy_users_deterministic",
     "bottomk_sample_quantiles",
     "winnow_near_dup",
+    "semantic_dedup_pairs",
+    "kmv_set_similarity",
+    "temperature_sample_langs",
     "pii_scrub_stats",
     "decontaminate_test_split",
     "gopher_repetition_filter",
@@ -195,7 +198,9 @@ def main() -> None:
              "embedding_near_dup_rp", "ann_ivf_deterministic", "ann_pq_adc_top10",
              "ann_ivfpq_top10",
              "hll_distinct_deterministic", "cms_heavy_users_deterministic",
-             "bottomk_sample_quantiles", "winnow_near_dup", "pii_scrub_stats",
+             "bottomk_sample_quantiles", "winnow_near_dup",
+             "semantic_dedup_pairs", "kmv_set_similarity",
+             "temperature_sample_langs", "pii_scrub_stats",
              "events_burst_60s", "funnel_conversion", "next_order_asof_forward"],
             sf1_dir, 1, sf1_extra, sf1_cards, sf1_cc, tag="sf1-extra ",
         )

@@ -100,3 +100,67 @@ def test_in_memory_bootstrap_and_catalog(spark):
     cols = dict(cat.describe("orders"))
     assert cols["o_orderkey"] == "bigint"
     assert cols["o_orderdate"] in ("timestamp", "timestamp_ntz")
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC write -> read preserves schema and every value (timestamps,
+    arrays, strings) vs the parquet-sourced original."""
+    from backend_fastapi_spark.sources.orc_source import read_orc, write_orc
+    from backend_fastapi_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMOKE
+
+    for t in ("orders", "embeddings", "documents"):
+        src = read_table(spark, SF_SMOKE, t)
+        write_orc(src, str(tmp_path / t))
+        back = read_orc(spark, str(tmp_path / t))
+        assert back.schema == src.schema
+        a = sorted(map(repr, src.collect()))
+        b = sorted(map(repr, back.collect()))
+        assert a == b
+
+
+def test_binary_file_source_to_multimodal_features(spark, tmp_path):
+    """binaryFile directory -> MEDIA_SCHEMA -> feature extraction: kinds
+    derive from extensions, payload bytes survive intact (checksum
+    matches), ids are stable across re-reads, glob pruning works."""
+    import hashlib
+
+    from backend_fastapi_spark.operators.multimodal import extract_features
+    from backend_fastapi_spark.sources.binary_files import read_binary_dir
+
+    payloads = {
+        "a.jpg": b"\xff\xd8fakejpeg",
+        "b.wav": b"RIFFfakewav",
+        "sub/c.mp4": b"\x00\x00fakempeg",
+        "d.txt": b"not media",
+    }
+    for rel, data in payloads.items():
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+
+    df = read_binary_dir(spark, str(tmp_path))
+    rows = {r.meta["path"].split("/")[-1]: r for r in df.collect()}
+    assert rows["a.jpg"].kind == "image"
+    assert rows["b.wav"].kind == "audio"
+    assert rows["c.mp4"].kind == "video"
+    assert rows["d.txt"].kind == "binary"
+    assert bytes(rows["a.jpg"].payload) == b"\xff\xd8fakejpeg"
+    assert all(r.media_id is not None and r.media_id >= 0
+               for r in rows.values())
+
+    # ids stable across re-reads (path-hash, not listing order)
+    again = {r.meta["path"].split("/")[-1]: r.media_id
+             for r in read_binary_dir(spark, str(tmp_path)).collect()}
+    assert {k: v.media_id for k, v in rows.items()} == again
+
+    # glob prunes before reading bytes
+    only_jpg = read_binary_dir(spark, str(tmp_path), glob="*.jpg").collect()
+    assert len(only_jpg) == 1 and only_jpg[0].kind == "image"
+
+    # media rows flow straight into the multimodal extractor
+    feats = {r.media_id: r for r in extract_features(
+        df.filter(df.kind != "binary")).collect()}
+    jpg = feats[rows["a.jpg"].media_id]
+    assert jpg.n_bytes == len(b"\xff\xd8fakejpeg")
+    assert jpg.checksum == hashlib.md5(b"\xff\xd8fakejpeg").hexdigest()
