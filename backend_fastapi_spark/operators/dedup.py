@@ -390,3 +390,70 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n_hashes: int = 16,
+    band_rows: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Ingest-time dedup: check a NEW batch against the EXISTING corpus
+    without ever comparing corpus-to-corpus — the shape a continuously
+    ingesting pipeline needs (the full-corpus pair sweep
+    ``minhash_lsh_pairs`` is the backfill tool; this is the per-batch
+    gate). Returns one row per batch doc:
+    (``id_col``, n_matches, first_match, accepted).
+
+    Both sides get the same MinHash signatures; the band join is
+    batch-keyed × corpus-keyed, so its cost is O(|batch| collisions) and
+    the corpus side contributes only its (pre-computable, persistable)
+    signature table — at 100 TB the corpus signatures are ~n_hashes·8
+    bytes/doc and the batch never meets raw corpus text. ``accepted`` is
+    the no-collision verdict (band agreement ⇒ est. Jaccard ≥ ~0.5 at
+    4-row bands); first_match = min colliding corpus id for audit."""
+    sig_c = materialize(
+        minhash_signatures(corpus, n_hashes, text_col, id_col, n)
+    )
+    sig_b = materialize(
+        minhash_signatures(batch, n_hashes, text_col, id_col, n)
+    )
+    n_bands = n_hashes // band_rows
+
+    def keyed(sigs, out_id):
+        band_keys = [
+            F.concat_ws(
+                "|",
+                *[F.col(f"sig_{b * band_rows + r}") for r in range(band_rows)],
+            )
+            for b in range(n_bands)
+        ]
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+        )
+
+    hits = (
+        keyed(sig_b, "batch_id")
+        .join(keyed(sig_c, "corpus_id"), ["band_idx", "band_key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("corpus_id").alias("first_match"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("batch_id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "first_match",
+            (F.coalesce("n_matches", F.lit(0)) == 0).alias("accepted"),
+        )
+    )

@@ -939,6 +939,68 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+_INC_BATCH_SQL = """
+    batch AS (
+      SELECT doc_id + 2000000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 1)"""
+
+_INC_HITS_SQL = " UNION ".join(
+    "SELECT bb.doc_id AS batch_id, cc.doc_id AS corpus_id "
+    "FROM sig_b bb JOIN sig cc ON "
+    + " AND ".join(f"bb.sig_{4*b+r} = cc.sig_{4*b+r}" for r in range(4))
+    for b in range(4)
+)
+
+
+@register(
+    "incremental_dedup_batch",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_INC_BATCH_SQL},
+    toks_b AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM batch),
+    sh_b AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM toks_b, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+             WHERE len(w) >= 3),
+    sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+    sig_b AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh_b GROUP BY doc_id),
+    hits AS (SELECT DISTINCT batch_id, corpus_id FROM ({_INC_HITS_SQL})),
+    agg AS (SELECT batch_id, COUNT(*) AS n_matches,
+                   MIN(corpus_id) AS first_match
+            FROM hits GROUP BY 1)
+    SELECT b.doc_id,
+           COALESCE(a.n_matches, 0) AS n_matches,
+           a.first_match,
+           COALESCE(a.n_matches, 0) = 0 AS accepted
+    FROM batch b LEFT JOIN agg a ON b.doc_id = a.batch_id
+    """,
+)
+def q_incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup gate (operators/dedup.py::
+    incremental_minhash_dedup): a synthetic new batch — 10% of the corpus
+    re-ingested verbatim (must collide) and 10% with word order reversed
+    (novel shingle sets) — is MinHash-banded against the corpus
+    signatures ONLY (batch × corpus, never corpus × corpus). The
+    continuous-ingest counterpart of the backfill pair sweep
+    (minhash_lsh_candidates): per-batch cost is |batch| signatures + band
+    collisions against a persistable corpus signature table."""
+    from backend_fastapi_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    verbatim = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    reversed_docs = docs.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
+    )
+    batch = verbatim.unionByName(reversed_docs)
+    return incremental_minhash_dedup(docs, batch)
+
+
+
 @register(
     "minhash_verified_dupes",
     oracle=f"""

@@ -243,3 +243,36 @@ def test_temperature_sample_rebalances_head(spark):
     # head share damped below raw share; tail share lifted above raw
     assert n["en"] / total < 600 / 750
     assert n["sw"] / total > 50 / 750
+
+
+def test_incremental_dedup_gate(spark):
+    """Batch-vs-corpus MinHash gate: verbatim re-ingests collide with
+    exactly their source doc; genuinely novel docs pass; output covers
+    every batch doc exactly once."""
+    from backend_fastapi_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    # doc-unique vocabularies: no cross-doc shingles, so the ONLY
+    # collisions are the planted verbatim copies
+    corpus_rows = [
+        (i, " ".join(f"d{i}w{j}" for j in range(30)))
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            # verbatim copies of docs 3 and 8 -> must collide
+            (103, corpus_rows[3][1]),
+            (108, corpus_rows[8][1]),
+            # novel vocabulary -> must be accepted
+            (200, " ".join(f"z{j}" for j in range(30))),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in
+           incremental_minhash_dedup(corpus, batch).collect()}
+    assert set(got) == {103, 108, 200}
+    assert not got[103].accepted and got[103].first_match == 3
+    assert not got[108].accepted and got[108].first_match == 8
+    assert got[200].accepted and got[200].n_matches == 0
