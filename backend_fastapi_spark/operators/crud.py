@@ -73,3 +73,80 @@ def salted_sum(
         .agg(F.sum(value_col).alias("_partial"))
     )
     return stage1.groupBy(*group_cols).agg(F.sum("_partial").alias(alias))
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tracked_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: history-preserving upsert.
+
+    ``current`` rows carry (key, tracked attrs, valid_from, valid_to,
+    is_current) — valid_to NULL on open rows. ``updates`` carry
+    (key, tracked attrs, ts_col). For each update whose tracked attrs
+    DIFFER from the key's open row (or whose key is new): close the open
+    row (valid_to = update ts, is_current = false) and open a new row
+    (valid_from = update ts, valid_to = NULL). No-change updates are
+    dropped (the standard SCD2 idempotence rule). One update per key per
+    call (the batch-merge contract; callers fold multi-update batches by
+    applying in ts order or pre-collapsing to the latest).
+
+    Plan shape: one shuffle on the key for the open-row join; closed
+    history rows pass through untouched (union, no rewrite) — with a
+    key-partitioned sink only affected partitions rewrite, the same CDC
+    posture as ``upsert``."""
+    open_rows = current.filter(F.col("valid_to").isNull())
+    closed_rows = current.filter(F.col("valid_to").isNotNull())
+
+    upd = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
+        F.col(ts_col).alias("_u_ts"),
+    )
+    joined = open_rows.join(upd, key_cols, "full_outer")
+
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~(
+            F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+        )
+    has_open = F.col("valid_from").isNotNull()
+    has_upd = F.col("_u_ts").isNotNull()
+
+    # open rows untouched (no update, or update equals current attrs)
+    untouched = joined.filter(
+        has_open & (~has_upd | (has_upd & ~changed))
+    ).select(*current.columns)
+    # open rows closed by a differing update
+    closed_now = (
+        joined.filter(has_open & has_upd & changed)
+        .select(
+            *key_cols,
+            *tracked_cols,
+            "valid_from",
+            F.col("_u_ts").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    # new open rows: differing update on an existing key, or a new key
+    opened = (
+        joined.filter(has_upd & (~has_open | changed))
+        .select(
+            *key_cols,
+            *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
+            F.col("_u_ts").alias("valid_from"),
+            # match current's valid_to type exactly (timestamp vs
+            # timestamp_ntz matters to unionByName)
+            F.lit(None).cast(current.schema["valid_to"].dataType)
+            .alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return (
+        closed_rows.unionByName(untouched)
+        .unionByName(closed_now)
+        .unionByName(opened)
+    )

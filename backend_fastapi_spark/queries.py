@@ -2521,6 +2521,84 @@ def q_paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "scd2_customer_merge",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, c_acctbal + 100 AS u_bal, c_mktsegment AS u_seg,
+             TIMESTAMP '2024-06-01' AS u_ts
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment, TIMESTAMP '2024-06-01'
+      FROM customer WHERE c_custkey % 7 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal, 'NEWSEG', TIMESTAMP '2024-06-01'
+      FROM customer WHERE c_custkey % 7 = 2),
+    j AS (
+      SELECT COALESCE(cur.c_custkey, upd.c_custkey) AS c_custkey,
+             cur.c_acctbal, cur.c_mktsegment, cur.valid_from, cur.valid_to,
+             cur.is_current, upd.u_bal, upd.u_seg, upd.u_ts,
+             (cur.c_acctbal IS DISTINCT FROM upd.u_bal
+              OR cur.c_mktsegment IS DISTINCT FROM upd.u_seg) AS changed
+      FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey)
+    SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to,
+           is_current
+    FROM j WHERE valid_from IS NOT NULL AND (u_ts IS NULL OR NOT changed)
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
+           u_ts AS valid_to, FALSE AS is_current
+    FROM j WHERE valid_from IS NOT NULL AND u_ts IS NOT NULL AND changed
+    UNION ALL
+    SELECT c_custkey, u_bal AS c_acctbal, u_seg AS c_mktsegment,
+           u_ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM j WHERE u_ts IS NOT NULL AND (valid_from IS NULL OR changed)
+    """,
+)
+def q_scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history-preserving merge (operators/crud.py::
+    scd2_apply) — the warehouse counterpart of the reference's row
+    UPDATE: instead of overwriting, close the open version (valid_to =
+    update ts) and open a new one. The synthetic update batch exercises
+    all four outcomes: changed rows (custkey%7=0, acctbal+100) close +
+    reopen, no-change updates (%7=1) are dropped, new keys (%7=2,
+    +1000000) insert, everyone else passes through. One full-outer
+    shuffle on the key; closed history never rewrites."""
+    from backend_fastapi_spark.operators.crud import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    ntz = "timestamp_ntz"
+    current = cust.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit("2024-01-01 00:00:00").cast(ntz).alias("valid_from"),
+        F.lit(None).cast(ntz).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    ts = F.lit("2024-06-01 00:00:00").cast(ntz)
+    changed = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        "c_mktsegment", ts.alias("ts"),
+    )
+    nochange = cust.filter(F.col("c_custkey") % 7 == 1).select(
+        "c_custkey", "c_acctbal", "c_mktsegment", ts.alias("ts")
+    )
+    inserts = cust.filter(F.col("c_custkey") % 7 == 2).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_acctbal", F.lit("NEWSEG").alias("c_mktsegment"), ts.alias("ts"),
+    )
+    updates = changed.unionByName(nochange).unionByName(inserts)
+    return scd2_apply(
+        current, updates, ["c_custkey"], "ts",
+        ["c_acctbal", "c_mktsegment"],
+    )
+
+
+@register(
     "upsert_orders",
     oracle="""
     WITH updates AS (

@@ -86,3 +86,45 @@ def test_delete_keys_ownership(spark):
     keys = spark.createDataFrame([(2,), (99,)], ["k"])  # 99 doesn't exist
     got = sorted(r.k for r in delete_keys(base, keys, ["k"]).collect())
     assert got == [1, 3]
+
+
+def test_scd2_multi_generation_history(spark):
+    """Two successive SCD2 merges build a 3-version history chain with
+    correct validity intervals and exactly one open row per key."""
+    import pandas as pd
+
+    from backend_fastapi_spark.operators.crud import scd2_apply
+
+    t0, t1, t2 = (pd.Timestamp(f"2024-0{m}-01") for m in (1, 3, 6))
+    current = spark.createDataFrame(
+        pd.DataFrame({
+            "k": [1, 2],
+            "attr": ["a", "x"],
+            "valid_from": [t0, t0],
+            "valid_to": [pd.NaT, pd.NaT],
+            "is_current": [True, True],
+        })
+    )
+    u1 = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "attr": ["b"], "ts": [t1]})
+    )
+    gen1 = scd2_apply(current, u1, ["k"], "ts", ["attr"])
+    u2 = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 3], "attr": ["c", "new"], "ts": [t2, t2]})
+    )
+    gen2 = scd2_apply(gen1, u2, ["k"], "ts", ["attr"])
+    rows = sorted(
+        ((r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+         for r in gen2.collect()),
+        key=lambda x: (x[0], x[2]),
+    )
+    assert rows == [
+        (1, "a", t0, t1, False),
+        (1, "b", t1, t2, False),
+        (1, "c", t2, None, True),
+        (2, "x", t0, None, True),
+        (3, "new", t2, None, True),
+    ]
+    # exactly one open row per key
+    opens = [r for r in rows if r[4]]
+    assert len(opens) == 3 and len({r[0] for r in opens}) == 3
