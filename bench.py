@@ -80,6 +80,8 @@ EXTRA = [
     "semantic_dedup_pairs",
     "kmv_set_similarity",
     "temperature_sample_langs",
+    "incremental_dedup_batch",
+    "scd2_customer_merge",
     "pii_scrub_stats",
     "decontaminate_test_split",
     "gopher_repetition_filter",
@@ -200,7 +202,8 @@ def main() -> None:
              "hll_distinct_deterministic", "cms_heavy_users_deterministic",
              "bottomk_sample_quantiles", "winnow_near_dup",
              "semantic_dedup_pairs", "kmv_set_similarity",
-             "temperature_sample_langs", "pii_scrub_stats",
+             "temperature_sample_langs", "incremental_dedup_batch",
+             "scd2_customer_merge", "pii_scrub_stats",
              "events_burst_60s", "funnel_conversion", "next_order_asof_forward"],
             sf1_dir, 1, sf1_extra, sf1_cards, sf1_cc, tag="sf1-extra ",
         )
