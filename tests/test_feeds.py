@@ -67,3 +67,42 @@ def test_parse_chart_payload(spark):
     # change/pct-change chain (tool_executor.py:314-317) on parsed bars
     change = rows[1].close - rows[0].close
     assert abs(change - 0.3) < 1e-9
+
+
+def test_rss_python_datasource(spark, tmp_path):
+    """Spark-4 custom Python DataSource: a directory of feed files reads
+    through spark.read.format('rss') — raw mode yields one payload row
+    per file (one input partition each); items mode matches the
+    column-expression parser (parse_rss_items) row for row."""
+    from backend_fastapi_spark.sources.rss_datasource import (
+        register_rss_source,
+    )
+
+    (tmp_path / "politics.xml").write_text(RSS_XML, encoding="utf-8")
+    second = RSS_XML.replace("news.example", "other.example")
+    (tmp_path / "economy.rss").write_text(second, encoding="utf-8")
+    (tmp_path / "notafeed.txt").write_text("ignored", encoding="utf-8")
+
+    register_rss_source(spark)
+
+    raw = spark.read.format("rss").load(str(tmp_path))
+    assert raw.count() == 2  # .txt not globbed
+    assert raw.rdd.getNumPartitions() == 2  # one partition per feed file
+
+    items = (
+        spark.read.format("rss").option("parse", "items")
+        .load(str(tmp_path))
+        .collect()
+    )
+    assert len(items) == 4
+    by_title = {r.title: r for r in items}
+    assert by_title["첫 번째 기사"].description == "본문 요약입니다"
+    assert by_title["Second article"].link == "https://news.example/a2"
+
+    # items mode agrees with the JVM xpath parser on the same payloads
+    parsed = parse_rss_items(raw).select(
+        "title", "link", "description", "pub_date"
+    ).collect()
+    a = sorted((r.title, r.link, r.description) for r in parsed)
+    b = sorted((r.title, r.link, r.description) for r in items)
+    assert a == b
