@@ -3445,6 +3445,156 @@ def q_gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 8-gram shingle CTE for contamination checks (3-grams are too common in
+# the synthetic vocabulary — full-corpus 3-gram decontamination empties
+# the train split; 8-grams match the eval-decontamination standard of
+# long n-grams and flag 7/422 train docs at sf0.01).
+_SHINGLES8_CTE = (
+    "sh8 AS (SELECT DISTINCT doc_id, "
+    + " || ' ' || ".join(f"w[i+{j}]" for j in range(8))
+    + " AS shingle8 "
+    "FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) t "
+    "WHERE len(w) >= 8)"
+)
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_SHINGLES8_CTE},
+    wc AS (
+      SELECT doc_id, x AS g, COUNT(*) AS c
+      FROM toks, LATERAL (SELECT unnest(w) AS x) t GROUP BY 1, 2),
+    tw AS (SELECT doc_id, MAX(c) AS top_word_c FROM wc GROUP BY 1),
+    qbase AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS DOUBLE)
+               / CAST(greatest(len(w), 1) AS DOUBLE) AS distinct_ratio
+      FROM toks),
+    quality AS (
+      SELECT qbase.doc_id FROM qbase JOIN tw USING (doc_id)
+      WHERE n_words >= 20
+        AND CAST(top_word_c AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+            <= 0.11
+        AND distinct_ratio >= 0.4),
+    exact_keep AS (
+      SELECT doc_id FROM (
+        SELECT d.doc_id,
+               row_number() OVER (PARTITION BY md5(d.text)
+                                  ORDER BY d.doc_id) AS rn
+        FROM documents d JOIN quality q ON d.doc_id = q.doc_id)
+      WHERE rn = 1),
+    shq AS (SELECT s.* FROM sh s JOIN exact_keep k USING (doc_id)),
+    sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM shq GROUP BY doc_id),
+    near_removed AS (SELECT DISTINCT id_b FROM ({_BAND_JOINS_SQL})),
+    near_keep AS (
+      SELECT doc_id FROM exact_keep
+      WHERE doc_id NOT IN (SELECT id_b FROM near_removed)),
+    split AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents),
+    test_sh8 AS (
+      SELECT DISTINCT shingle8 FROM sh8 JOIN split USING (doc_id)
+      WHERE split = 'test'),
+    cont AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh8 s JOIN test_sh8 USING (shingle8)),
+    decon AS (
+      SELECT k.doc_id, d.lang
+      FROM near_keep k
+      JOIN split USING (doc_id)
+      JOIN documents d ON d.doc_id = k.doc_id
+      WHERE split = 'train'
+        AND k.doc_id NOT IN (SELECT doc_id FROM cont)),
+    dstats AS (
+      SELECT lang, COUNT(*) AS n_g,
+             CAST(ROUND(sqrt(CAST(COUNT(*) AS DOUBLE))*1000000) AS BIGINT)
+               AS w_i64
+      FROM decon GROUP BY lang),
+    dtot AS (SELECT SUM(n_g) AS n_total, SUM(w_i64) AS w_total FROM dstats),
+    squota AS (
+      SELECT LEAST(n_g,
+               (CAST(n_total AS BIGINT) // 2) * w_i64 // w_total) AS q
+      FROM dstats, dtot)
+    SELECT 'a_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL SELECT 'b_quality', CAST(COUNT(*) AS BIGINT) FROM quality
+    UNION ALL SELECT 'c_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM exact_keep
+    UNION ALL SELECT 'd_near_dedup', CAST(COUNT(*) AS BIGINT) FROM near_keep
+    UNION ALL SELECT 'e_decontaminated', CAST(COUNT(*) AS BIGINT) FROM decon
+    UNION ALL SELECT 'f_sampled', CAST(COALESCE(SUM(q), 0) AS BIGINT) FROM squota
+    """,
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus curation flagship — every stage a
+    first-class operator elsewhere in the registry, here chained the way
+    a real pretraining pipeline runs them, with a per-stage survivor
+    ledger as the output (the dashboard number a data curator actually
+    reads): raw → Gopher quality gate → exact dedup (md5 group min) →
+    MinHash near-dup prune → 8-gram test-set decontamination of the
+    train split → alpha=0.5 temperature sample. Stage cardinalities at
+    sf0.01: 500 → 198 → 198 (no exact dups in the corpus — honest
+    zero-drop) → 189 → 162 → 79. Plan: each stage is a semi/anti join on
+    doc_id against the previous survivor set; the shingle substrate is
+    shared; nothing is collected."""
+    from backend_fastapi_spark.operators.dedup import minhash_lsh_pairs
+    from backend_fastapi_spark.operators.pipeline import (
+        repetition_metrics,
+        temperature_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = repetition_metrics(docs)
+    quality = m.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("top_word_frac") <= 0.11)
+        & (F.col("distinct_ratio") >= 0.4)
+    ).select("doc_id")
+    q_docs = docs.join(quality, "doc_id")
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_keep = (
+        q_docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    near_removed = (
+        minhash_lsh_pairs(exact_keep).select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    near_keep = exact_keep.join(near_removed, "doc_id", "left_anti")
+
+    is_test = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1")
+    test_sh8 = (
+        D.shingle_table(docs.filter(is_test), n=8)
+        .select("shingle").distinct()
+    )
+    cont = (
+        D.shingle_table(near_keep, n=8)
+        .join(test_sh8, "shingle")
+        .select("doc_id").distinct()
+    )
+    decon = (
+        near_keep.filter(~is_test)
+        .join(cont, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+    sampled = temperature_sample(decon, "lang")
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("a_raw", docs)
+        .unionByName(stage("b_quality", quality))
+        .unionByName(stage("c_exact_dedup", exact_keep))
+        .unionByName(stage("d_near_dedup", near_keep))
+        .unionByName(stage("e_decontaminated", decon))
+        .unionByName(stage("f_sampled", sampled))
+    )
+
+
 # Deterministic PII planting for pii_scrub_stats: the synthetic corpus
 # contains no emails/URLs/phone numbers (DuckDB probe: 0 matches for all
 # three patterns at every sf), so scrubbing the raw table would be a

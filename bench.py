@@ -82,6 +82,7 @@ EXTRA = [
     "temperature_sample_langs",
     "incremental_dedup_batch",
     "scd2_customer_merge",
+    "corpus_curation_pipeline",
     "pii_scrub_stats",
     "decontaminate_test_split",
     "gopher_repetition_filter",
@@ -203,7 +204,8 @@ def main() -> None:
              "bottomk_sample_quantiles", "winnow_near_dup",
              "semantic_dedup_pairs", "kmv_set_similarity",
              "temperature_sample_langs", "incremental_dedup_batch",
-             "scd2_customer_merge", "pii_scrub_stats",
+             "scd2_customer_merge", "corpus_curation_pipeline",
+             "pii_scrub_stats",
              "events_burst_60s", "funnel_conversion", "next_order_asof_forward"],
             sf1_dir, 1, sf1_extra, sf1_cards, sf1_cc, tag="sf1-extra ",
         )
