@@ -432,6 +432,215 @@ def kmv_jaccard(
     )
 
 
+# --- Bloom filter (membership) ----------------------------------------
+BLOOM_J = 3  # hash probes per key
+# 63-bit words: bit positions shift by 0..62 only, because DuckDB's
+# BIGINT << raises on a shift of 63 (sign-bit overflow) while Spark
+# wraps — 63 is the largest width both engines evaluate identically.
+BLOOM_WORD_BITS = 63
+BLOOM_MIN_WORDS = 16
+
+
+def _bloom_words(n_members: int) -> int:
+    """Filter size for ``n_members`` keys: the smallest power-of-two word
+    count giving >= 3·J·n bits (fill ~ 1/3, fpr ~ (1-e^-1/3)^3 ~ 2.3%)
+    — the classic m ~ 1.44·J·n/ln2 sizing rounded to a pow2. Integer
+    arithmetic only (bit_length = the length(bin(x-1)) idiom) so the
+    DuckDB oracle reproduces the same size from the same count."""
+    target_words = (3 * BLOOM_J * max(n_members, 1) + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    return max(BLOOM_MIN_WORDS, 1 << (target_words - 1).bit_length())
+
+
+def _bloom_positions(df: DataFrame, key_col: str, m_bits: int) -> DataFrame:
+    """(key, word_idx, mask): the BLOOM_J md5-derived bit positions of
+    each distinct key, as word index + single-bit mask."""
+    probes = F.array(*[F.lit(i) for i in range(BLOOM_J)])
+    return (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .distinct()
+        .select("key", F.explode(probes).alias("i"))
+        .select(
+            "key",
+            (
+                _h32(F.concat(F.col("key"), F.lit("#"), F.col("i").cast("string")))
+                % F.lit(m_bits)
+            ).alias("pos"),
+        )
+        .select(
+            "key",
+            F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+    )
+
+
+def bloom_build(df: DataFrame, key_col: str, words: int) -> DataFrame:
+    """(word_idx, bits): the Bloom filter of ``key_col`` as a bitmap of
+    ``words`` 63-bit int64 words — at most ``words`` rows regardless of
+    input size (one map-side-combined bit_or shuffle), the mergeable
+    membership sketch beside HLL/CMS/bottom-k/KMV. Merging two filters
+    is bit_or over word_idx (property-tested)."""
+    return (
+        _bloom_positions(df, key_col, words * BLOOM_WORD_BITS)
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_prejoin_stats(
+    member_df: DataFrame,
+    member_key: str,
+    probe_df: DataFrame,
+    probe_key: str,
+    label: str,
+) -> DataFrame:
+    """One-row (src, n_members, n_words, n_bits_set, n_probe_keys,
+    n_pass, n_true, n_false_pos): the full lifecycle of a Bloom-filter
+    join prune — build over the SMALL side's keys, probe the big side's
+    distinct keys broadcast, and audit the pass set against the exact
+    semi-join. This is the runtime-filter pattern Spark's own
+    bloomFilter runtime rewrite applies (spark.sql.optimizer.runtime.
+    bloomFilter.enabled), made explicit and DETERMINISTIC: md5-derived
+    positions, integer-only sizing from the member count, 63-bit words —
+    so build, probe, and the false-positive count are all DuckDB
+    hash-checked (no-false-negative is structural: every member's bits
+    are set by construction; property-tested anyway).
+
+    Scale posture: the filter is <= n_words rows (pow2-sized from the
+    member count, ~6 bits/member) and broadcasts; probing costs one
+    distinct on the big side's key + J broadcast lookups per key — no
+    shuffle of the big side beyond its key distinct, which is the same
+    exchange the exact semi-join would pay, while the filter itself can
+    be pushed below it at 100 TB (probe pass-rate here measures exactly
+    what such a pushdown would keep)."""
+    n_members = (
+        member_df.select(F.col(member_key).cast("string")).distinct().count()
+    )
+    words = _bloom_words(n_members)
+    filt = bloom_build(member_df, member_key, words)
+    probed = (
+        _bloom_positions(probe_df, probe_key, words * BLOOM_WORD_BITS)
+        .join(F.broadcast(filt), "word_idx", "left")
+        .select(
+            "key",
+            (
+                F.coalesce(F.col("bits"), F.lit(0).cast("long"))
+                .bitwiseAND(F.col("mask"))
+                != 0
+            ).cast("int").alias("hit"),
+        )
+        .groupBy("key")
+        .agg(F.min("hit").alias("pass"))
+    )
+    members = member_df.select(
+        F.col(member_key).cast("string").alias("key")
+    ).distinct()
+    audited = probed.join(
+        F.broadcast(members.withColumn("is_member", F.lit(1))), "key", "left"
+    ).select(
+        "pass", F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member")
+    )
+    bits_set = filt.agg(
+        F.sum(F.bit_count("bits")).alias("n_bits_set")
+    )
+    return (
+        audited.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe_keys"),
+            F.sum("pass").cast("long").alias("n_pass"),
+            F.sum("is_member").cast("long").alias("n_true"),
+            F.sum(
+                F.col("pass") * (F.lit(1) - F.col("is_member"))
+            ).cast("long").alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(bits_set))
+        .select(
+            F.lit(label).alias("src"),
+            F.lit(n_members).cast("long").alias("n_members"),
+            F.lit(words).cast("long").alias("n_words"),
+            F.col("n_bits_set").cast("long").alias("n_bits_set"),
+            "n_probe_keys",
+            "n_pass",
+            "n_true",
+            "n_false_pos",
+        )
+    )
+
+
+def bloom_prejoin_oracle_sql(
+    member_table: str,
+    member_key: str,
+    probe_table: str,
+    probe_key: str,
+    label: str,
+) -> str:
+    """DuckDB twin of bloom_prejoin_stats — same md5 positions, same
+    integer pow2 sizing (length(bin(x-1)) bit-length idiom), same 63-bit
+    words and bit_or/bit_count arithmetic."""
+    return f"""
+    WITH n AS (
+      SELECT COUNT(DISTINCT CAST({member_key} AS VARCHAR)) AS n_members
+      FROM {member_table}),
+    sz AS (
+      SELECT n_members,
+             GREATEST({BLOOM_MIN_WORDS},
+               CASE WHEN tw <= 1 THEN 1
+                    ELSE CAST(1 AS BIGINT) << length(bin(tw - 1)) END) AS words
+      FROM (SELECT n_members,
+                   (3 * {BLOOM_J} * GREATEST(n_members, 1)
+                    + {BLOOM_WORD_BITS} - 1) // {BLOOM_WORD_BITS} AS tw
+            FROM n)),
+    mpos AS (
+      SELECT key, pos // {BLOOM_WORD_BITS} AS word_idx,
+             CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INTEGER) AS mask
+      FROM (
+        SELECT key,
+               CAST(('0x' || substr(md5(key || '#' || CAST(i.i AS VARCHAR)),
+                                    1, 8)) AS BIGINT)
+                 % (sz.words * {BLOOM_WORD_BITS}) AS pos
+        FROM (SELECT DISTINCT CAST({member_key} AS VARCHAR) AS key
+              FROM {member_table}),
+             (SELECT unnest(range({BLOOM_J})) AS i) i, sz)),
+    filt AS (
+      SELECT word_idx, bit_or(mask) AS bits FROM mpos GROUP BY word_idx),
+    ppos AS (
+      SELECT key, pos // {BLOOM_WORD_BITS} AS word_idx,
+             CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INTEGER) AS mask
+      FROM (
+        SELECT key,
+               CAST(('0x' || substr(md5(key || '#' || CAST(i.i AS VARCHAR)),
+                                    1, 8)) AS BIGINT)
+                 % (sz.words * {BLOOM_WORD_BITS}) AS pos
+        FROM (SELECT DISTINCT CAST({probe_key} AS VARCHAR) AS key
+              FROM {probe_table}),
+             (SELECT unnest(range({BLOOM_J})) AS i) i, sz)),
+    probed AS (
+      SELECT p.key,
+             MIN(CASE WHEN (COALESCE(f.bits, 0) & p.mask) != 0
+                      THEN 1 ELSE 0 END) AS pass
+      FROM ppos p LEFT JOIN filt f USING (word_idx)
+      GROUP BY p.key),
+    audited AS (
+      SELECT probed.pass,
+             CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS is_member
+      FROM probed LEFT JOIN
+           (SELECT DISTINCT CAST({member_key} AS VARCHAR) AS key
+            FROM {member_table}) m ON probed.key = m.key)
+    SELECT '{label}' AS src,
+           CAST(sz.n_members AS BIGINT) AS n_members,
+           CAST(sz.words AS BIGINT) AS n_words,
+           (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) FROM filt)
+             AS n_bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           CAST(SUM(is_member) AS BIGINT) AS n_true,
+           CAST(SUM(pass * (1 - is_member)) AS BIGINT) AS n_false_pos
+    FROM audited, sz
+    GROUP BY sz.n_members, sz.words
+    """
+
+
 def kmv_jaccard_oracle_sql(
     table: str, group_expr: str, key_expr: str, k: int = KMV_K
 ) -> str:

@@ -4943,6 +4943,42 @@ def q_kmv_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_jaccard(_t(spark, sf_dir, "events"), "event_type", "user_id")
 
 
+@register(
+    "bloom_prejoin_stats",
+    oracle=SK.bloom_prejoin_oracle_sql(
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+        "c_custkey",
+        "orders",
+        "o_custkey",
+        "building_custkeys",
+    ),
+)
+def q_bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter join prune, audited end to end: build
+    the filter over BUILDING customers' keys (the small side), probe
+    every distinct orders.o_custkey against it broadcast, and count
+    passes / true members / false positives vs the exact semi-join —
+    the membership sketch completing the deterministic family (HLL =
+    cardinality, CMS = frequency, bottom-k = quantiles, KMV = overlap,
+    Bloom = membership). md5 positions, integer pow2 sizing from the
+    member count, 63-bit words, so DuckDB reproduces filter bits and
+    the FP count exactly; no-false-negatives is structural and
+    property-tested in tests/test_sketches.py. This is the explicit
+    form of Spark's runtime bloom-filter rewrite: at 100 TB the filter
+    broadcasts below the big side's shuffle and the pass-rate here is
+    precisely the shuffle volume such a pushdown saves."""
+    from backend_fastapi_spark.operators.sketches import bloom_prejoin_stats
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return bloom_prejoin_stats(
+        cust, "c_custkey",
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        "building_custkeys",
+    )
+
+
 # Driver-evidence bookkeeping. The driver walks the registry in emitted
 # order and budget-caps how many queries it checks per round (~50 slots),
 # so order by how much a fresh driver row is worth. Round-4 lesson: a

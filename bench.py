@@ -79,6 +79,7 @@ EXTRA = [
     "winnow_near_dup",
     "semantic_dedup_pairs",
     "kmv_set_similarity",
+    "bloom_prejoin_stats",
     "temperature_sample_langs",
     "incremental_dedup_batch",
     "scd2_customer_merge",
@@ -203,7 +204,7 @@ def main() -> None:
              "hll_distinct_deterministic", "cms_heavy_users_deterministic",
              "bottomk_sample_quantiles", "winnow_near_dup",
              "semantic_dedup_pairs", "kmv_set_similarity",
-             "temperature_sample_langs", "incremental_dedup_batch",
+             "bloom_prejoin_stats", "temperature_sample_langs", "incremental_dedup_batch",
              "scd2_customer_merge", "corpus_curation_pipeline",
              "pii_scrub_stats",
              "events_burst_60s", "funnel_conversion", "next_order_asof_forward"],

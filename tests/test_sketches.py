@@ -229,3 +229,69 @@ def test_kmv_jaccard_estimate_accuracy(spark):
         assert got[pair].n_common == round(est * SK.KMV_K)
     # disjoint sets estimate exactly zero (no common member can enter)
     assert got[("B", "C")].est_jaccard == 0.0
+
+
+# --- Bloom filter ------------------------------------------------------
+
+
+def _py_bloom_positions(key, m_bits):
+    out = []
+    for i in range(SK.BLOOM_J):
+        hv = int(hashlib.md5(f"{key}#{i}".encode()).hexdigest()[:8], 16)
+        pos = hv % m_bits
+        out.append((pos // SK.BLOOM_WORD_BITS, 1 << (pos % SK.BLOOM_WORD_BITS)))
+    return out
+
+
+def test_bloom_build_matches_pure_python_reference(spark):
+    df = spark.createDataFrame([(k,) for k in range(50)], ["k"])
+    words = SK._bloom_words(50)
+    got = {r.word_idx: r.bits for r in SK.bloom_build(df, "k", words).collect()}
+    want: dict[int, int] = {}
+    for k in range(50):
+        for w, mask in _py_bloom_positions(k, words * SK.BLOOM_WORD_BITS):
+            want[w] = want.get(w, 0) | mask
+    assert got == want
+
+
+def test_bloom_no_false_negatives_and_fpr_bounded(spark):
+    members = spark.createDataFrame([(k,) for k in range(500)], ["k"])
+    probes = spark.createDataFrame([(k,) for k in range(5000)], ["k"])
+    row = SK.bloom_prejoin_stats(members, "k", probes, "k", "t").collect()[0]
+    assert row.n_members == 500
+    assert row.n_probe_keys == 5000
+    # structural: every member's bits were set by the build, so the
+    # exact-member count must be fully contained in the pass set.
+    assert row.n_true == 500
+    assert row.n_pass >= row.n_true
+    assert row.n_false_pos == row.n_pass - row.n_true
+    # sizing targets fill ~1/3 -> fpr ~2.3%; assert a loose 10% bound.
+    assert row.n_false_pos <= 0.10 * (row.n_probe_keys - row.n_true)
+
+
+def test_bloom_is_mergeable(spark):
+    """bit_or of two builds over disjoint halves == build of the union
+    (the mergeable-summary property, same as HLL max-merge)."""
+    words = SK._bloom_words(100)
+    a = spark.createDataFrame([(k,) for k in range(50)], ["k"])
+    b = spark.createDataFrame([(k,) for k in range(50, 100)], ["k"])
+    u = a.unionByName(b)
+    merged = (
+        SK.bloom_build(a, "k", words)
+        .unionByName(SK.bloom_build(b, "k", words))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    got = {r.word_idx: r.bits for r in merged.collect()}
+    want = {r.word_idx: r.bits for r in SK.bloom_build(u, "k", words).collect()}
+    assert got == want
+
+
+def test_bloom_sizing_pow2_and_monotone():
+    sizes = [SK._bloom_words(n) for n in (0, 1, 10, 100, 1000, 10000)]
+    assert all(s & (s - 1) == 0 for s in sizes)  # powers of two
+    assert sizes == sorted(sizes)
+    assert sizes[0] == SK.BLOOM_MIN_WORDS
+    # >= 3 bits per probe (fill <= 1/3) for every nontrivial size
+    for n, s in zip((100, 1000, 10000), sizes[3:]):
+        assert s * SK.BLOOM_WORD_BITS >= 3 * SK.BLOOM_J * n
