@@ -217,3 +217,29 @@ class Engine:
                 F.sum("n_phone").alias("n_phone"),
             )
         )
+
+    def compact_table(
+        self, src: str, dst: str, target_bytes: int | None = None
+    ) -> dict:
+        """Small-file compaction (operators/maintenance.py::compact):
+        rewrite the parquet directory at ``src`` into ``dst`` at ~128 MB
+        files (or ``target_bytes``), returning before/after file stats.
+        Write-then-swap; ``src`` is never mutated."""
+        from backend_fastapi_spark.operators import maintenance as M
+
+        return M.compact(
+            self.spark, src, dst,
+            target_bytes=target_bytes or M.DEFAULT_TARGET_BYTES,
+        )
+
+    def cluster_table(
+        self, df: DataFrame, dst: str, sort_cols: list[str], n_files: int
+    ) -> dict:
+        """Sort-on-write clustering (operators/maintenance.py::
+        cluster_write): range-partition + sort ``df`` on ``sort_cols``
+        into ``n_files`` parquet files so row-group min/max stats prune
+        selective scans; returns the written layout's file stats."""
+        from backend_fastapi_spark.operators import maintenance as M
+
+        M.cluster_write(df, dst, sort_cols, n_files)
+        return M.file_stats(self.spark, dst)

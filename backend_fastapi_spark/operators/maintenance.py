@@ -1,0 +1,137 @@
+"""Lake maintenance: small-file compaction + sort-on-write clustering.
+
+The reference's index lifecycle (create/bootstrap/upsert sinks,
+src/services/vector_db_service.py) stops at "write the rows". At 100 TB
+a sink that only appends degrades in two independent ways this module
+addresses, both standard lakehouse practice expressed with public Spark
+APIs only:
+
+- **Small files.** Streaming/batch upserts leave thousands of KB-sized
+  parquet files; each costs a scan task + a namenode/S3 LIST round trip.
+  `compact()` rewrites a table directory at a target in-file byte size
+  (one `repartition(n)` — a single round-robin shuffle, no skew by
+  construction) and reports before/after file stats.
+- **Unclustered layout.** Parquet row-group min/max stats only prune
+  scans when values are locally clustered. `cluster_write()` writes
+  range-partitioned + sorted-within-partition files
+  (`repartitionByRange(n, cols).sortWithinPartitions(cols)`) so every
+  selective range predicate touches O(selectivity) row groups instead of
+  all of them. `skipping_report()` PROVES the effect from the parquet
+  footers themselves (pyarrow): the fraction of row groups whose
+  [min, max] envelope intersects a probe predicate — the same statistic
+  a Spark scan's row-group filter uses to skip IO.
+
+Scale posture: compact's shuffle moves each byte exactly once and the
+output file count is total_bytes/target (128 MB default — the classic
+HDFS-block-aligned size); cluster_write's range exchange samples
+boundaries so output files are equal-sized even under key skew. Neither
+collects data to the driver; the file-stats reports read FileSystem
+metadata (one LIST) and parquet footers (O(files), metadata-only IO).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # one HDFS block / S3 part
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """[(file_path, bytes)] for a table directory, via the Hadoop
+    FileSystem API (works on file://, hdfs://, s3a:// alike) — one LIST,
+    metadata only."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(".parquet"):
+            out.append((name, int(st.getLen())))
+    return sorted(out)
+
+
+def file_stats(spark: SparkSession, path: str) -> dict:
+    """{n_files, total_bytes, max_bytes, min_bytes, avg_bytes} for the
+    parquet files under ``path``."""
+    files = _list_parquet_files(spark, path)
+    sizes = [b for _, b in files]
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "max_bytes": max(sizes, default=0),
+        "min_bytes": min(sizes, default=0),
+        "avg_bytes": sum(sizes) // len(sizes) if sizes else 0,
+    }
+
+
+def compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> dict:
+    """Rewrite the parquet table at ``src`` into ``dst`` with
+    ceil(total_bytes / target_bytes) output files. Returns
+    {before, after} file stats. Write-then-swap is the caller's
+    transaction (at scale: a metastore/table-format pointer flip);
+    this operator never mutates ``src``."""
+    before = file_stats(spark, src)
+    n_out = max(1, math.ceil(before["total_bytes"] / target_bytes))
+    df = spark.read.parquet(src)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst)
+    return {"before": before, "after": file_stats(spark, dst), "n_out": n_out}
+
+
+def cluster_write(
+    df: DataFrame,
+    dst: str,
+    sort_cols: list[str],
+    n_files: int,
+) -> None:
+    """Write ``df`` range-partitioned on ``sort_cols`` into ``n_files``
+    files, sorted within each file — the layout that makes parquet
+    row-group min/max stats (and any engine's zone maps) selective for
+    range and point predicates on ``sort_cols``."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+
+
+def skipping_report(path: str, col: str, lo, hi) -> dict:
+    """Row-group pruning statistics for predicate ``lo <= col <= hi``,
+    read from the parquet footers (pyarrow, metadata-only): how many row
+    groups a stats-aware scan must read vs the total. Lower
+    overlap_fraction = better clustering = less IO at 100 TB."""
+    import pyarrow.parquet as pq
+
+    local = path[len("file:"):] if path.startswith("file:") else path
+    total = 0
+    overlapping = 0
+    for name in sorted(os.listdir(local)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(local, name)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            total += 1
+            if stats is None or not stats.has_min_max:
+                overlapping += 1  # no stats -> engine must read it
+            elif not (stats.max < lo or stats.min > hi):
+                overlapping += 1
+    return {
+        "row_groups": total,
+        "overlapping": overlapping,
+        "overlap_fraction": overlapping / total if total else 0.0,
+    }

@@ -1,0 +1,83 @@
+"""Lake-maintenance operators: compaction + clustering + data skipping.
+
+Evidence class: test-only (maintenance ops have no query semantics to
+oracle); the data-skipping proof reads parquet footers directly, the
+same stats a Spark scan's row-group filter consults.
+"""
+
+from __future__ import annotations
+
+from backend_fastapi_spark.operators import maintenance as M
+from tests.conftest import SF_SMOKE
+
+
+def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.repartition(64).write.parquet(src)
+    assert M.file_stats(spark, src)["n_files"] == 64
+    # Target sized to land ~4 files for this tiny table.
+    target = max(1, M.file_stats(spark, src)["total_bytes"] // 4)
+    report = M.compact(spark, src, dst, target_bytes=target)
+    assert report["before"]["n_files"] == 64
+    assert 1 <= report["after"]["n_files"] <= 6
+    assert report["after"]["n_files"] == report["n_out"]
+    assert spark.read.parquet(dst).count() == docs.count()
+    # src untouched (write-then-swap is the caller's transaction)
+    assert M.file_stats(spark, src)["n_files"] == 64
+
+
+def test_cluster_write_enables_row_group_skipping(spark, tmp_path):
+    """A narrow range predicate on the sort key must overlap (almost)
+    only its own slice of a clustered layout, but every file of a
+    hash-scattered layout."""
+    scattered = str(tmp_path / "scattered")
+    clustered = str(tmp_path / "clustered")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n_files = 8
+    # Scattered: round-robin, every file holds the full key range.
+    orders.repartition(n_files).write.parquet(scattered)
+    M.cluster_write(orders, clustered, ["o_orderkey"], n_files)
+    lo, hi = 1, 100  # ~bottom slice of o_orderkey
+    bad = M.skipping_report(scattered, "o_orderkey", lo, hi)
+    good = M.skipping_report(clustered, "o_orderkey", lo, hi)
+    assert bad["overlap_fraction"] == 1.0
+    assert good["overlapping"] <= 2  # the slice's file (+1 boundary)
+    assert good["overlap_fraction"] < bad["overlap_fraction"]
+    # Same data either way.
+    a = spark.read.parquet(clustered).count()
+    assert a == orders.count()
+
+
+def test_clustered_scan_results_unchanged(spark, tmp_path):
+    """Clustering is layout-only: filters return identical rows."""
+    clustered = str(tmp_path / "clustered2")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    M.cluster_write(orders, clustered, ["o_custkey"], 4)
+    want = sorted(
+        r.o_orderkey
+        for r in orders.filter("o_custkey BETWEEN 10 AND 20").collect()
+    )
+    got = sorted(
+        r.o_orderkey
+        for r in spark.read.parquet(clustered)
+        .filter("o_custkey BETWEEN 10 AND 20")
+        .collect()
+    )
+    assert got == want
+
+
+def test_engine_facade_compact_and_cluster(spark, tmp_path):
+    from backend_fastapi_spark.api import Engine
+
+    eng = Engine.open(spark, SF_SMOKE)
+    src = str(tmp_path / "frag2")
+    eng.table("documents").repartition(16).write.parquet(src)
+    rep = eng.compact_table(src, str(tmp_path / "out"),
+                            target_bytes=10**9)
+    assert rep["after"]["n_files"] == 1
+    stats = eng.cluster_table(
+        eng.table("orders"), str(tmp_path / "clus"), ["o_orderdate"], 4
+    )
+    assert stats["n_files"] == 4
