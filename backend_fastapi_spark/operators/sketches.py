@@ -515,11 +515,18 @@ def bloom_prejoin_stats(
     exchange the exact semi-join would pay, while the filter itself can
     be pushed below it at 100 TB (probe pass-rate here measures exactly
     what such a pushdown would keep)."""
-    n_members = (
-        member_df.select(F.col(member_key).cast("string")).distinct().count()
+    from backend_fastapi_spark.operators.util import materialize
+
+    # Materialize once: the member distinct feeds the count action, the
+    # filter build, AND the audit join; the filter feeds the probe join
+    # AND the bits_set report — without this each consumer re-runs the
+    # member-side scan (small by contract, but 5 scans is still 5).
+    members_keys = materialize(
+        member_df.select(F.col(member_key).cast("string").alias("key")).distinct()
     )
+    n_members = members_keys.count()
     words = _bloom_words(n_members)
-    filt = bloom_build(member_df, member_key, words)
+    filt = materialize(bloom_build(members_keys, "key", words))
     probed = (
         _bloom_positions(probe_df, probe_key, words * BLOOM_WORD_BITS)
         .join(F.broadcast(filt), "word_idx", "left")
@@ -534,11 +541,10 @@ def bloom_prejoin_stats(
         .groupBy("key")
         .agg(F.min("hit").alias("pass"))
     )
-    members = member_df.select(
-        F.col(member_key).cast("string").alias("key")
-    ).distinct()
     audited = probed.join(
-        F.broadcast(members.withColumn("is_member", F.lit(1))), "key", "left"
+        F.broadcast(members_keys.withColumn("is_member", F.lit(1))),
+        "key",
+        "left",
     ).select(
         "pass", F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member")
     )

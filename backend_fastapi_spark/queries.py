@@ -1658,6 +1658,51 @@ def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_extract_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE k > 50) AS BIGINT) AS n_hot,
+           CAST(COUNT(DISTINCT CASE WHEN k > 50 THEN user_id END) AS BIGINT)
+             AS n_hot_users,
+           CAST(SUM(CASE WHEN k > 50 THEN k ELSE 0 END) AS BIGINT) AS sum_hot_k
+    FROM (SELECT event_type, user_id,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_variant_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON via Spark 4's VARIANT type: parse_json(props) ingests
+    the payload once into the binary variant encoding, variant_get
+    extracts typed fields with codegen (the modern replacement for
+    per-access get_json_object string re-parsing — at 100 TB a
+    semi-structured column is parsed ONCE at ingest and every
+    downstream extraction is a binary offset lookup). Same answer
+    shape as json_extract_stats but through the VARIANT path, so the
+    DuckDB JSON oracle hash-checks Spark's variant encode/decode end
+    to end: per event_type, total events, hot (k>50) events, distinct
+    hot users, hot-k sum."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    hot = F.when(k > 50, F.col("user_id"))
+    return (
+        ev.select("event_type", "user_id", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(F.col("k") > 50, 1)).cast("long").alias("n_hot"),
+            F.countDistinct(F.when(F.col("k") > 50, F.col("user_id")))
+            .cast("long")
+            .alias("n_hot_users"),
+            F.sum(F.when(F.col("k") > 50, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("sum_hot_k"),
+        )
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH marked AS (
