@@ -3585,17 +3585,29 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature_sample,
     )
 
+    # The ledger union makes every stage a separate plan branch, and a
+    # later stage's lineage contains ALL earlier stages — without a cut,
+    # the quality scan runs ~5x and the MinHash chain ~3x (exchange
+    # reuse only dedupes at shuffle boundaries). Materialize each tiny
+    # id-set survivor AT ITS DEFINITION so every downstream stage and
+    # ledger branch re-reads a few-hundred-row checkpoint instead of
+    # re-running the chain. Counts are unchanged — the same
+    # localCheckpoint/checkpoint cut the band joins use.
+    from backend_fastapi_spark.operators.util import materialize
+
     docs = _t(spark, sf_dir, "documents")
     m = repetition_metrics(docs)
-    quality = m.filter(
-        (F.col("n_words") >= 20)
-        & (F.col("top_word_frac") <= 0.11)
-        & (F.col("distinct_ratio") >= 0.4)
-    ).select("doc_id")
+    quality = materialize(
+        m.filter(
+            (F.col("n_words") >= 20)
+            & (F.col("top_word_frac") <= 0.11)
+            & (F.col("distinct_ratio") >= 0.4)
+        ).select("doc_id")
+    )
     q_docs = docs.join(quality, "doc_id")
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    exact_keep = (
+    exact_keep = materialize(
         q_docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
@@ -3604,7 +3616,9 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs(exact_keep).select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    near_keep = exact_keep.join(near_removed, "doc_id", "left_anti")
+    near_keep = materialize(
+        exact_keep.join(near_removed, "doc_id", "left_anti")
+    )
 
     is_test = F.substring(
         F.md5(F.col("doc_id").cast("string")), 1, 1
@@ -3618,7 +3632,7 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(test_sh8, "shingle")
         .select("doc_id").distinct()
     )
-    decon = (
+    decon = materialize(
         near_keep.filter(~is_test)
         .join(cont, "doc_id", "left_anti")
         .select("doc_id", "lang")
