@@ -295,3 +295,37 @@ def test_bloom_sizing_pow2_and_monotone():
     # >= 3 bits per probe (fill <= 1/3) for every nontrivial size
     for n, s in zip((100, 1000, 10000), sizes[3:]):
         assert s * SK.BLOOM_WORD_BITS >= 3 * SK.BLOOM_J * n
+
+
+def test_bloom_sizing_sql_parity():
+    """The oracle recomputes _bloom_words in SQL (length(bin(tw-1))
+    bit-length idiom); pin the two implementations together across the
+    boundary values so they can never drift."""
+    import duckdb
+
+    ns = [0, 1, 2, 5, 20, 21, 22, 100, 302, 336, 337, 1000, 3000,
+          10**5, 10**6]
+    expr = f"""
+      SELECT GREATEST({SK.BLOOM_MIN_WORDS},
+        CASE WHEN tw <= 1 THEN 1
+             ELSE CAST(1 AS BIGINT) << length(bin(tw - 1)) END)
+      FROM (SELECT (3 * {SK.BLOOM_J} * GREATEST(?, 1)
+                    + {SK.BLOOM_WORD_BITS} - 1) // {SK.BLOOM_WORD_BITS} AS tw)
+    """
+    con = duckdb.connect()
+    for n in ns:
+        got = con.execute(expr, [n]).fetchone()[0]
+        assert got == SK._bloom_words(n), (n, got, SK._bloom_words(n))
+
+
+def test_bloom_empty_member_set(spark):
+    """Zero members: min-size filter, zero bits set (NULL sum in both
+    engines — the oracle's SUM over an empty filter is NULL too), every
+    probe rejected."""
+    members = spark.createDataFrame([], "k long")
+    probes = spark.createDataFrame([(k,) for k in range(100)], ["k"])
+    row = SK.bloom_prejoin_stats(members, "k", probes, "k", "t").collect()[0]
+    assert row.n_members == 0
+    assert row.n_words == SK.BLOOM_MIN_WORDS
+    assert row.n_bits_set is None
+    assert row.n_pass == 0 and row.n_true == 0 and row.n_false_pos == 0

@@ -508,3 +508,82 @@ def test_stream_stream_interval_join(spark):
         shutil.rmtree(tmp_l, ignore_errors=True)
         shutil.rmtree(tmp_r, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_streaming_dedup_gate_foreach_batch(spark):
+    """The ingest-time MinHash gate (operators/dedup.py::
+    incremental_minhash_dedup) running where it belongs in production:
+    inside foreachBatch on a file stream, appending only ACCEPTED docs
+    to the corpus — so a duplicate of a doc accepted in an EARLIER
+    micro-batch is rejected too (the gate always sees the grown
+    corpus). batch×corpus only; corpus-to-corpus never runs."""
+    import pandas as pd
+
+    from backend_fastapi_spark.operators.dedup import incremental_minhash_dedup
+
+    src = tempfile.mkdtemp(prefix="gate_src_")
+    corpus_dir = tempfile.mkdtemp(prefix="gate_corpus_")
+    chk = tempfile.mkdtemp(prefix="gate_chk_")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def words(seed, n=30):
+        return " ".join(f"w{seed}x{i % 7}y{(i * seed) % 11}" for i in range(n))
+
+    try:
+        # Seed corpus: docs 0-4.
+        seed_rows = [(i, words(i + 1)) for i in range(5)]
+        spark.createDataFrame(seed_rows, schema).write.parquet(
+            f"{corpus_dir}/seed"
+        )
+
+        decisions: dict[int, bool] = {}
+
+        def gate(batch_df, batch_id):
+            corpus = spark.read.parquet(f"{corpus_dir}/*")
+            verdict = incremental_minhash_dedup(corpus, batch_df).collect()
+            for r in verdict:
+                decisions[r["doc_id"]] = r["accepted"]
+            accepted_ids = [r["doc_id"] for r in verdict if r["accepted"]]
+            kept = batch_df.filter(F.col("doc_id").isin(accepted_ids))
+            if accepted_ids:
+                kept.write.mode("append").parquet(
+                    f"{corpus_dir}/batch_{batch_id}"
+                )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        # Batch 1: two novel docs + one verbatim copy of corpus doc 2.
+        b1 = [(100, words(50)), (101, words(51)), (102, words(3))]
+        spark.createDataFrame(b1, schema).write.parquet(f"{src}/b1")
+        q.processAllAvailable()
+        # Batch 2: a copy of doc 100 (accepted LAST batch) + one novel.
+        b2 = [(200, words(50)), (201, words(60))]
+        spark.createDataFrame(b2, schema).write.parquet(f"{src}/b2")
+        q.processAllAvailable()
+        q.stop()
+
+        assert decisions[100] and decisions[101]   # novel -> accepted
+        assert not decisions[102]                  # verbatim seed copy
+        assert not decisions[200]                  # dup of batch-1 accept
+        assert decisions[201]                      # novel -> accepted
+        corpus_ids = {
+            r.doc_id for r in spark.read.parquet(f"{corpus_dir}/*").collect()
+        }
+        assert corpus_ids == {0, 1, 2, 3, 4, 100, 101, 201}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
