@@ -83,6 +83,14 @@ def compact(
     {before, after} file stats. Write-then-swap is the caller's
     transaction (at scale: a metastore/table-format pointer flip);
     this operator never mutates ``src``."""
+    if os.path.abspath(src.removeprefix("file:")) == os.path.abspath(
+        dst.removeprefix("file:")
+    ):
+        raise ValueError(
+            "compact: src and dst must differ — overwriting the directory "
+            "being read corrupts it; write to a new path, then swap the "
+            "table pointer"
+        )
     before = file_stats(spark, src)
     n_out = max(1, math.ceil(before["total_bytes"] / target_bytes))
     df = spark.read.parquet(src)

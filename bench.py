@@ -162,8 +162,14 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warm the JVM + parquet footers once so timings measure the queries;
-    # the data stanza doubles as the warmup pass.
-    context: dict = {"data": data_stanza(spark, sf_dir)}
+    # the data stanza doubles as the warmup pass. Record the host's load
+    # average at start: min-of-N damps transient noise but a busy host
+    # shifts whole runs (observed ~1.3x uniform swing between sessions),
+    # and the loadavg makes that attributable when comparing rounds.
+    context: dict = {
+        "host_loadavg_at_start": list(os.getloadavg()),
+        "data": data_stanza(spark, sf_dir),
+    }
 
     cards: dict[str, int] = {}
     cc_stats: dict[str, dict] = {}

@@ -81,3 +81,12 @@ def test_engine_facade_compact_and_cluster(spark, tmp_path):
         eng.table("orders"), str(tmp_path / "clus"), ["o_orderdate"], 4
     )
     assert stats["n_files"] == 4
+
+
+def test_compact_refuses_in_place(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="src and dst must differ"):
+        M.compact(spark, src, src)
