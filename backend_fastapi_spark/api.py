@@ -227,10 +227,9 @@ class Engine:
         Write-then-swap; ``src`` is never mutated."""
         from backend_fastapi_spark.operators import maintenance as M
 
-        return M.compact(
-            self.spark, src, dst,
-            target_bytes=target_bytes or M.DEFAULT_TARGET_BYTES,
-        )
+        if target_bytes is None:
+            return M.compact(self.spark, src, dst)
+        return M.compact(self.spark, src, dst, target_bytes=target_bytes)
 
     def cluster_table(
         self, df: DataFrame, dst: str, sort_cols: list[str], n_files: int

@@ -33,11 +33,20 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # one HDFS block / S3 part
+
+_FILE_SCHEME = re.compile(r"^file:(//[^/]*)?")
+
+
+def _local_path(path: str) -> str:
+    """Resolve a local/file: path to its canonical filesystem form
+    (scheme + authority stripped, symlinks resolved)."""
+    return os.path.realpath(_FILE_SCHEME.sub("", path))
 
 
 def _list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -49,6 +58,8 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
     out = []
+    if not fs.exists(p):
+        return out
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
@@ -83,15 +94,23 @@ def compact(
     {before, after} file stats. Write-then-swap is the caller's
     transaction (at scale: a metastore/table-format pointer flip);
     this operator never mutates ``src``."""
-    if os.path.abspath(src.removeprefix("file:")) == os.path.abspath(
-        dst.removeprefix("file:")
-    ):
+    if target_bytes <= 0:
+        raise ValueError(f"compact: target_bytes must be > 0, got {target_bytes}")
+    # Overlap guard: overwriting (or writing inside) the directory being
+    # lazily read corrupts it. realpath-resolve both ends (catches
+    # file://authority spellings and symlink aliases) and reject either
+    # nesting direction, not just exact equality. Non-local schemes
+    # (hdfs://, s3a://) can't be realpath'd — compare as given.
+    a, b = _local_path(src), _local_path(dst)
+    if a == b or b.startswith(a + os.sep) or a.startswith(b + os.sep):
         raise ValueError(
-            "compact: src and dst must differ — overwriting the directory "
-            "being read corrupts it; write to a new path, then swap the "
-            "table pointer"
+            "compact: src and dst must not overlap — overwriting or "
+            "nesting inside the directory being read corrupts it; write "
+            "to a disjoint path, then swap the table pointer"
         )
     before = file_stats(spark, src)
+    if before["n_files"] == 0:
+        raise ValueError(f"compact: no parquet files under {src!r}")
     n_out = max(1, math.ceil(before["total_bytes"] / target_bytes))
     df = spark.read.parquet(src)
     df.repartition(n_out).write.mode("overwrite").parquet(dst)
@@ -120,16 +139,31 @@ def skipping_report(path: str, col: str, lo, hi) -> dict:
     """Row-group pruning statistics for predicate ``lo <= col <= hi``,
     read from the parquet footers (pyarrow, metadata-only): how many row
     groups a stats-aware scan must read vs the total. Lower
-    overlap_fraction = better clustering = less IO at 100 TB."""
+    overlap_fraction = better clustering = less IO at 100 TB.
+
+    Local paths only (pyarrow footers are read through the OS); walks
+    the directory recursively so partitioned (key=value subdir) layouts
+    are covered, and raises — never reports a vacuous "perfect
+    skipping" — when no parquet file is found."""
     import pyarrow.parquet as pq
 
-    local = path[len("file:"):] if path.startswith("file:") else path
+    local = _local_path(path)
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            f"skipping_report reads footers via the local OS; got {path!r}"
+        )
+    files = sorted(
+        os.path.join(d, name)
+        for d, _, names in os.walk(local)
+        for name in names
+        if name.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"skipping_report: no parquet files under {path!r}")
     total = 0
     overlapping = 0
-    for name in sorted(os.listdir(local)):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(local, name)).metadata
+    for fpath in files:
+        md = pq.ParquetFile(fpath).metadata
         idx = md.schema.to_arrow_schema().get_field_index(col)
         for rg in range(md.num_row_groups):
             stats = md.row_group(rg).column(idx).statistics

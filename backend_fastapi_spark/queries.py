@@ -1684,7 +1684,10 @@ def q_variant_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to end: per event_type, total events, hot (k>50) events, distinct
     hot users, hot-k sum."""
     ev = _t(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    # try_parse_json: a single malformed props row degrades to NULL
+    # (matching the oracle's json_extract semantics) instead of failing
+    # the whole aggregation the way strict parse_json would.
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     hot = F.when(k > 50, F.col("user_id"))
     return (
         ev.select("event_type", "user_id", k.alias("k"))

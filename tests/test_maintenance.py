@@ -83,10 +83,34 @@ def test_engine_facade_compact_and_cluster(spark, tmp_path):
     assert stats["n_files"] == 4
 
 
-def test_compact_refuses_in_place(spark, tmp_path):
+def test_compact_refuses_overlapping_paths(spark, tmp_path):
     import pytest
 
     src = str(tmp_path / "t")
     spark.range(10).write.parquet(src)
-    with pytest.raises(ValueError, match="src and dst must differ"):
-        M.compact(spark, src, src)
+    for dst in (
+        src,                          # identical
+        f"{src}/compacted",           # nested inside src
+        f"file://{src}",              # scheme+authority alias of src
+        str(tmp_path),                # src nested inside dst
+    ):
+        with pytest.raises(ValueError, match="must not overlap"):
+            M.compact(spark, src, dst)
+    with pytest.raises(ValueError, match="target_bytes"):
+        M.compact(spark, src, str(tmp_path / "out"), target_bytes=0)
+    with pytest.raises(ValueError, match="no parquet files"):
+        M.compact(spark, str(tmp_path / "empty_nothere"), str(tmp_path / "o2"))
+
+
+def test_skipping_report_partitioned_layout_and_errors(spark, tmp_path):
+    import pytest
+
+    part = str(tmp_path / "part")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    orders.write.partitionBy("o_orderstatus").parquet(part)
+    rep = M.skipping_report(part, "o_orderkey", 1, 100)
+    assert rep["row_groups"] > 0  # recursive walk sees key=value subdirs
+    with pytest.raises(ValueError, match="no parquet files"):
+        M.skipping_report(str(tmp_path / "nope"), "x", 0, 1)
+    with pytest.raises(ValueError, match="local OS"):
+        M.skipping_report("s3a://bucket/table", "x", 0, 1)
