@@ -20,23 +20,33 @@ def upsert(
     version_col: str,
 ) -> DataFrame:
     """Union + keep the highest-version row per key (updates win ties via
-    the source marker). One shuffle on the key."""
-    tagged_base = base.withColumn("_src", F.lit(0))
-    tagged_updates = updates.withColumn("_src", F.lit(1))
+    the source marker; residual ties — two update rows sharing key AND
+    version — break on a deterministic whole-row hash so the survivor is
+    bit-reproducible across runs/plans, the same total-order discipline
+    as every oracle-checked operator). One shuffle on the key."""
+    for marker in ("_crud_src", "_crud_rn"):
+        if marker in base.columns or marker in updates.columns:
+            raise ValueError(f"upsert: reserved column name {marker!r} in input")
+    tagged_base = base.withColumn("_crud_src", F.lit(0))
+    tagged_updates = updates.withColumn("_crud_src", F.lit(1))
     unioned = tagged_base.unionByName(tagged_updates)
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), F.col("_src").desc()
+        F.col(version_col).desc(),
+        F.col("_crud_src").desc(),
+        F.xxhash64(*[F.col(c) for c in base.columns]).asc(),
     )
     return (
-        unioned.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
+        unioned.withColumn("_crud_rn", F.row_number().over(w))
+        .filter(F.col("_crud_rn") == 1)
+        .drop("_crud_rn", "_crud_src")
     )
 
 
 def delete_where(base: DataFrame, cond: Column) -> DataFrame:
-    """Predicate delete — the trivial case."""
-    return base.filter(~cond)
+    """Predicate delete. SQL DELETE semantics: remove rows where the
+    predicate is TRUE — rows where it evaluates NULL are KEPT (a plain
+    ``filter(~cond)`` would silently delete them, since ~NULL is NULL)."""
+    return base.filter(~cond.eqNullSafe(F.lit(True)))
 
 
 def delete_keys(base: DataFrame, keys: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -63,8 +73,17 @@ def salted_sum(
     one reduce key is huge (e.g. groupBy on a power-law user_id with
     high-cardinality payloads like collect_list).
     """
+    # The salt feeds a shuffle key, so it must be DETERMINISTIC per row:
+    # monotonically_increasing_id depends on partition layout, and a
+    # map-task retry after partial reducer fetches would re-salt rows
+    # onto different reducers (lost/double-counted partials). Default to
+    # a whole-row hash — stable for a given row regardless of placement.
     salt = F.pmod(
-        F.xxhash64(F.col(salt_source) if salt_source else F.monotonically_increasing_id()),
+        F.xxhash64(
+            F.col(salt_source)
+            if salt_source
+            else F.xxhash64(*[F.col(c) for c in df.columns])
+        ),
         F.lit(n_salt),
     )
     stage1 = (
@@ -98,13 +117,16 @@ def scd2_apply(
     history rows pass through untouched (union, no rewrite) — with a
     key-partitioned sink only affected partitions rewrite, the same CDC
     posture as ``upsert``."""
-    open_rows = current.filter(F.col("valid_to").isNull())
+    open_rows = current.filter(F.col("valid_to").isNull()).withColumn(
+        "_c_mark", F.lit(1)
+    )
     closed_rows = current.filter(F.col("valid_to").isNotNull())
 
     upd = updates.select(
         *key_cols,
         *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
         F.col(ts_col).alias("_u_ts"),
+        F.lit(1).alias("_u_mark"),
     )
     joined = open_rows.join(upd, key_cols, "full_outer")
 
@@ -113,8 +135,12 @@ def scd2_apply(
         changed = changed | ~(
             F.col(c).eqNullSafe(F.col(f"_u_{c}"))
         )
-    has_open = F.col("valid_from").isNotNull()
-    has_upd = F.col("_u_ts").isNotNull()
+    # Join-match detection via explicit side markers — NOT via payload
+    # columns like valid_from/ts, which may legitimately be NULL (an
+    # open row with unknown start date would otherwise vanish from the
+    # merge entirely).
+    has_open = F.col("_c_mark").isNotNull()
+    has_upd = F.col("_u_mark").isNotNull()
 
     # open rows untouched (no update, or update equals current attrs)
     untouched = joined.filter(

@@ -180,16 +180,20 @@ def pq_adc_topk(
                 [pdf[f"code{s}"].to_numpy() for s in range(M_SUB)], axis=1
             )  # (n, M_SUB)
             ids = pdf[id_col].to_numpy()
-            for qi in range(len(q_ids)):
-                # gather per subspace, sum across subspaces: the ADC sum
-                adc = dt[qi][np.arange(M_SUB)[None, :], codes].sum(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "q_id": np.full(len(ids), q_ids[qi]),
-                        id_col: ids,
-                        "adc_d2": adc.astype(np.int64),
-                    }
-                )
+            n = len(ids)
+            # one gather for ALL queries at once — dt[:, s, codes[:, s]]
+            # sums to (nq, n) — and ONE frame per Arrow batch: a
+            # per-query yield would pay nq DataFrame constructions +
+            # Arrow serializations per batch, dominating the ADC math
+            # at large |Q|.
+            adc = dt[:, np.arange(M_SUB)[None, :], codes].sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, n),
+                    id_col: np.tile(ids, len(q_ids)),
+                    "adc_d2": adc.reshape(-1).astype(np.int64),
+                }
+            )
 
     scored = enc.mapInPandas(score, schema=out_schema).filter(
         F.col(id_col) != F.col("q_id")

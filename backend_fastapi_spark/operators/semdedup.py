@@ -60,6 +60,7 @@ def semantic_dedup_pairs(
     k_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(cluster, id_a, id_b, score_i64) for every within-cluster pair
     with quantized dot >= threshold_i64, id_a < id_b.
@@ -72,7 +73,13 @@ def semantic_dedup_pairs(
     import numpy as np
     import pandas as pd
 
-    assigned = _assigned(df, k_clusters, id_col, vec_col)
+    # ``assigned`` lets a caller that already ran the medoid selection +
+    # assignment (semantic_dedup_summary) share it — otherwise the
+    # TakeOrdered medoid collect and the corpus assignment scan would
+    # both run twice per summary (the pq_codebooks `medoids=` reuse
+    # pattern).
+    if assigned is None:
+        assigned = _assigned(df, k_clusters, id_col, vec_col)
     out_schema = T.StructType([
         T.StructField("cluster", T.IntegerType(), False),
         T.StructField("id_a", T.LongType(), False),
@@ -114,7 +121,7 @@ def semantic_dedup_summary(
     neighborhood and n_kept = n_vectors - n_removed."""
     assigned = _assigned(df, k_clusters, id_col, vec_col)
     pairs = semantic_dedup_pairs(
-        df, threshold_i64, k_clusters, id_col, vec_col
+        df, threshold_i64, k_clusters, id_col, vec_col, assigned=assigned
     )
     removed = (
         pairs.groupBy("cluster")

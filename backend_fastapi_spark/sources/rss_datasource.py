@@ -31,6 +31,17 @@ import os
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
 
+def _items_mode(options) -> bool:
+    """ONE normalization shared by schema() and read() — if the two
+    methods interpreted the option independently, a typo'd value could
+    get RAW rows emitted against the ITEM schema (Arrow failure at
+    runtime). Unknown values are rejected outright."""
+    v = options.get("parse", "raw").lower()
+    if v not in ("raw", "items"):
+        raise ValueError(f"rss datasource: parse must be raw|items, got {v!r}")
+    return v == "items"
+
+
 RAW_SCHEMA = "feed_url string, xml string"
 ITEM_SCHEMA = (
     "feed_url string, title string, link string, "
@@ -51,11 +62,7 @@ class RssDataSource(DataSource):
         return "rss"
 
     def schema(self) -> str:
-        return (
-            ITEM_SCHEMA
-            if self.options.get("parse", "raw") == "items"
-            else RAW_SCHEMA
-        )
+        return ITEM_SCHEMA if _items_mode(self.options) else RAW_SCHEMA
 
     def reader(self, schema: StructType) -> "RssReader":
         return RssReader(self.options)
@@ -71,7 +78,7 @@ class RssReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("rss datasource requires a path: .load(path)")
-        self.parse = options.get("parse", "raw")
+        self.items_mode = _items_mode(options)
 
     def partitions(self):
         if os.path.isfile(self.path):
@@ -88,14 +95,29 @@ class RssReader(DataSourceReader):
         return [_FeedFile(f) for f in files]
 
     def read(self, partition: _FeedFile):
+        # When partitions() found no files it returns [] and pyspark
+        # substitutes a single None partition (verified in 4.1.2's
+        # plan_data_source_read) — yield nothing: an empty directory is
+        # an empty DataFrame, not an executor AttributeError.
+        if partition is None:
+            return
+        from pathlib import Path
+
         with open(partition.path, encoding="utf-8") as f:
             xml = f.read()
-        url = f"file://{partition.path}"
-        if self.parse == "raw":
+        # well-formed file URI (file:///abs/path) even for relative
+        # input paths — f"file://{path}" would make the first segment
+        # of a relative path parse as the URI authority
+        url = Path(partition.path).resolve().as_uri()
+        if not self.items_mode:
             yield (url, xml)
             return
-        # items mode: stdlib ElementTree, matching parse_rss_items'
-        # xpath semantics (title/link/description/pubDate per <item>)
+        # items mode: stdlib ElementTree, one row per <item> with
+        # per-item None for missing fields. NOTE: on items with MISSING
+        # fields this is deliberately MORE correct than
+        # parse_rss_items, whose positional arrays_zip misaligns
+        # across items when one item lacks a tag — the golden parity
+        # test pins equivalence on well-formed feeds only.
         import re
         import xml.etree.ElementTree as ET
 

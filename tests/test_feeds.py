@@ -106,3 +106,24 @@ def test_rss_python_datasource(spark, tmp_path):
     a = sorted((r.title, r.link, r.description) for r in parsed)
     b = sorted((r.title, r.link, r.description) for r in items)
     assert a == b
+
+
+def test_rss_datasource_empty_dir_and_bad_option(spark, tmp_path):
+    """No matching feed files -> empty DataFrame (pyspark substitutes a
+    None partition for an empty partitions() list — must not crash);
+    unknown parse value -> clear error, not schema/read divergence."""
+    import pytest
+
+    from backend_fastapi_spark.sources.rss_datasource import (
+        register_rss_source,
+    )
+
+    register_rss_source(spark)
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    assert spark.read.format("rss").load(str(empty)).count() == 0
+
+    with pytest.raises(Exception, match="raw.?items|parse"):
+        spark.read.format("rss").option("parse", "item").load(
+            str(empty)
+        ).count()

@@ -128,3 +128,57 @@ def test_scd2_multi_generation_history(spark):
     # exactly one open row per key
     opens = [r for r in rows if r[4]]
     assert len(opens) == 3 and len({r[0] for r in opens}) == 3
+
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    """SQL DELETE removes rows where the predicate is TRUE; rows where
+    it evaluates NULL must be KEPT (filter(~cond) would drop them)."""
+    from backend_fastapi_spark.operators.crud import delete_where
+
+    df = spark.createDataFrame(
+        [(1, "dead"), (2, "live"), (3, None)], ["id", "status"]
+    )
+    kept = {r.id for r in delete_where(df, F.col("status") == "dead").collect()}
+    assert kept == {2, 3}
+
+
+def test_upsert_tie_is_deterministic_and_markers_guarded(spark):
+    """Two update rows sharing key AND version: the survivor must be the
+    same on every run (whole-row-hash tie-break), and reserved marker
+    columns are rejected."""
+    import pytest
+
+    from backend_fastapi_spark.operators.crud import upsert
+
+    base = spark.createDataFrame([(1, 0, "base")], ["k", "v", "payload"])
+    ups = spark.createDataFrame(
+        [(1, 5, "left"), (1, 5, "right")], ["k", "v", "payload"]
+    )
+    winners = {
+        upsert(base, ups, ["k"], "v").collect()[0].payload for _ in range(3)
+    }
+    assert len(winners) == 1  # same survivor every run
+    with pytest.raises(ValueError, match="_crud_src"):
+        upsert(base.withColumn("_crud_src", F.lit(9)), ups, ["k"], "v")
+
+
+def test_scd2_open_row_with_null_valid_from_survives(spark):
+    """An open row whose valid_from is NULL (unknown start) must pass
+    through untouched when no update arrives — join-match detection is
+    by side markers, not by payload-column nullability."""
+    import datetime
+
+    from backend_fastapi_spark.operators.crud import scd2_apply
+
+    t = datetime.datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [(1, "x", None, None, True)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(2, "y", t)], "k long, attr string, ts timestamp"
+    )
+    rows = {(r.k, r.attr, r.is_current)
+            for r in scd2_apply(current, updates, ["k"], "ts", ["attr"]).collect()}
+    assert rows == {(1, "x", True), (2, "y", True)}
