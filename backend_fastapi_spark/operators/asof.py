@@ -48,6 +48,16 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
+    # SQL join semantics: NULL keys never match (equality is never TRUE)
+    # and a NULL-time right row satisfies no time bound — but unfiltered
+    # they would sort NULLS FIRST into the scan and be carried as
+    # phantom matches (and NULL-key lefts would meet NULL-key rights in
+    # the window's NULL partition). Drop them up front on both sides;
+    # left rows keep inner-join semantics (unmatched → dropped anyway).
+    left = left.filter(F.col(key).isNotNull() & F.col(left_time).isNotNull())
+    right = right.filter(
+        F.col(key).isNotNull() & F.col(right_time).isNotNull()
+    )
     payload = F.struct(
         F.col(right_time).alias("_t"), *[F.col(c) for c in payload_cols]
     )

@@ -203,6 +203,8 @@ def _assign_arrow(base: DataFrame, med: list[tuple[int, list[int]]],
 
     def assign(batches):
         for pdf in batches:
+            if pdf.empty:  # np.stack raises on zero arrays
+                continue
             Q = np.stack(pdf["_qv"].to_numpy()).astype(np.int64)  # (n, dim)
             # int64 matmul: numpy keeps integer arithmetic for int64
             # inputs, so every distance is exact (no float rounding).
@@ -284,8 +286,14 @@ def ivf_deterministic_topk(
         .select("q_id", "_pq", F.col("_probe")["cluster"].alias("cluster"))
     )
 
+    # self-exclusion compares the STRING forms: with mixed id types
+    # (string query ids vs int corpus ids — the case knn_exact also
+    # guards) a raw != would coerce one side to NULL and the filter
+    # would silently drop EVERY candidate. Identical-type ids compare
+    # identically as strings apart from cross-type coincidences, which
+    # cannot be 'self' anyway.
     cand = assigned.join(F.broadcast(probe), "cluster").filter(
-        F.col(id_col) != F.col("q_id")
+        ~F.col(id_col).cast("string").eqNullSafe(F.col("q_id").cast("string"))
     )
     scored = cand.select(
         "q_id",

@@ -165,6 +165,8 @@ def rp_near_dup_pairs(
 
     def project(batches):
         for pdf in batches:
+            if pdf.empty:  # np.stack raises on zero arrays
+                continue
             Q = np.stack(pdf["_q"].to_numpy()).astype(np.int64)  # (n, dim)
             bits = (Q @ H.T) >= 0  # (n, tables·planes)
             buckets = (

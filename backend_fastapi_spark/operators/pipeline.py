@@ -13,11 +13,11 @@ DuckDB):
 - **stratified_sample**: per-stratum top-k by md5 order — a deterministic
   'uniform' sample with a per-group cap, the reservoir-sampling analog
   whose result does not depend on partitioning.
-- **decontaminate**: flag test docs sharing any word-n-gram shingle with
-  the train split (the n-gram-overlap decontamination used for eval sets).
-  Shape: shingle equi-join against the DISTINCT train shingle set — the
-  same banded/capped substrate as the dedup family, never an all-pairs
-  join.
+- **decontamination** (lives in ``queries.py::q_decontaminate_test_split``
+  and the curation flagship, built on ``dedup.shingle_table``): flag test
+  docs sharing any word-n-gram shingle with the train split. Shape:
+  shingle equi-join against the DISTINCT train shingle set — the same
+  banded/capped substrate as the dedup family, never an all-pairs join.
 - **repetition_metrics**: Gopher-style repetition/diversity signals
   (top-word fraction, top-bigram fraction, distinct ratio, mean word
   length) via explode + per-(doc, gram) counts — two keyed shuffles with
@@ -42,11 +42,19 @@ def split_assign(
     df: DataFrame, id_col: str = "doc_id", test_prefixes: tuple[str, ...] = ("0", "1")
 ) -> DataFrame:
     """Add a ``split`` column: 'test' when the first md5 hex char of the id
-    is in ``test_prefixes`` (fraction = len/16), else 'train'."""
+    is in ``test_prefixes`` (fraction = len/16), else 'train'.
+
+    Prefixes are normalized to lowercase (Spark/DuckDB md5 emit lowercase
+    hex) and validated — an unmatched uppercase or non-hex prefix would
+    otherwise yield a silent 0% test split."""
+    norm = tuple(p.lower() for p in test_prefixes)
+    bad = [p for p in norm if p not in tuple("0123456789abcdef")]
+    if bad:
+        raise ValueError(f"split_assign: non-hex test_prefixes {bad!r}")
     first = F.substring(md5_of_id(id_col), 1, 1)
     return df.withColumn(
         "split",
-        F.when(first.isin(*test_prefixes), F.lit("test")).otherwise(F.lit("train")),
+        F.when(first.isin(*norm), F.lit("test")).otherwise(F.lit("train")),
     )
 
 
@@ -75,7 +83,9 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
     per-partition gram stream before the shuffle, so cost is bounded by
     distinct grams, not a per-row O(len²) loop.
     """
-    w = words(F.col(text_col))
+    # NULL text -> empty word array (not NULL), so degenerate docs get
+    # n_words=0 instead of NULL metrics.
+    w = F.coalesce(words(F.col(text_col)), F.array().cast("array<string>"))
     base = df.select(
         F.col(id_col),
         w.alias("_w"),
@@ -125,7 +135,12 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
         ).alias("mean_word_len"),
     )
     return (
-        stats.join(top_word, id_col)
+        # LEFT joins + coalesce-to-0: a doc with NULL/empty text has no
+        # word rows, so an inner join would silently DROP it from the
+        # metrics — a metrics function must emit one row per input doc
+        # (degenerate docs get n_words=0, fracs 0) so downstream quality
+        # gates attribute them to a filter instead of losing them.
+        stats.join(top_word, id_col, "left")
         .join(top_bigram, id_col, "left")
         .select(
             id_col,
@@ -133,7 +148,7 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
             "distinct_ratio",
             "mean_word_len",
             (
-                F.col("top_word_c").cast("double")
+                F.coalesce(F.col("top_word_c"), F.lit(0)).cast("double")
                 / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
             ).alias("top_word_frac"),
             (
@@ -169,7 +184,14 @@ def temperature_sample(
     dimension), a single-row global sum cross-joined back (the 1-row
     scalar-augment idiom), one keyed window on the group for the
     md5-rank cutoff. No collect; the corpus shuffles once on the group
-    key."""
+    key.
+
+    NULL-group rows are excluded from the UNIVERSE, not just the output:
+    if they were counted in n_total/w_total but never matched by the
+    group equi-join, every real group's quota would silently shrink.
+    Callers wanting them sampled must bucket them into a real group
+    first (e.g. coalesce(lang, 'und'))."""
+    df = df.filter(F.col(group_col).isNotNull())
     stats = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
     stats = stats.withColumn(
         "w_i64",
@@ -182,12 +204,17 @@ def temperature_sample(
         stats.crossJoin(F.broadcast(tot))
         .select(
             group_col,
-            # all-integer: (N DIV den) * w_g DIV W, capped at n_g
+            # all-integer: (N DIV den) * w_g DIV W, capped at n_g. The
+            # product runs in DECIMAL(38,0) (DuckDB twin: HUGEINT):
+            # at n_total ~ 4e9 docs the int64 product would overflow —
+            # wrapping negative in Spark (silent zero quotas) and
+            # erroring in DuckDB. Exact in both engines; quota <= n_g
+            # always fits back in int64.
             F.least(
                 F.col("n_g"),
                 F.expr(
-                    f"(CAST(n_total AS BIGINT) DIV {target_den})"
-                    " * w_i64 DIV w_total"
+                    f"CAST((CAST(n_total AS BIGINT) DIV {target_den})"
+                    " AS DECIMAL(38,0)) * w_i64 DIV w_total"
                 ),
             ).cast("long").alias("quota"),
         )
@@ -214,19 +241,20 @@ def temperature_sample_oracle_sql(
     WITH stats AS (
       SELECT {group_expr} AS g, COUNT(*) AS n_g,
              CAST(ROUND(sqrt(CAST(COUNT(*) AS DOUBLE))*1000000) AS BIGINT) AS w_i64
-      FROM {table} GROUP BY {group_expr}),
+      FROM {table} WHERE {group_expr} IS NOT NULL GROUP BY {group_expr}),
     tot AS (
       SELECT SUM(n_g) AS n_total, SUM(w_i64) AS w_total FROM stats),
     quota AS (
-      SELECT g, LEAST(n_g,
-               (CAST(n_total AS BIGINT) // {target_den}) * w_i64 // w_total
+      SELECT g, LEAST(n_g, CAST(
+               (CAST(n_total AS BIGINT) // {target_den})
+                 * CAST(w_i64 AS HUGEINT) // w_total AS BIGINT)
              ) AS quota
       FROM stats, tot),
     ranked AS (
       SELECT t.*, row_number() OVER (
                PARTITION BY {group_expr}
                ORDER BY md5(CAST({id_expr} AS VARCHAR)), {id_expr}) AS _rn
-      FROM {table} t)
+      FROM {table} t WHERE {group_expr} IS NOT NULL)
     SELECT {select_cols}
     FROM ranked r JOIN quota q ON r.{group_expr} = q.g
     WHERE r._rn <= q.quota

@@ -93,7 +93,13 @@ def hll_sketch(df: DataFrame, key_col: str, label: str) -> DataFrame:
     on empty input; accuracy in both regimes is bounded in
     tests/test_sketches.py.
     """
-    h = df.select(_h32(F.col(key_col).cast("string")).alias("hv")).select(
+    # NULL keys carry no distinct-count information but would form their
+    # own NULL-bucket group — inflating n_present (deflating v_zero by 1,
+    # shorting reg_sum by 2^RHO_MAX) — so they are excluded, matching the
+    # oracle's WHERE key IS NOT NULL.
+    h = df.select(
+        _h32(F.col(key_col).cast("string")).alias("hv")
+    ).filter(F.col("hv").isNotNull()).select(
         F.shiftright(F.col("hv"), HLL_W_BITS).alias("bucket"),
         (F.col("hv") % F.lit(HLL_W_MOD)).alias("w"),
     )
@@ -119,12 +125,15 @@ def hll_sketch(df: DataFrame, key_col: str, label: str) -> DataFrame:
     )
     raw = F.expr(f"CAST({HLL_NUMER} AS BIGINT) DIV reg_sum DIV 1000000")
     return (
+        # coalesce-to-0 on the empty-input sums: SUM over zero rows is
+        # NULL in Spark but the oracle's COUNT(*) scalar is 0 — the
+        # n_rows/reg_sum columns must agree bit-for-bit on that edge too
         agg.select(
             F.lit(label).alias("src"),
-            F.col("n_rows").cast("long").alias("n_rows"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
             (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("v_zero"),
             (
-                F.col("present_sum")
+                F.coalesce(F.col("present_sum"), F.lit(0))
                 + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << HLL_RHO_MAX)
             )
             .cast("long")
@@ -159,9 +168,10 @@ def hll_oracle_sql(table: str, key_expr: str, label: str) -> str:
            END AS hll_est
     FROM (
       SELECT '{label}' AS src,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+             (SELECT CAST(COUNT({key_expr}) AS BIGINT) FROM {table})
+               AS n_rows,
              CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
-             CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j))
+             CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j)), 0)
                   + ({HLL_M} - COUNT(*)) * CAST({1 << HLL_RHO_MAX} AS BIGINT)
                   AS BIGINT) AS reg_sum
       FROM (
@@ -173,7 +183,7 @@ def hll_oracle_sql(table: str, key_expr: str, label: str) -> str:
           FROM (
             SELECT CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))
                         AS BIGINT) AS hv
-            FROM {table})
+            FROM {table} WHERE {key_expr} IS NOT NULL)
         ) GROUP BY bucket
       )
     )
@@ -254,11 +264,15 @@ def bottomk_quantiles(
     bit-exact in any engine. Rank error is O(1/sqrt(k)) ~ 3% at k=1024
     (bounded in tests/test_sketches.py).
     """
+    # _v as the final sort key: with a NON-unique key_col, (_h, _k) ties
+    # would make the limit(k) cutoff partition-order-dependent — the
+    # value column totalizes the order so both engines pick identical
+    # survivors (unique keys: unchanged).
     sample = df.select(
         F.col(val_col).cast("double").alias("_v"),
         F.col(key_col).alias("_k"),
         F.md5(F.col(key_col).cast("string")).alias("_h"),
-    ).orderBy("_h", "_k").limit(k)
+    ).orderBy("_h", "_k", "_v").limit(k)
     agg = sample.agg(
         F.sort_array(F.collect_list(F.struct("_v", "_k"))).alias("arr"),
         F.count(F.lit(1)).alias("n"),
@@ -309,7 +323,8 @@ def bottomk_oracle_sql(
     WITH s AS (
       SELECT CAST({val_expr} AS DOUBLE) AS v, {key_expr} AS k
       FROM {table}
-      ORDER BY md5(CAST({key_expr} AS VARCHAR)), {key_expr}
+      ORDER BY md5(CAST({key_expr} AS VARCHAR)), {key_expr},
+               CAST({val_expr} AS DOUBLE)
       LIMIT {k}),
     r AS (
       SELECT v, row_number() OVER (ORDER BY v, k) AS rn,
@@ -361,9 +376,12 @@ def kmv_jaccard(
     Estimator (Beyer et al. 2007, "On synopses for distinct-value
     estimation"): per group keep the k keys whose (md5(key), key) ranks
     lowest; for a pair, take the bottom-k of the UNION of the two
-    sketches and count members present in BOTH sketches — J^ = count/k.
-    All decisions are md5-rank + integer arithmetic; k is a power of two
-    so count/k is an exact double. Both engines therefore emit identical
+    sketches and count members present in BOTH sketches —
+    J^ = count / |union bottom-k| (= min(k, |A∪B|); dividing by the
+    constant k would underestimate whenever the union is smaller than
+    k). All decisions are md5-rank + integer arithmetic; the final
+    int/int division is the same IEEE double in any engine. Both
+    engines therefore emit identical
     bits and the driver hash-checks an approximate set-similarity sketch
     end to end (same evidence class as RP-LSH / deterministic HLL).
 
@@ -402,9 +420,19 @@ def kmv_jaccard(
             "quadratic in the group dimension; this operator is for "
             "small group dimensions (<= 256)"
         )
+    from pyspark.sql import types as T
+
+    g_type = sk.schema["g"].dataType
     pairs = df.sparkSession.createDataFrame(
         [(a, b) for i, a in enumerate(gs) for b in gs[i + 1:]],
-        ["group_a", "group_b"],
+        # explicit schema: with < 2 groups the pair list is empty and
+        # schema inference would raise instead of returning 0 rows
+        T.StructType(
+            [
+                T.StructField("group_a", g_type),
+                T.StructField("group_b", g_type),
+            ]
+        ),
     )
     # Sketch rows of both sides of each pair, deduped per key with a
     # both-sides flag; the union's bottom-k is a window over <= 2k rows.
@@ -426,8 +454,16 @@ def kmv_jaccard(
         .groupBy("group_a", "group_b")
         .agg(
             F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
-            (F.sum(F.col("in_a") * F.col("in_b"))
-             / F.lit(float(k))).alias("est_jaccard"),
+            # KMV estimator divides by |bottom-k OF THE UNION| =
+            # min(k, |A∪B|) — the post-filter row count — not by the
+            # constant k: when the union is smaller than k, a constant
+            # denominator underestimates (two identical 10-key sets
+            # would read 10/64 instead of 1.0). int/int double division
+            # is IEEE-identical in both engines.
+            (
+                F.sum(F.col("in_a") * F.col("in_b"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("est_jaccard"),
         )
     )
 
@@ -456,7 +492,11 @@ def _bloom_positions(df: DataFrame, key_col: str, m_bits: int) -> DataFrame:
     each distinct key, as word index + single-bit mask."""
     probes = F.array(*[F.lit(i) for i in range(BLOOM_J)])
     return (
+        # NULL keys carry no membership information and the oracle's
+        # COUNT(DISTINCT)/WHERE clauses exclude them — drop them here so
+        # the two engines see the same key universe.
         df.select(F.col(key_col).cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
         .distinct()
         .select("key", F.explode(probes).alias("i"))
         .select(
@@ -522,7 +562,9 @@ def bloom_prejoin_stats(
     # AND the bits_set report — without this each consumer re-runs the
     # member-side scan (small by contract, but 5 scans is still 5).
     members_keys = materialize(
-        member_df.select(F.col(member_key).cast("string").alias("key")).distinct()
+        member_df.select(F.col(member_key).cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .distinct()
     )
     n_members = members_keys.count()
     words = _bloom_words(n_members)
@@ -606,7 +648,7 @@ def bloom_prejoin_oracle_sql(
                                     1, 8)) AS BIGINT)
                  % (sz.words * {BLOOM_WORD_BITS}) AS pos
         FROM (SELECT DISTINCT CAST({member_key} AS VARCHAR) AS key
-              FROM {member_table}),
+              FROM {member_table} WHERE {member_key} IS NOT NULL),
              (SELECT unnest(range({BLOOM_J})) AS i) i, sz)),
     filt AS (
       SELECT word_idx, bit_or(mask) AS bits FROM mpos GROUP BY word_idx),
@@ -619,7 +661,7 @@ def bloom_prejoin_oracle_sql(
                                     1, 8)) AS BIGINT)
                  % (sz.words * {BLOOM_WORD_BITS}) AS pos
         FROM (SELECT DISTINCT CAST({probe_key} AS VARCHAR) AS key
-              FROM {probe_table}),
+              FROM {probe_table} WHERE {probe_key} IS NOT NULL),
              (SELECT unnest(range({BLOOM_J})) AS i) i, sz)),
     probed AS (
       SELECT p.key,
@@ -682,7 +724,8 @@ def kmv_jaccard_oracle_sql(
       FROM merged)
     SELECT group_a, group_b,
            CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
-           CAST(SUM(in_a * in_b) AS BIGINT) / CAST({k} AS DOUBLE) AS est_jaccard
+           CAST(SUM(in_a * in_b) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE) AS est_jaccard
     FROM ranked WHERE rn <= {k}
     GROUP BY group_a, group_b
     """

@@ -3458,22 +3458,25 @@ def q_decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(w) >= 2) GROUP BY 1, 2),
     tb AS (SELECT doc_id, MAX(c) AS top_bigram_c FROM bgc GROUP BY 1),
     base AS (
-      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-             CAST(len(list_distinct(w)) AS DOUBLE)
-               / CAST(greatest(len(w), 1) AS DOUBLE) AS distinct_ratio,
-             CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE)
-               / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_word_len
+      -- COALESCE-to-0 on NULL-text docs: one metrics row PER INPUT DOC,
+      -- mirroring repetition_metrics' degenerate-doc contract
+      SELECT doc_id, CAST(COALESCE(len(w), 0) AS BIGINT) AS n_words,
+             CAST(COALESCE(len(list_distinct(w)), 0) AS DOUBLE)
+               / CAST(greatest(COALESCE(len(w), 0), 1) AS DOUBLE) AS distinct_ratio,
+             CAST(COALESCE(list_aggregate(list_transform(w, x -> length(x)),
+                                          'sum'), 0) AS DOUBLE)
+               / CAST(greatest(COALESCE(len(w), 0), 1) AS DOUBLE) AS mean_word_len
       FROM toks)
     SELECT base.doc_id, n_words, distinct_ratio, mean_word_len,
-           CAST(top_word_c AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
-             AS top_word_frac,
+           CAST(COALESCE(top_word_c, 0) AS DOUBLE)
+             / CAST(greatest(n_words, 1) AS DOUBLE) AS top_word_frac,
            CAST(COALESCE(top_bigram_c, 0) AS DOUBLE)
              / CAST(greatest(n_words - 1, 1) AS DOUBLE) AS top_bigram_frac,
            (n_words >= 20
-            AND CAST(top_word_c AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
-                <= 0.11
+            AND CAST(COALESCE(top_word_c, 0) AS DOUBLE)
+                / CAST(greatest(n_words, 1) AS DOUBLE) <= 0.11
             AND distinct_ratio >= 0.4) AS keep
-    FROM base JOIN tw ON base.doc_id = tw.doc_id
+    FROM base LEFT JOIN tw ON base.doc_id = tw.doc_id
     LEFT JOIN tb ON base.doc_id = tb.doc_id
     """,
 )
@@ -3559,8 +3562,8 @@ _SHINGLES8_CTE = (
       FROM decon GROUP BY lang),
     dtot AS (SELECT SUM(n_g) AS n_total, SUM(w_i64) AS w_total FROM dstats),
     squota AS (
-      SELECT LEAST(n_g,
-               (CAST(n_total AS BIGINT) // 2) * w_i64 // w_total) AS q
+      SELECT LEAST(n_g, CAST((CAST(n_total AS BIGINT) // 2)
+               * CAST(w_i64 AS HUGEINT) // w_total AS BIGINT)) AS q
       FROM dstats, dtot)
     SELECT 'a_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
     UNION ALL SELECT 'b_quality', CAST(COUNT(*) AS BIGINT) FROM quality
@@ -4993,10 +4996,10 @@ def q_kmv_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard between every event-type pair's distinct-user SETS — the
     sketch family's set-operation member (HLL = cardinality, CMS =
     frequency, bottom-k = quantiles, KMV = overlap). md5-rank sketches
-    of k=64 keys per group; a pair's estimate is the both-sides fraction
-    of the union's bottom-k — every step integer/md5 arithmetic, k a
-    power of two, so the estimate divides exactly and the driver
-    hash-checks the sketch end to end. Pair enumeration is over the
+    of k=64 keys per group; a pair's estimate is the both-sides count
+    over the union's bottom-k size (min(k, |A∪B|) — the Beyer et al.
+    denominator) — every step integer/md5 arithmetic plus one int/int
+    IEEE division, so the driver hash-checks the sketch end to end. Pair enumeration is over the
     GROUP dimension only; after the one distinct + window-top-k pass,
     everything runs on 64-row sketches. Estimator error vs exact Jaccard
     is bounded in tests/test_sketches.py."""

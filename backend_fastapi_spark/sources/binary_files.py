@@ -38,7 +38,7 @@ def read_binary_dir(
     recursive: bool = True,
 ) -> DataFrame:
     """Read a directory of binary files into the multimodal MEDIA_SCHEMA:
-    (media_id, kind, payload, meta). media_id is a deterministic 63-bit
+    (media_id, kind, payload, meta). media_id is a deterministic 60-bit
     hash of the file path (stable across runs and listing order — never
     monotonically_increasing_id, which renumbers per partitioning);
     kind derives from the extension; meta carries path/length/mtime."""
@@ -58,7 +58,8 @@ def read_binary_dir(
         ],
         F.lit("binary"),
     )
-    # 63-bit deterministic id from the path: first 15 hex chars of md5.
+    # 60-bit deterministic id from the path: first 15 hex chars of md5
+    # (15 x 4 bits; same idiom dedup.py:304 documents as 60-bit).
     media_id = F.conv(F.substring(F.md5("path"), 1, 15), 16, 10).cast("long")
     return raw.select(
         media_id.alias("media_id"),

@@ -53,4 +53,11 @@ def stream_interval_join(
     )
     rw = rw.withColumnRenamed(key, f"_r_{key}")
     out = lw.join(rw, cond, how)
-    return out.drop(f"_r_{key}")
+    # Outer rows carry their key only on their own side: a
+    # rightOuter/fullOuter unmatched right row has NULL in the left
+    # ``key`` column and its real key in the renamed right copy —
+    # coalesce before dropping it, or the caller gets outer rows whose
+    # join key is unrecoverably NULL.
+    return out.withColumn(
+        key, F.coalesce(F.col(key), F.col(f"_r_{key}"))
+    ).drop(f"_r_{key}")

@@ -276,3 +276,44 @@ def test_incremental_dedup_gate(spark):
     assert not got[103].accepted and got[103].first_match == 3
     assert not got[108].accepted and got[108].first_match == 8
     assert got[200].accepted and got[200].n_matches == 0
+
+
+def test_repetition_metrics_emits_row_per_doc_even_degenerate(spark):
+    """NULL/empty text must yield a degenerate metrics row (n_words=0),
+    never silently vanish from the output."""
+    from backend_fastapi_spark.operators.pipeline import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3].n_words == 0 and rows[3].top_word_frac == 0.0
+
+
+def test_split_assign_rejects_non_hex_prefixes(spark):
+    import pytest
+
+    from backend_fastapi_spark.operators.pipeline import split_assign
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    # uppercase normalizes instead of silently matching nothing
+    out = split_assign(df, test_prefixes=tuple("0123456789ABCDEF"))
+    assert out.collect()[0].split == "test"
+    with pytest.raises(ValueError, match="non-hex"):
+        split_assign(df, test_prefixes=("g",))
+
+
+def test_temperature_sample_excludes_null_groups_from_universe(spark):
+    """NULL-group rows must not inflate n_total/w_total (they can never
+    be sampled): with 50% NULL rows the output must still be ~N_real/2
+    of the REAL universe, not shrunk by phantom mass."""
+    from backend_fastapi_spark.operators.pipeline import temperature_sample
+
+    rows = [(i, "ko" if i % 2 == 0 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = temperature_sample(df, "lang")
+    # universe = the 100 'ko' rows; quota = (100 DIV 2) * w / w = 50
+    assert got.count() == 50
+    assert all(r.lang == "ko" for r in got.collect())

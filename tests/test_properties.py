@@ -330,3 +330,45 @@ def test_scrub_pii_matches_python_re_reference(spark, parts):
     for kind, pat in PII_PATTERNS:
         assert not re.search(pat, row.scrubbed)
         assert getattr(row, f"n_{kind}") == len(re.findall(pat, text))
+
+
+def test_asof_drops_null_time_and_null_key_rows(spark):
+    """NULL right timestamps must not be carried as phantom matches and
+    NULL keys must not meet in the window's NULL partition — SQL
+    equality/inequality semantics."""
+    import datetime
+
+    from backend_fastapi_spark.operators.asof import asof_join
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)
+    left = spark.createDataFrame(
+        [(1, t(5)), (None, t(5))], "k long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "phantom"), (None, t(3), "nullkey")],
+        "k long, rt timestamp, payload string",
+    )
+    out = asof_join(left, right, "k", "lt", "rt", ["payload"]).collect()
+    assert out == []  # no phantom NULL-time match, no NULL-key match
+
+
+def test_ivf_deterministic_mixed_id_types_not_empty(spark):
+    """String query ids vs int corpus ids: the self-exclusion filter
+    must not coerce-to-NULL and drop every candidate."""
+    import numpy as np
+
+    from backend_fastapi_spark.operators.ivf import ivf_deterministic_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q-0", [float(x) for x in vecs[0]])],
+        "q_id string, q_embedding array<double>",
+    )
+    got = ivf_deterministic_topk(corpus, queries, k=5, k_clusters=4)
+    assert got.count() == 5

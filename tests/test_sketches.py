@@ -329,3 +329,40 @@ def test_bloom_empty_member_set(spark):
     assert row.n_words == SK.BLOOM_MIN_WORDS
     assert row.n_bits_set is None
     assert row.n_pass == 0 and row.n_true == 0 and row.n_false_pos == 0
+
+
+def test_kmv_identical_small_sets_estimate_one(spark):
+    """|A∪B| < k: the estimator divides by the union's bottom-k SIZE,
+    so two identical 10-key sets estimate J=1.0 (a constant-k
+    denominator would read 10/64)."""
+    rows = [("a", k) for k in range(10)] + [("b", k) for k in range(10)]
+    df = spark.createDataFrame(rows, ["g", "key"])
+    r = SK.kmv_jaccard(df, "g", "key").collect()[0]
+    assert r.n_common == 10
+    assert r.est_jaccard == 1.0
+
+
+def test_kmv_single_group_returns_empty(spark):
+    df = spark.createDataFrame([("only", 1), ("only", 2)], ["g", "key"])
+    assert SK.kmv_jaccard(df, "g", "key").count() == 0
+
+
+def test_hll_ignores_null_keys_and_counts_nonnull_rows(spark):
+    a = spark.createDataFrame([(k,) for k in range(100)], ["k"])
+    b = a.unionByName(
+        spark.createDataFrame([(None,)] * 7, "k bigint")
+    )
+    ra = SK.hll_sketch(a, "k", "t").collect()[0]
+    rb = SK.hll_sketch(b, "k", "t").collect()[0]
+    # NULLs contribute nothing: registers, v_zero, estimate identical
+    assert (ra.v_zero, ra.reg_sum, ra.hll_est) == (
+        rb.v_zero, rb.reg_sum, rb.hll_est)
+    assert rb.n_rows == 100  # non-null rows only, matching the oracle
+
+
+def test_hll_empty_input_all_columns_zeroed(spark):
+    r = SK.hll_sketch(
+        spark.createDataFrame([], "k long"), "k", "t"
+    ).collect()[0]
+    assert (r.n_rows, r.v_zero, r.hll_est) == (0, SK.HLL_M, 0)
+    assert r.reg_sum == SK.HLL_M * (1 << SK.HLL_RHO_MAX)

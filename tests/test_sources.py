@@ -164,3 +164,18 @@ def test_binary_file_source_to_multimodal_features(spark, tmp_path):
     jpg = feats[rows["a.jpg"].media_id]
     assert jpg.n_bytes == len(b"\xff\xd8fakejpeg")
     assert jpg.checksum == hashlib.md5(b"\xff\xd8fakejpeg").hexdigest()
+
+
+def test_write_orc_refuses_overlapping_overwrite(spark, tmp_path):
+    import pytest
+
+    from backend_fastapi_spark.sources.orc_source import read_orc, write_orc
+
+    p = str(tmp_path / "t_orc")
+    write_orc(spark.range(10), p)
+    df = read_orc(spark, p)
+    for dst in (p, f"{p}/inner", str(tmp_path)):
+        with pytest.raises(ValueError, match="overlaps input"):
+            write_orc(df, dst)
+    # disjoint path still fine
+    write_orc(df, str(tmp_path / "t_orc2"))

@@ -587,3 +587,27 @@ def test_streaming_dedup_gate_foreach_batch(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_interval_join_right_outer_keeps_key(spark):
+    """rightOuter: an unmatched right row's join key must survive the
+    renamed-column drop (coalesced back), not come out NULL."""
+    import datetime
+
+    from backend_fastapi_spark.streaming.join_stream import (
+        stream_interval_join,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0)], "user long, ts timestamp"
+    )
+    buys = spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=5)),
+         (2, t0 + datetime.timedelta(minutes=6))],
+        "user long, ts_r timestamp",
+    )
+    out = stream_interval_join(
+        clicks, buys, "user", how="rightOuter"
+    ).collect()
+    assert {r.user for r in out} == {1, 2}  # key never NULL
