@@ -68,7 +68,14 @@ def sentence_transformer_embedder(model_name: str = "BAAI/bge-m3", dim: int = 10
     def embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:  # pragma: no cover
         from sentence_transformers import SentenceTransformer
 
-        model = SentenceTransformer(model_name)  # once per worker
+        # worker-global cache: the iterator-UDF body runs once per TASK,
+        # so a bare constructor here would reload the multi-GB model
+        # once per partition; the module-level dict persists across
+        # tasks in the same Python worker process.
+        cache = globals().setdefault("_ST_MODELS", {})
+        if model_name not in cache:
+            cache[model_name] = SentenceTransformer(model_name)
+        model = cache[model_name]
         for batch in it:
             vecs = model.encode(
                 batch.fillna("").tolist(), normalize_embeddings=True

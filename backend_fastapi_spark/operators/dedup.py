@@ -249,7 +249,15 @@ def connected_components(
     # Materialize the (possibly expensive) edge pipeline BEFORE mirroring:
     # the union references it twice, so an unmaterialized plan would
     # evaluate the upstream pair computation twice in one job.
-    e = materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # NULL endpoints carry no connectivity (SQL equality never matches
+    # NULL) and would otherwise diverge between the two modes: the
+    # driver union-find raises TypeError comparing None to int while the
+    # distributed loop emits a (null, null) label row. Drop them.
+    e = materialize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+        )
+    )
     # e is checkpointed: this count reads materialized rows, no recompute.
     n_edges = e.count()
     changed_hist: list[int] = []
@@ -297,6 +305,16 @@ def connected_components(
         stats["vertices"] = n_vertices
         if not changed:
             break
+    else:
+        # exhausting max_iter without convergence means the labels are
+        # WRONG (a component split across cluster_ids) — never return
+        # them silently; near-dup components are small-diameter, so
+        # hitting this means the input graph isn't the expected shape.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(last round changed {changed_hist[-1]} labels) — raise "
+            "max_iter for high-diameter graphs"
+        )
     return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -347,6 +365,19 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _n_bands(n_hashes: int, band_rows: int) -> int:
+    """Validated band count. A silent ``n_hashes // band_rows`` would
+    drop trailing signature columns when band_rows doesn't divide
+    n_hashes, and yield ZERO bands when band_rows > n_hashes — which
+    turns the dedup into a no-op that accepts every duplicate."""
+    if band_rows <= 0 or n_hashes % band_rows != 0:
+        raise ValueError(
+            f"band_rows={band_rows} must be a positive divisor of "
+            f"n_hashes={n_hashes} (bands x rows must use every signature)"
+        )
+    return n_hashes // band_rows
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n_hashes: int = 16,
@@ -365,7 +396,7 @@ def minhash_lsh_pairs(
     # checkpoint dir configured (real cluster) this is a reliable
     # checkpoint; locally it degrades to localCheckpoint.
     sigs = materialize(minhash_signatures(df, n_hashes, text_col, id_col, n))
-    n_bands = n_hashes // band_rows
+    n_bands = _n_bands(n_hashes, band_rows)
     # ONE equi-join on the exploded (band_idx, band_key) table instead of
     # n_bands separate self-joins + union: identical collision set, a
     # single shuffle of the n_bands·n-row keyed table, 1/n_bands the join
@@ -421,7 +452,7 @@ def incremental_minhash_dedup(
     sig_b = materialize(
         minhash_signatures(batch, n_hashes, text_col, id_col, n)
     )
-    n_bands = n_hashes // band_rows
+    n_bands = _n_bands(n_hashes, band_rows)
 
     def keyed(sigs, out_id):
         band_keys = [
@@ -436,10 +467,36 @@ def incremental_minhash_dedup(
             F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
         )
 
-    hits = (
+    band_hits = (
         keyed(sig_b, "batch_id")
         .join(keyed(sig_c, "corpus_id"), ["band_idx", "band_key"])
         .select("batch_id", "corpus_id")
+    )
+    # Sub-shingle fallback: a batch doc with < n words has NO shingles,
+    # so it gets no signature and the band join can never see it — a
+    # silent accept-everything blind spot for tiny docs (1M copies of
+    # "click here" would all pass). Such docs (identified robustly as
+    # "absent from sig_b", whatever the tokenizer did) fall back to
+    # EXACT text match against the corpus — the only meaningful dup
+    # signal at that length. The corpus md5 set is persistable alongside
+    # the signature table at scale.
+    short_hits = (
+        batch.join(sig_b.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col).alias("batch_id"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("corpus_id"),
+                F.md5(F.col(text_col)).alias("_h"),
+            ),
+            "_h",
+        )
+        .select("batch_id", "corpus_id")
+    )
+    hits = (
+        band_hits.unionByName(short_hits)
         .distinct()
         .groupBy("batch_id")
         .agg(

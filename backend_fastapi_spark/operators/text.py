@@ -65,7 +65,11 @@ def char_chunks(
         .select(
             F.col(id_col),
             ((F.col("_start") - 1) / stride).cast("long").alias("chunk_idx"),
-            F.expr(f"substring({text_col}, _start, {size})").alias("chunk"),
+            # column API, not f-string SQL: a non-identifier column name
+            # (spaces, quotes) would make the expr unparseable
+            F.col(text_col)
+            .substr(F.col("_start"), F.lit(size))
+            .alias("chunk"),
         )
     )
 
@@ -200,10 +204,15 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     regexp_extract_all column expressions — whole-stage codegen, no UDF,
     embarrassingly parallel at any corpus size."""
     out = df
-    scrubbed = F.col(text_col)
+    # counts run on coalesce(text, ''): size(regexp_extract_all(NULL))
+    # is -1/NULL (legacy/ANSI sizeOfNull), either of which corrupts a
+    # SUM(n_*) redaction audit — a NULL-text row has zero matches.
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    scrubbed = F.col(text_col)  # NULL text stays NULL in the output
     for kind, pat in PII_PATTERNS:
         out = out.withColumn(
-            f"n_{kind}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(src, F.lit(pat), F.lit(0))),
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return out.withColumn("scrubbed", scrubbed)

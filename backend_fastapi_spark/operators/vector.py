@@ -76,6 +76,7 @@ def knn_sql_statement(
     query_vec_sql: str,
     k: int = 5,
     payload_cols: str = "vec_id, label",
+    id_col: str = "vec_id",
 ) -> str:
     """Build the VECTOR_SEARCH-style SQL statement (SURVEY §4 optional
     entry point): top-k by exact fixed-point dot product against a
@@ -91,11 +92,18 @@ def knn_sql_statement(
     collapses to TakeOrderedAndProject: one corpus scan, zero shuffles.
     """
     dot = DOT_I64_SPARK_SQL.format(a="embedding", b="q.qe")
+    # qe IS NOT NULL: a scalar subquery matching no rows (typo'd query
+    # id) makes first(v) NULL and every score NULL — without the guard
+    # the ORDER BY tie-break would return k arbitrary low-id rows as
+    # "nearest neighbors"; with it the result is EMPTY, the honest
+    # answer. The tie-break id column is parameterized to match
+    # payload_cols instead of hard-coding vec_id.
     return f"""
       WITH q AS (SELECT first(v) AS qe FROM (SELECT {query_vec_sql} AS v))
       SELECT {payload_cols}, {dot} AS score_i64
       FROM {corpus_view} CROSS JOIN q
-      ORDER BY score_i64 DESC, vec_id ASC LIMIT {int(k)}
+      WHERE q.qe IS NOT NULL
+      ORDER BY score_i64 DESC, {id_col} ASC LIMIT {int(k)}
     """
 
 
@@ -324,9 +332,16 @@ def near_dup_pairs_matmul(
                     out_s.extend(row[hits].astype(np.int64))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim_i64": out_s})
 
+    # id columns keep the INPUT id type (same derived-DDL discipline as
+    # knn_exact) — a hard-coded long would break/corrupt string ids that
+    # the plain near_dup_pairs path handles fine.
+    id_ddl = dict(zip(df.schema.names, df.schema))[id_col].dataType.simpleString()
     return (
         quantized.groupBy("_blk")
-        .applyInPandas(block_pairs, schema="id_a long, id_b long, sim_i64 long")
+        .applyInPandas(
+            block_pairs,
+            schema=f"id_a {id_ddl}, id_b {id_ddl}, sim_i64 long",
+        )
     )
 
 

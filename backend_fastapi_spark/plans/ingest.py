@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from backend_fastapi_spark.functions.embedder import hashing_embedder
 from backend_fastapi_spark.operators.chunker import recursive_chunks
-from backend_fastapi_spark.operators.text import char_chunks
 
 # Candidate-name sets for dynamic schema inference
 # (enhanced_internal_db_service.py:454-473; internal_db_service.py:255-283).
@@ -85,6 +84,12 @@ def assemble_documents(df: DataFrame, index_name: str) -> DataFrame:
         F.lit("source"), F.lit(index_name),
     ]
     for c in text_cols:
+        if c in ("id", "title", "source"):
+            # the fallback text column can BE one of the fixed meta keys
+            # (e.g. a (id, source) table infers 'source' as text) —
+            # emitting the key twice makes create_map raise under the
+            # default mapKeyDedupPolicy=EXCEPTION for every row
+            continue
         meta_entries += [
             F.lit(c),
             F.substring(F.col(c).cast("string"), 1, METADATA_VALUE_MAX_CHARS),
@@ -92,8 +97,18 @@ def assemble_documents(df: DataFrame, index_name: str) -> DataFrame:
     metadata = F.map_filter(
         F.create_map(*meta_entries), lambda _, v: v.isNotNull()
     )
+    # numeric ids cast losslessly; string ids (UUIDs) would cast to NULL
+    # — collapsing every doc's chunk_id (xxhash64 skips NULL args) — so
+    # they hash to a stable long instead.
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        doc_id = F.col(id_col).cast("long")
+    else:
+        doc_id = F.xxhash64(F.col(id_col).cast("string"))
     return df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        doc_id.alias("doc_id"),
         title.alias("title"),
         doc_text.alias("doc_text"),
         F.lit(index_name).alias("index_name"),
@@ -140,8 +155,18 @@ def ingest_table(
 
 def write_index(chunks: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S11 vector-index sink: parquet partitioned by index_name (partition
-    pruning = the reference's per-index FAISS directories)."""
-    chunks.write.partitionBy("index_name").mode(mode).parquet(path)
+    pruning = the reference's per-index FAISS directories).
+
+    Overwrites are DYNAMIC: only the index partitions present in
+    ``chunks`` rewrite — a static overwrite would truncate the whole
+    path and wipe every OTHER index living there (the isolation the
+    per-index-directory docstring promises)."""
+    (
+        chunks.write.partitionBy("index_name")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(mode)
+        .parquet(path)
+    )
 
 
 def compact_index(

@@ -64,11 +64,19 @@ def rag_retrieve(
         .drop("_cut")
     )
 
-    # 4. strong-anchor containment (P9): any anchor substring in the text
-    anchor_arr = F.array(*[F.lit(a) for a in anchors])
-    anchored = margined.filter(
-        F.exists(anchor_arr, lambda a: F.contains(F.lower(F.col("text")), a))
-    )
+    # 4. strong-anchor containment (P9): any anchor substring in the
+    # text. NO anchors -> the filter is SKIPPED (the reference skips P9
+    # when no strong anchor extracts; F.exists over an empty array is
+    # always false and would drop every row). Anchors are lowercased to
+    # match the lowered haystack — an uppercase anchor from the public
+    # Engine.rag(anchors=...) parameter would otherwise never match.
+    if anchors:
+        anchor_arr = F.array(*[F.lit(a.lower()) for a in anchors])
+        anchored = margined.filter(
+            F.exists(anchor_arr, lambda a: F.contains(F.lower(F.col("text")), a))
+        )
+    else:
+        anchored = margined
 
     # 5. per-group cap + round-robin diversification, per query
     w_grp = Window.partitionBy("q_id", "source").orderBy(

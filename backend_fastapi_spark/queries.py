@@ -966,7 +966,14 @@ _INC_HITS_SQL = " UNION ".join(
              WHERE len(w) >= 3),
     sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
     sig_b AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh_b GROUP BY doc_id),
-    hits AS (SELECT DISTINCT batch_id, corpus_id FROM ({_INC_HITS_SQL})),
+    hits AS (SELECT DISTINCT batch_id, corpus_id FROM (
+      SELECT batch_id, corpus_id FROM ({_INC_HITS_SQL})
+      UNION ALL
+      -- sub-shingle fallback, mirroring the operator: batch docs absent
+      -- from sig_b (< n words -> no shingles) match on exact text md5
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM batch b JOIN documents c ON md5(b.text) = md5(c.text)
+      WHERE b.doc_id NOT IN (SELECT doc_id FROM sig_b))),
     agg AS (SELECT batch_id, COUNT(*) AS n_matches,
                    MIN(corpus_id) AS first_match
             FROM hits GROUP BY 1)

@@ -81,17 +81,28 @@ def segment_group(
         buffer, emitted = "", 0
 
     out_rows: list[tuple[str, int, str]] = []
-    for pdf in pdf_iter:
-        for chunk in pdf.sort_values("chunk_seq")["chunk"]:
+    # concat ALL Arrow batches before the single global sort: a group
+    # larger than maxRecordsPerBatch spans multiple pdfs whose relative
+    # order is shuffle-fetch order — sorting each pdf independently
+    # would append later-seq chunks before earlier ones and garble the
+    # reassembled text. NULL chunks carry no text; dropna, not crash.
+    pdfs = [pdf for pdf in pdf_iter]
+    if pdfs:
+        merged = pd.concat(pdfs, ignore_index=True).sort_values("chunk_seq")
+        for chunk in merged["chunk"].dropna():
             buffer += chunk
             done, buffer = split_complete(buffer)
             for s in done:
                 out_rows.append((session_id, emitted, s))
                 emitted += 1
 
-    if should_flush_partial(buffer):
+    # suffix-only buffers (', ') flush to an empty string — emit nothing
+    # rather than an empty sentence row (and don't burn a seq number).
+    if should_flush_partial(buffer) and buffer.strip():
         out_rows.append((session_id, emitted, buffer.strip()))
         emitted += 1
+        buffer = ""
+    elif should_flush_partial(buffer):
         buffer = ""
 
     state.update((buffer, emitted))

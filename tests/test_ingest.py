@@ -109,3 +109,57 @@ def test_compact_index_after_streaming_appends(spark, tmp_path):
     assert len(glob.glob(f"{path}/index_name=idx_a/*.parquet")) == 1
     # dynamic overwrite left idx_b's files alone
     assert set(glob.glob(f"{path}/index_name=idx_b/*.parquet")) == b_files_before
+
+
+def test_assemble_handles_meta_key_collision_and_string_ids(spark):
+    """(id, source) tables must not crash create_map (duplicate 'source'
+    key), and UUID-string ids must produce distinct doc_ids instead of
+    cast-to-NULL collapsing every chunk_id."""
+    from backend_fastapi_spark.plans.ingest import assemble_documents
+
+    collide = spark.createDataFrame(
+        [(1, "long text for the source column here")], ["id", "source"]
+    )
+    rows = assemble_documents(collide, "idx").collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
+
+    uuids = spark.createDataFrame(
+        [("a-1", "text one"), ("b-2", "text two")], ["uid", "body"]
+    )
+    got = assemble_documents(uuids, "idx").collect()
+    ids = {r.doc_id for r in got}
+    assert len(ids) == 2 and None not in ids
+
+
+def test_write_index_overwrite_is_partition_scoped(spark, tmp_path):
+    """Overwriting index B must not wipe index A at the same path."""
+    from backend_fastapi_spark.plans.ingest import ingest_table, write_index
+
+    path = str(tmp_path / "idx")
+    a = spark.createDataFrame([(1, "t", "doc a text")], ["id", "title", "content"])
+    b = spark.createDataFrame([(2, "t", "doc b text")], ["id", "title", "content"])
+    write_index(ingest_table(a, "index_a"), path)
+    write_index(ingest_table(b, "index_b"), path)  # default overwrite
+    names = {
+        r.index_name
+        for r in spark.read.parquet(path).select("index_name").distinct().collect()
+    }
+    assert names == {"index_a", "index_b"}
+
+
+def test_rag_empty_anchors_is_noop_and_case_insensitive(spark):
+    """anchors=[] must skip the P9 filter (not drop everything); an
+    uppercase anchor must match the lowered haystack."""
+    from backend_fastapi_spark.plans.rag_retrieval import rag_retrieve
+
+    corpus = spark.createDataFrame(
+        [(1, "vector databases are fast", "s", [1.0, 0.0])],
+        "doc_id long, text string, source string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "q_id long, q_embedding array<double>"
+    )
+    no_anchor = rag_retrieve(corpus, queries, anchors=[])
+    assert no_anchor.count() == 1
+    upper = rag_retrieve(corpus, queries, anchors=["Vector"])
+    assert upper.count() == 1

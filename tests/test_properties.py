@@ -372,3 +372,94 @@ def test_ivf_deterministic_mixed_id_types_not_empty(spark):
     )
     got = ivf_deterministic_topk(corpus, queries, k=5, k_clusters=4)
     assert got.count() == 5
+
+
+def test_band_rows_must_divide_n_hashes(spark):
+    import pytest
+
+    from backend_fastapi_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    # band_rows > n_hashes would yield ZERO bands = gate disabled
+    with pytest.raises(ValueError, match="divisor"):
+        incremental_minhash_dedup(docs, docs, n_hashes=16, band_rows=20)
+    # non-divisor would silently drop trailing signature columns
+    with pytest.raises(ValueError, match="divisor"):
+        minhash_lsh_pairs(docs, n_hashes=16, band_rows=5)
+
+
+def test_incremental_gate_catches_sub_shingle_duplicates(spark):
+    """Docs with < n words have no shingles; the exact-text fallback
+    must still reject verbatim duplicates of corpus docs."""
+    from backend_fastapi_spark.operators.dedup import incremental_minhash_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "click here"), (2, "w1 w2 w3 w4 w5 w6 w7 w8")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, "click here"),        # verbatim short dup -> reject
+         (101, "buy now"),          # novel short doc -> accept
+         (102, "w1 w2 w3 w4 w5 w6 w7 w8")],  # verbatim long dup -> reject
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.accepted
+           for r in incremental_minhash_dedup(corpus, batch).collect()}
+    assert got == {100: False, 101: True, 102: False}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from backend_fastapi_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2, driver_max_edges=0)
+
+
+def test_connected_components_drops_null_endpoints(spark):
+    from backend_fastapi_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "id_a long, id_b long"
+    )
+    for kw in ({}, {"driver_max_edges": 0}):
+        labels = {
+            (r.id, r.cluster_id)
+            for r in connected_components(edges, **kw).collect()
+        }
+        assert labels == {(1, 1), (2, 1)}  # null-edge vertices excluded
+
+
+def test_scrub_pii_null_text_counts_zero(spark):
+    from backend_fastapi_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me: a@b.com"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert rows[1].n_email == 1
+    assert rows[2].n_email == 0 and rows[2].n_url == 0 and rows[2].n_phone == 0
+    assert rows[2].scrubbed is None
+
+
+def test_near_dup_matmul_preserves_string_ids(spark):
+    from backend_fastapi_spark.operators.vector import near_dup_pairs_matmul
+
+    df = spark.createDataFrame(
+        [("doc-a", "g1", [1.0, 0.0]), ("doc-b", "g1", [1.0, 0.0]),
+         ("doc-c", "g1", [0.0, 1.0])],
+        "vec_id string, grp string, embedding array<double>",
+    )
+    rows = near_dup_pairs_matmul(
+        df, threshold_i64=900_000_000_000, block_col="grp"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {("doc-a", "doc-b")}

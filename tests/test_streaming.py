@@ -611,3 +611,40 @@ def test_interval_join_right_outer_keeps_key(spark):
         clicks, buys, "user", how="rightOuter"
     ).collect()
     assert {r.user for r in out} == {1, 2}  # key never NULL
+
+
+def test_segmentation_tolerates_null_chunks_and_suffix_only_flush(spark):
+    """A NULL chunk must not crash the stateful op, and a suffix-only
+    buffer (', ') must not emit an empty sentence row."""
+    tmp = tempfile.mkdtemp(prefix="seg2_src_")
+    out = tempfile.mkdtemp(prefix="seg2_chk_")
+    try:
+        b1 = pd.DataFrame(
+            [("s1", 0, "One. "), ("s1", 1, None), ("s1", 2, ", "),
+             ("s2", 0, " " * 25)],  # >=20 chars -> length-flush fires
+            columns=["session_id", "chunk_seq", "chunk"],
+        )
+        spark.createDataFrame(b1, CHUNK_SCHEMA).write.parquet(f"{tmp}/b1")
+        stream = spark.readStream.schema(CHUNK_SCHEMA).parquet(f"{tmp}/b*")
+        q = (
+            segment_sentences_stream(stream)
+            .writeStream.format("memory")
+            .queryName("seg2_out")
+            .outputMode("append")
+            .option("checkpointLocation", out)
+            .start()
+        )
+        q.processAllAvailable()
+        rows = [
+            (r.session_id, r.seq, r.sentence)
+            for r in spark.sql("SELECT * FROM seg2_out").collect()
+        ]
+        q.stop()
+        assert ("s1", 0, "One.") in rows
+        assert all(r[2].strip() for r in rows)  # no empty sentences
+        # an all-whitespace length-flush buffer emits NOTHING (without
+        # the strip guard it would emit seq 0 = "")
+        assert not [r for r in rows if r[0] == "s2"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
