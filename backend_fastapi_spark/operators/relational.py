@@ -18,14 +18,24 @@ from pyspark.sql import functions as F
 # Top-k / ordered retrieval (SURVEY §2.6 O1-O7)
 # ---------------------------------------------------------------------------
 
-def top_n_recent(df: DataFrame, order_col: str, n: int, desc: bool = True) -> DataFrame:
+def top_n_recent(
+    df: DataFrame,
+    order_col: str,
+    n: int,
+    desc: bool = True,
+    tie_cols: list[Column] | None = None,
+) -> DataFrame:
     """O1: ORDER BY c DESC LIMIT n (reference db_llm_service.py:144-148).
 
     Spark compiles this to TakeOrderedAndProject — no global sort, each
-    partition keeps n rows then the driver merges. Scales to any input size.
+    partition keeps n rows then the driver merges. Scales to any input
+    size. ``tie_cols`` totalizes the order: this orderBy REPLACES any
+    sort on ``df`` (Catalyst eliminates adjacent sorts), so a caller's
+    pre-sort cannot break ties — rows tying on ``order_col`` at the
+    limit boundary would otherwise survive partition-order-dependently.
     """
     key = F.col(order_col).desc() if desc else F.col(order_col).asc()
-    return df.orderBy(key).limit(n)
+    return df.orderBy(key, *(tie_cols or [])).limit(n)
 
 
 def per_group_top_n(
@@ -168,48 +178,4 @@ def string_agg_context(
         F.array_join(
             F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["l"]), sep
         ).alias("context")
-    )
-
-
-def pack_context(
-    df: DataFrame,
-    text_col: str,
-    order_col: Column,
-    budget: int,
-    sep_len: int = 1,
-    min_tail: int = 100,
-    partition_col: str | None = None,
-) -> DataFrame:
-    """Char-budget packing (internal_db_service.py:378-403): greedily keep
-    rows, in priority order, while the running character total fits the
-    budget — plus the reference's min-remainder rule (:386-391): the first
-    overflowing row is kept *truncated* to the remaining budget when more
-    than ``min_tail`` chars remain; otherwise packing stops there.
-
-    The running sum is monotone, so "every row after the first overflow is
-    dropped" (the reference's ``break``) falls out declaratively: once
-    ``_cum`` exceeds the budget it stays exceeded.
-
-    ``partition_col`` scopes the window; the global (None) form funnels all
-    rows through one partition and is only safe on small pre-capped
-    candidate sets — callers packing per-query MUST pass the query key
-    (see plans/rag_retrieval.py).
-    """
-    base = Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
-    w = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    running = F.sum(F.length(F.col(text_col)) + F.lit(sep_len)).over(w)
-    prev = F.col("_cum") - F.length(F.col(text_col)) - F.lit(sep_len)
-    remaining = F.lit(budget) - prev
-    fits = F.col("_cum") <= budget + sep_len
-    tail = (~fits) & (remaining > min_tail)
-    return (
-        df.withColumn("_cum", running)
-        .filter(fits | tail)
-        .withColumn(
-            text_col,
-            F.when(
-                fits, F.col(text_col)
-            ).otherwise(F.substring(F.col(text_col), 1, F.lit(remaining))),
-        )
-        .drop("_cum")
     )

@@ -223,6 +223,12 @@ def forecast_metrics(
     independent with zero cross-engine rounding risk. (A decimal(30,12) cast
     is NOT safe here: DuckDB scales by 10^12 in doubles, which overflows
     2^53 for terms ≥ ~1e4.)
+
+    Domain bound: err²·1e6 must fit int64, i.e. |err| ≲ 3.0e6 per row —
+    ample for price-scale series (the reference's domain); series in
+    raw-volume units should be rescaled before metrics (ANSI mode fails
+    loudly on the cast; legacy mode would NULL the term and deflate
+    RMSE silently).
     """
     err = F.col(pred_col) - F.col(actual_col)
     sq_q = F.round(err * err * F.lit(1e6), 0).cast("long")

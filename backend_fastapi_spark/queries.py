@@ -401,11 +401,10 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_orders_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 recency top-n → TakeOrderedAndProject (no global sort)."""
     return R.top_n_recent(
-        _t(spark, sf_dir, "orders").orderBy(
-            F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
-        ),
+        _t(spark, sf_dir, "orders"),
         "o_orderdate",
         10,
+        tie_cols=[F.col("o_orderkey").asc()],
     ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
 
 

@@ -60,7 +60,9 @@ def parse_tool_call(text: str) -> dict[str, Any] | None:
             if depth == 0:
                 try:
                     return json.loads(text[start : i + 1])
-                except json.JSONDecodeError:
+                except (json.JSONDecodeError, RecursionError):
+                    # RecursionError: adversarially deep '{'*N nesting —
+                    # the contract is None on invalid, never a raise
                     return None
     return None
 
@@ -89,7 +91,19 @@ def build_tool_registry(
             items = items.filter(
                 F.lower("title").contains(kw) | F.lower("description").contains(kw)
             )
-        return items.orderBy(F.col("pub_date").desc(), "link").limit(limit)
+        # pub_date is a raw RFC-822 string ('Mon, 03 Jun 2024 ...'):
+        # a lexicographic sort orders by weekday NAME, so parse to a
+        # timestamp for recency; unparseable dates sort last, then the
+        # raw string + link totalize the order.
+        # (Spark >= 3 rejects 'EEE' in PARSE patterns, so strip the
+        # weekday prefix and parse the remainder)
+        ts = F.try_to_timestamp(
+            F.ltrim(F.substring_index(F.col("pub_date"), ",", -1)),
+            F.lit("dd MMM yyyy HH:mm:ss Z"),
+        )
+        return items.orderBy(
+            ts.desc_nulls_last(), F.col("pub_date").desc(), "link"
+        ).limit(limit)
 
     def get_weather(location: str = "Seoul") -> DataFrame:
         # Reference returns fixed dummy weather (tool_executor.py:121-135:
@@ -121,14 +135,22 @@ def build_tool_registry(
             .groupBy("user_id")
             .agg(F.sort_array(F.collect_list("name")).alias("medications"))
         )
+        # seed row: a user with NO diseases AND NO medications joins
+        # two empty frames — without the anchor the tool returns zero
+        # rows and the agent never sees the healthy-default state
+        seed = eng.spark.range(1).select(F.lit(user_id).alias("user_id"))
+        meds = F.coalesce("medications", F.array().cast("array<string>"))
         return (
-            d.join(m, "user_id", "full")
+            seed.join(d, "user_id", "left")
+            .join(m, "user_id", "left")
             .select(
-                F.coalesce("user_id", F.lit(user_id)).alias("user_id"),
+                "user_id",
                 F.coalesce("diseases", F.array().cast("array<string>")).alias("diseases"),
-                F.coalesce("medications", F.array().cast("array<string>")).alias("medications"),
+                meds.alias("medications"),
+                # size over the COALESCED array: legacy sizeOfNull gives
+                # size(NULL) = -1, which would INFLATE the score
                 (100 - F.coalesce("n_active", F.lit(0)) * 10
-                 - F.coalesce(F.size("medications"), F.lit(0)) * 2).alias("health_score"),
+                 - F.size(meds) * 2).alias("health_score"),
             )
         )
 
@@ -172,12 +194,14 @@ def build_tool_registry(
 
     def get_finance_items(category: str | None = None, user_id: int = 1) -> DataFrame:
         items = store.finance_items.filter(F.col("user_id") == user_id)
-        if category:
-            items = items.filter(F.col("category") == category)
-        # per-item rows + the running total the reference reports
+        # total_assets = the USER'S full total (the figure the reference
+        # reports), computed BEFORE any category filter — filtering
+        # first would make 'total_assets' silently mean 'category total'
         total = items.groupBy().agg(
             F.sum("amount").alias("_total")
         )
+        if category:
+            items = items.filter(F.col("category") == category)
         return (
             items.crossJoin(F.broadcast(total))
             .select("item_id", "name", "category", "amount", F.col("_total").alias("total_assets"))
@@ -263,7 +287,9 @@ def build_tool_registry(
         cond = F.lit(False)
         for kw in kws:
             cond = cond | F.lower(F.col("text")).contains(kw)
-        return eng.table("documents").filter(cond).limit(limit)
+        # order before limit: an unordered limit returns whichever rows
+        # the scan touches first — nondeterministic knowledge context
+        return eng.table("documents").filter(cond).orderBy("doc_id").limit(limit)
 
     def grocery_prices(product: str | None = None) -> DataFrame:
         from backend_fastapi_spark.sources.json_source import read_grocery_deals
@@ -323,4 +349,9 @@ def execute_tool(
     name = call.get("tool")
     if name not in registry:
         raise KeyError(f"unknown tool: {name!r}; available: {sorted(registry)}")
-    return registry[name](**call.get("args", {}))
+    args = call.get("args") or {}
+    if not isinstance(args, dict):
+        # untrusted LLM output: 'args': null / [1] must not TypeError
+        # inside the tool — treat as no-args
+        args = {}
+    return registry[name](**args)
