@@ -5068,8 +5068,9 @@ def q_bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #            evidence is two data-generations old, refresh first);
 #   tier 3 — oracle=None queries the driver has never even run;
 #   tier 4 — oracle=None queries already exercised rows-only;
-#   tier 5 — greens hashed on the CURRENT data generation (re-run adds
-#            nothing).
+#   tier 5 — greens hashed on the CURRENT data generation, last-green
+#            round ASCENDING (oldest fresh evidence re-rotates first so
+#            the all-fresh registry keeps cycling under the sweep budget).
 # Maintained by scripts/update_verified.py after each round's CORRECTNESS
 # file lands. scripts/write_emit_order.py regenerates the committed
 # QUERY_EMIT_ORDER.json sidecar so every round's artifact records which
@@ -5082,16 +5083,26 @@ _DATA_GEN_ROUND = 4
 # name -> round of most recent driver green-hash row (CORRECTNESS_r0N.json).
 _LAST_GREEN = {
     "anchor_extraction": 5,
+    "ann_ivf_deterministic": 6,
+    "ann_ivfpq_top10": 6,
+    "ann_pq_adc_top10": 6,
     "ar_rollout_forecast": 5,
     "asof_join_events_orders": 5,
+    "attribute_filter": 6,
+    "bloom_prejoin_stats": 6,
+    "bottomk_sample_quantiles": 6,
+    "bpe_top_merges": 6,
     "brand_price_stats": 4,
-    "branded_quantity_revenue": 3,
+    "branded_quantity_revenue": 6,
     "chunk_documents": 4,
+    "cms_heavy_users_deterministic": 6,
     "cohort_retention": 5,
+    "corpus_curation_pipeline": 6,
     "cube_status_priority": 5,
     "customer_360": 5,
-    "customer_order_distribution": 3,
+    "customer_order_distribution": 6,
     "customers_with_orders": 4,
+    "customers_without_orders": 6,
     "daily_value_by_type": 4,
     "decontaminate_test_split": 5,
     "dedup_canonical_corpus": 5,
@@ -5103,30 +5114,34 @@ _LAST_GREEN = {
     "doc_fingerprint_groups": 4,
     "doc_template_assembly": 4,
     "dup_clusters": 5,
-    "dup_rate_by_source": 3,
+    "dup_rate_by_source": 6,
     "embedding_near_dup": 4,
     "embedding_near_dup_rp": 5,
     "events_burst_60s": 5,
+    "exact_dup_groups": 6,
     "filtered_projection": 4,
-    "forecast_revenue_change": 2,
+    "forecast_revenue_change": 6,
     "from_json_native": 5,
     "funnel_conversion": 5,
     "gopher_repetition_filter": 5,
     "grocery_best_store": 5,
     "grouping_sets_revenue": 5,
+    "hll_distinct_deterministic": 6,
     "html_strip": 5,
-    "idle_rich_customers": 3,
-    "ingest_pipeline_chunks": 3,
+    "idle_rich_customers": 6,
+    "incremental_dedup_batch": 6,
+    "ingest_pipeline_chunks": 6,
     "json_extract_stats": 5,
     "keyword_or_filter": 4,
+    "kmv_set_similarity": 6,
     "knn_batch_top5": 4,
     "knn_margin_topk": 4,
     "knn_top10_dot": 4,
     "knn_top10_l2": 4,
-    "lang_id_confusion": 3,
+    "lang_id_confusion": 6,
     "lang_quality_score": 4,
-    "large_volume_customers": 2,
-    "late_shipment_priority": 3,
+    "large_volume_customers": 6,
+    "late_shipment_priority": 6,
     "minhash_lsh_candidates": 4,
     "minhash_verified_dupes": 4,
     "minmax_rescale": 5,
@@ -5136,39 +5151,44 @@ _LAST_GREEN = {
     "ngram_jaccard_dupes": 4,
     "null_normalization": 4,
     "order_status_histogram": 4,
-    "orders_growth_mom": 3,
+    "orders_growth_mom": 6,
     "pack_docs_budget": 4,
-    "pack_pretrain_sequences": 3,
+    "pack_pretrain_sequences": 6,
     "paginated_orders": 5,
     "pct_change_daily": 5,
     "per_customer_top3_orders": 4,
     "percentile_stats": 5,
+    "pii_scrub_stats": 6,
     "pivot_priority_by_status": 5,
-    "pricing_summary": 4,
-    "promo_revenue_share": 2,
+    "pricing_summary": 6,
+    "promo_revenue_share": 6,
     "rag_retrieval_batch": 5,
-    "rag_retrieval_pipeline": 3,
+    "rag_retrieval_pipeline": 6,
     "recursive_chunk_merge_oracle": 5,
-    "region_revenue": 4,
-    "returned_items_by_customer": 2,
+    "region_revenue": 6,
+    "returned_items_by_customer": 6,
     "rewrite_chain": 5,
     "rollup_region_nation": 4,
     "salted_skew_sum": 5,
     "scalar_subquery_join": 4,
+    "scd2_customer_merge": 6,
+    "semantic_dedup_pairs": 6,
+    "semantic_dedup_summary": 6,
     "session_window_native": 5,
     "sessionize_events": 5,
-    "shipmode_priority_counts": 2,
+    "shipmode_priority_counts": 6,
     "shipping_priority": 5,
     "simhash_pairs": 5,
     "sliding_window_counts": 5,
-    "small_quantity_revenue": 3,
+    "small_quantity_revenue": 6,
     "stratified_sample_langs": 5,
     "supplier_balance_by_region": 5,
+    "temperature_sample_langs": 6,
     "tfidf_top_terms": 5,
     "token_stats": 4,
     "top_orders_recent": 4,
-    "top_parts_by_region": 3,
-    "top_supplier_revenue": 3,
+    "top_parts_by_region": 6,
+    "top_supplier_revenue": 6,
     "train_test_split_counts": 5,
     "ts_daily_resample": 4,
     "ts_forecast_metrics": 4,
@@ -5182,12 +5202,15 @@ _LAST_GREEN = {
     "union_all_counts": 4,
     "union_then_global_topn": 5,
     "upsert_orders": 5,
-    "user_context_star": 4,
+    "user_context_star": 6,
     "user_rapid_repeat_events": 5,
+    "variant_extract_stats": 6,
     "vector_search_sql": 4,
     "watermark_late_drop": 5,
     "weighted_recommend_score": 5,
     "weighted_sample_docs": 5,
+    "winnow_fingerprint_stats": 6,
+    "winnow_near_dup": 6,
 }
 
 # Stale greens to refresh FIRST, in this order — the 12-query events family
@@ -5233,7 +5256,11 @@ def _ordered_names() -> list[str]:
             return (4, 0)
         if green is None:
             return (3, 0)
-        return (5, 0)
+        # Fresh greens rotate oldest-evidence-first (VERDICT r06 #1):
+        # once every oracle query is fresh, the budget-capped sweep prefix
+        # must keep cycling through the registry by evidence AGE, not
+        # insertion order — otherwise the oldest greens never re-hash.
+        return (5, green)
 
     # sorted() is stable: registry insertion order preserved within a tier.
     return sorted(REGISTRY, key=key)

@@ -155,10 +155,44 @@ def bench_round() -> int:
     return max(rounds, default=0) + 1
 
 
+def wait_for_quiet_host(max_wait_s: float = 600.0,
+                        threshold_per_cpu: float = 0.10) -> dict:
+    """Gate the timed section on host load (VERDICT r06 directive #2).
+
+    min-of-N damps transient noise but a busy host shifts whole runs —
+    the committed r6 artifact was captured at loadavg 5.49/32 and landed
+    13.07 s where an idle-host run of identical code lands 10.39 s
+    (SCALING.md documents the 10.6–13.1 s identical-code band). Spin
+    until loadavg(1m)/cpus drops below the threshold so the artifact
+    records the engine, not the neighbors; give up after max_wait_s and
+    record the attempts either way so a loaded run is attributable.
+    """
+    cpus = os.cpu_count() or 1
+    attempts: list[float] = []
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        load = os.getloadavg()[0]
+        attempts.append(round(load, 2))
+        if load / cpus <= threshold_per_cpu or time.monotonic() >= deadline:
+            return {
+                "loadavg_gate": {
+                    "threshold_per_cpu": threshold_per_cpu,
+                    "cpus": cpus,
+                    "attempts": attempts,
+                    "waited_s": round(30.0 * (len(attempts) - 1), 1),
+                    "passed": load / cpus <= threshold_per_cpu,
+                }
+            }
+        print(f"# host busy (loadavg {load:.2f}/{cpus}) — waiting 30s",
+              file=sys.stderr)
+        time.sleep(30.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    gate = wait_for_quiet_host()
     spark = get_spark("bench")
 
     # Warm the JVM + parquet footers once so timings measure the queries;
@@ -168,6 +202,7 @@ def main() -> None:
     # and the loadavg makes that attributable when comparing rounds.
     context: dict = {
         "host_loadavg_at_start": list(os.getloadavg()),
+        **gate,
         "data": data_stanza(spark, sf_dir),
     }
 

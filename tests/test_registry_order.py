@@ -86,6 +86,22 @@ def test_stale_greens_ordered_oldest_first_within_tier():
     assert rounds == sorted(rounds)
 
 
+def test_fresh_greens_ordered_oldest_first_within_tier():
+    # VERDICT r06 #1 twin invariant: once all greens are fresh, tier 5
+    # must still rotate by evidence age — the sweep prefix keeps cycling
+    # instead of freezing on registry insertion order.
+    pos = _tiers()
+    fresh = sorted(
+        (
+            n for n in Q.REGISTRY
+            if Q._LAST_GREEN.get(n, 0) >= Q._DATA_GEN_ROUND
+        ),
+        key=lambda n: pos[n],
+    )
+    rounds = [Q._LAST_GREEN[n] for n in fresh]
+    assert rounds == sorted(rounds)
+
+
 def test_emit_order_sidecar_matches_committed():
     # queries() is a plain accessor (no repo writes — ADVICE r05 #3); the
     # committed sidecar must equal the computed order, else someone edited
