@@ -78,6 +78,11 @@ def salted_sum(
     # map-task retry after partial reducer fetches would re-salt rows
     # onto different reducers (lost/double-counted partials). Default to
     # a whole-row hash — stable for a given row regardless of placement.
+    # Limitation: fully IDENTICAL duplicate rows (a common shape of the
+    # hot-key skew this targets) all hash to ONE salt value, collapsing
+    # the mitigation back onto a single reducer; correctness is
+    # unaffected, but pass salt_source (a value column that varies within
+    # the hot key) when duplicate rows dominate a key.
     salt = F.pmod(
         F.xxhash64(
             F.col(salt_source)

@@ -246,6 +246,11 @@ def connected_components(
     timing swing with no code change must be attributable to these
     numbers — bench.py embeds them in the BENCH context sidecar.
     """
+    # max_iter <= 0 would skip the loop body entirely and the
+    # non-convergence branch would read an empty changed_hist (ADVICE
+    # r06 #2) — reject it up front.
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # Materialize the (possibly expensive) edge pipeline BEFORE mirroring:
     # the union references it twice, so an unmaterialized plan would
     # evaluate the upstream pair computation twice in one job.

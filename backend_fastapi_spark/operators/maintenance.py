@@ -165,6 +165,12 @@ def skipping_report(path: str, col: str, lo, hi) -> dict:
     for fpath in files:
         md = pq.ParquetFile(fpath).metadata
         idx = md.schema.to_arrow_schema().get_field_index(col)
+        if idx < 0:
+            raise ValueError(
+                f"skipping_report: column {col!r} not in parquet footers of "
+                f"{fpath!r} — note partition columns in a key=value layout "
+                "are encoded in directory names and carry no footer stats"
+            )
         for rg in range(md.num_row_groups):
             stats = md.row_group(rg).column(idx).statistics
             total += 1

@@ -593,13 +593,19 @@ def bloom_prejoin_stats(
     bits_set = filt.agg(
         F.sum(F.bit_count("bits")).alias("n_bits_set")
     )
+    # Zero non-null probe keys: SUM over zero rows is NULL in both
+    # engines, but the oracle's old GROUP BY form emitted zero rows while
+    # the global agg here emits one — coalesce to 0 and use a scalar-
+    # subquery oracle so both sides agree on a single zeroed audit row
+    # (ADVICE r06 #1).
     return (
         audited.agg(
             F.count(F.lit(1)).cast("long").alias("n_probe_keys"),
-            F.sum("pass").cast("long").alias("n_pass"),
-            F.sum("is_member").cast("long").alias("n_true"),
-            F.sum(
-                F.col("pass") * (F.lit(1) - F.col("is_member"))
+            F.coalesce(F.sum("pass"), F.lit(0)).cast("long").alias("n_pass"),
+            F.coalesce(F.sum("is_member"), F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce(
+                F.sum(F.col("pass") * (F.lit(1) - F.col("is_member"))),
+                F.lit(0),
             ).cast("long").alias("n_false_pos"),
         )
         .crossJoin(F.broadcast(bits_set))
@@ -680,12 +686,14 @@ def bloom_prejoin_oracle_sql(
            CAST(sz.words AS BIGINT) AS n_words,
            (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) FROM filt)
              AS n_bits_set,
-           CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
-           CAST(SUM(pass) AS BIGINT) AS n_pass,
-           CAST(SUM(is_member) AS BIGINT) AS n_true,
-           CAST(SUM(pass * (1 - is_member)) AS BIGINT) AS n_false_pos
-    FROM audited, sz
-    GROUP BY sz.n_members, sz.words
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM audited) AS n_probe_keys,
+           (SELECT CAST(COALESCE(SUM(pass), 0) AS BIGINT) FROM audited)
+             AS n_pass,
+           (SELECT CAST(COALESCE(SUM(is_member), 0) AS BIGINT) FROM audited)
+             AS n_true,
+           (SELECT CAST(COALESCE(SUM(pass * (1 - is_member)), 0) AS BIGINT)
+            FROM audited) AS n_false_pos
+    FROM sz
     """
 
 

@@ -1694,7 +1694,6 @@ def q_variant_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (matching the oracle's json_extract semantics) instead of failing
     # the whole aggregation the way strict parse_json would.
     k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
-    hot = F.when(k > 50, F.col("user_id"))
     return (
         ev.select("event_type", "user_id", k.alias("k"))
         .groupBy("event_type")

@@ -331,6 +331,30 @@ def test_bloom_empty_member_set(spark):
     assert row.n_pass == 0 and row.n_true == 0 and row.n_false_pos == 0
 
 
+def test_bloom_empty_probe_set(spark):
+    """Zero non-null probe keys (ADVICE r06 #1): the audit still emits
+    ONE row with zeroed counters — not NULL sums, and not the zero rows
+    the oracle's old GROUP BY form produced — in both engines."""
+    import duckdb
+
+    members = spark.createDataFrame([(k,) for k in range(50)], ["k"])
+    probes = spark.createDataFrame([(None,)], "k long")
+    row = SK.bloom_prejoin_stats(members, "k", probes, "k", "t").collect()[0]
+    assert row.n_members == 50
+    assert row.n_probe_keys == 0
+    assert row.n_pass == 0 and row.n_true == 0 and row.n_false_pos == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m AS SELECT unnest(range(50)) AS k")
+    con.execute("CREATE TABLE p (k BIGINT)")
+    con.execute("INSERT INTO p VALUES (NULL)")
+    sql = SK.bloom_prejoin_oracle_sql("m", "k", "p", "k", "t")
+    o = con.execute(sql).fetchall()
+    assert len(o) == 1
+    (_, n_members, _, _, n_probe, n_pass, n_true, n_fp) = o[0]
+    assert (n_members, n_probe, n_pass, n_true, n_fp) == (50, 0, 0, 0, 0)
+
+
 def test_kmv_identical_small_sets_estimate_one(spark):
     """|A∪B| < k: the estimator divides by the union's bottom-k SIZE,
     so two identical 10-key sets estimate J=1.0 (a constant-k
