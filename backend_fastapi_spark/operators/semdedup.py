@@ -142,6 +142,35 @@ def semantic_dedup_summary(
     )
 
 
+def semantic_dedup_union_pairs(
+    df: DataFrame,
+    threshold_i64: int,
+    k_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup pairs ∪ deterministic RP-LSH pairs — the documented
+    mitigation for SemDeDup's cluster-boundary recall loss (a planted
+    twin that argmin-assigns across a medoid boundary is invisible to
+    within-cluster pruning; the paper's fix is more/larger clusters,
+    ours is a second, clustering-independent candidate generator).
+    Both passes exact-verify with the SAME quantized int64 dot, so a
+    pair found by both carries an identical score and the union is a
+    plain DISTINCT — no reconciliation logic. Scale cost is additive:
+    one cluster-key shuffle (SemDeDup) + one band-key equi-join
+    (RP-LSH); tests/test_vector.py shows planted-dup recall rising
+    from the boundary-lossy 33/40 to 40/40."""
+    from backend_fastapi_spark.operators.lsh import rp_near_dup_pairs
+
+    sem = semantic_dedup_pairs(
+        df, threshold_i64, k_clusters, id_col, vec_col
+    ).select("id_a", "id_b", "score_i64")
+    rp = rp_near_dup_pairs(
+        df, threshold_i64, id_col=id_col, vec_col=vec_col
+    ).select("id_a", "id_b", "score_i64")
+    return sem.unionByName(rp).distinct()
+
+
 def _cluster_cte(k_clusters: int) -> str:
     """Shared DuckDB CTE chain reproducing quantize -> medoids -> argmin
     assignment, bit-identical to the Spark plan (same idiom as

@@ -794,6 +794,37 @@ def q_semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_summary(emb, threshold_i64=_SEMDEDUP_TAU_I64)
 
 
+def _semdedup_union_oracle_sql() -> str:
+    # UNION (not UNION ALL) of the two already-green twins: both verify
+    # with the identical quantized dot, so a pair found by both carries
+    # one score and set-union dedupes it.
+    sem = SD.semdedup_pairs_oracle_sql(_SEMDEDUP_TAU_I64)
+    rp = _rp_oracle_sql(_SEMDEDUP_TAU_I64)
+    return f"""
+    SELECT id_a, id_b, score_i64 FROM ({sem})
+    UNION
+    SELECT id_a, id_b, score_i64 FROM ({rp})
+    """
+
+
+@register("semantic_dedup_union", oracle=_semdedup_union_oracle_sql())
+def q_semantic_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup ∪ RP-LSH near-dup pairs (VERDICT r06 directive #5): the
+    registered form of the cluster-boundary mitigation. SemDeDup alone
+    misses twins that argmin-assign across a medoid boundary
+    (deterministically 33/40 planted dups on the test corpus); the
+    RP-LSH pass buckets by hyperplane signs with no clustering, so the
+    union restores the boundary losses (40/40 in
+    tests/test_vector.py) while staying hash-exact — both sides verify
+    candidates with the same int64 fixed-point dot."""
+    from backend_fastapi_spark.operators.semdedup import (
+        semantic_dedup_union_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_union_pairs(emb, threshold_i64=_SEMDEDUP_TAU_I64)
+
+
 # ---------------------------------------------------------------------------
 # Text / document pipeline (SURVEY §2.8) + LLM-data-pipeline dedup & analysis
 # ---------------------------------------------------------------------------

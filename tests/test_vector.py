@@ -251,6 +251,17 @@ def test_semantic_dedup_planted_dups_and_summary_consistency(spark):
     assert len(got & planted) / len(planted) >= 0.8
     assert all(r.id_a < r.id_b and r.score_i64 >= thr for r in rows)
 
+    # The registered mitigation (VERDICT r06 #5): union with the
+    # clustering-independent RP-LSH pass recovers the boundary losses.
+    from backend_fastapi_spark.operators.semdedup import (
+        semantic_dedup_union_pairs,
+    )
+
+    union = {(r.id_a, r.id_b) for r in
+             semantic_dedup_union_pairs(df, thr, k_clusters=8).collect()}
+    assert got <= union  # the union never loses a SemDeDup pair
+    assert len(union & planted) == len(planted)  # 40/40 recovered
+
     summ = {r.cluster: r for r in
             semantic_dedup_summary(df, thr, k_clusters=8).collect()}
     assert sum(r.n_vectors for r in summ.values()) == 160
