@@ -82,6 +82,59 @@ def pq_codebooks(
     return C.reshape(K_CODES, M_SUB, SUB_DIM).transpose(1, 0, 2).copy()
 
 
+def pq_codebooks_trained(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+):
+    """(M_SUB, K_CODES, SUB_DIM) int64 codebook tensor from per-subspace
+    MLlib KMeans — Jégou's actual PQ training recipe (one k-means per
+    subspace over that subspace's corpus slices), the production-recall
+    twin of ``pq_codebooks``'s md5-medoid form. Training runs on the
+    QUANTIZED fixed-point components and the float centroids are rounded
+    back to int64, so the identical encode/ADC/re-rank int64 plan
+    consumes either codebook unchanged. Seeded and single-threaded-
+    deterministic, but MLlib centroids come out of JVM float math — like
+    ann_lsh_top10 this variant is rows-only + recall-tested, never
+    hash-oracled. Scale posture: M_SUB sequential distributed KMeans
+    fits over a cached narrow (dim-wide) projection of one corpus scan;
+    at 100 TB the standard refinement is fitting on a sample, which this
+    accepts via a pre-sampled ``df``."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(_quantize(F.col(vec_col)).alias("_qv"))
+    sub = base.select(
+        *[
+            array_to_vector(
+                F.transform(
+                    F.slice("_qv", s * SUB_DIM + 1, SUB_DIM),
+                    lambda x: x.cast("double"),
+                )
+            ).alias(f"_s{s}")
+            for s in range(M_SUB)
+        ]
+    ).cache()
+    try:
+        cbs = []
+        for s in range(M_SUB):
+            model = KMeans(
+                k=K_CODES, seed=seed, maxIter=max_iter, featuresCol=f"_s{s}"
+            ).fit(sub)
+            C = np.array([np.asarray(c) for c in model.clusterCenters()])
+            if C.shape[0] < K_CODES:
+                raise ValueError(
+                    f"subspace {s}: KMeans found {C.shape[0]} < {K_CODES} "
+                    "centers — corpus has too few distinct subvectors"
+                )
+            cbs.append(np.round(C).astype(np.int64))
+    finally:
+        sub.unpersist()
+    return np.stack(cbs)
+
+
 def pq_encode(
     df: DataFrame,
     cb,
@@ -128,6 +181,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 10_000,
+    cb=None,
 ) -> DataFrame:
     """ADC search + exact re-rank: (q_id, id_col, adc_d2, score_i64),
     top-``k`` per query by exact int64 dot among the ADC top-``rerank``
@@ -136,12 +190,16 @@ def pq_adc_topk(
 
     ``queries`` carries (q_id, q_embedding). The query side is collected
     (guarded at ``max_queries`` rows — knn_exact's discipline) to build
-    the per-query distance tables the Arrow scorer closes over."""
+    the per-query distance tables the Arrow scorer closes over.
+
+    ``cb`` overrides the codebook tensor (e.g. ``pq_codebooks_trained``
+    output); default is the deterministic md5-medoid form."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    cb = pq_codebooks(df, id_col, vec_col)
+    if cb is None:
+        cb = pq_codebooks(df, id_col, vec_col)
 
     q_rows = (
         queries.select(

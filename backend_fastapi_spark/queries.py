@@ -4933,6 +4933,27 @@ def q_ann_pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, _query_vectors(spark, sf_dir, 3), k=10, rerank=50)
 
 
+@register("ann_pq_trained_top10", oracle=None)  # MLlib KMeans centroids: JVM float math, rows-only like ann_lsh_top10
+def q_ann_pq_trained_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC search with KMEANS-TRAINED codebooks (VERDICT r06 #6) —
+    the production-recall twin of ann_pq_adc_top10. Per-subspace MLlib
+    KMeans (Jégou's PQ training recipe) replaces the md5-medoid
+    codebook; centroids are rounded to the same int64 fixed-point so the
+    identical encode/ADC/re-rank plan runs unchanged. Seeded but
+    JVM-float-derived, so rows-only by nature; recall@10 ≥ the
+    deterministic variant is asserted in tests/test_pq.py."""
+    from backend_fastapi_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks_trained,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, _query_vectors(spark, sf_dir, 3), k=10, rerank=50,
+        cb=pq_codebooks_trained(emb),
+    )
+
+
 @register(
     "ann_ivfpq_top10",
     oracle=PQ.ivfpq_oracle_sql(

@@ -54,6 +54,24 @@ def test_pq_adc_recall_vs_exact(spark, emb):
     assert recall >= 0.4, f"PQ/ADC recall too low: {recall}"
 
 
+def test_pq_trained_codebooks_beat_or_match_deterministic(spark, emb):
+    """The KMeans-trained twin (VERDICT r06 #6): same encode/ADC/re-rank
+    int64 plan, per-subspace-trained codebooks. Recall@10 vs exact must
+    be at least the md5-medoid variant's (training can only improve the
+    quantizer on the distribution it fit)."""
+    cb_t = PQ.pq_codebooks_trained(emb)
+    assert cb_t.shape == (PQ.M_SUB, PQ.K_CODES, PQ.SUB_DIM)
+    assert cb_t.dtype == np.int64
+    exact = knn_exact(emb, _queries(emb, 5), k=10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    det = PQ.pq_adc_topk(emb, _queries(emb, 5), k=10, rerank=50)
+    tra = PQ.pq_adc_topk(emb, _queries(emb, 5), k=10, rerank=50, cb=cb_t)
+    r_det = len(e & {(r["q_id"], r["vec_id"]) for r in det.collect()}) / len(e)
+    r_tra = len(e & {(r["q_id"], r["vec_id"]) for r in tra.collect()}) / len(e)
+    assert r_tra >= r_det, f"trained {r_tra} < deterministic {r_det}"
+    assert r_tra >= 0.6, f"trained recall too low: {r_tra}"
+
+
 def test_pq_rerank_scores_are_true_dots(spark, emb):
     out = PQ.pq_adc_topk(emb, _queries(emb, 2), k=5, rerank=20).collect()
     raw = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
