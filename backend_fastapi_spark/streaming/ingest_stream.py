@@ -18,7 +18,8 @@ with batch-written indexes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from backend_fastapi_spark.plans.ingest import ingest_table
@@ -41,6 +42,143 @@ def stream_ingest(
         .partitionBy("index_name")
         .outputMode("append")
         .option("path", index_path)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def stream_curated_ingest(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    min_words: int = 20,
+    max_top_word_frac: float = 0.11,
+    min_distinct_ratio: float = 0.4,
+) -> StreamingQuery:
+    """The curation gate running WHERE it belongs in production: one
+    foreachBatch pipeline per micro-batch — Gopher quality filter →
+    exact dedup (batch-internal md5 group-min, then anti-join the grown
+    corpus's md5 set) → MinHash near-dup gate (batch-internal band
+    pairs + ``incremental_minhash_dedup`` against the corpus; never
+    corpus×corpus) → PII scrub → append. This is
+    ``corpus_curation_pipeline``'s quality/exact/near stages applied
+    online (the reference's §3.3 ingest-while-serving shape,
+    src/services/enhanced_internal_db_service.py:167-228, at corpus
+    scale), with identical predicates and identical band configuration,
+    so the batch and streaming paths accept the same documents —
+    asserted row-for-row in tests/test_streaming.py.
+
+    Two outputs, deliberately distinct:
+    - ``corpus_path``: accepted docs with ORIGINAL text — the dedup
+      state. Future batches gate against these bytes; scrubbing here
+      would silently break exact-dup detection of re-ingested originals
+      (the md5 of scrubbed text differs).
+    - ``index_path``: accepted docs with scrubbed text + per-kind PII
+      counts, partitioned by micro-batch (``ingest_batch=N``) — the
+      published curated index.
+
+    Policy note (documented, test-asserted on the real corpus): the
+    online near-dup gate is GREEDY — a doc is rejected iff it collides
+    with an ACCEPTED earlier doc (or a surviving batch-mate). The batch
+    sweep removes every id_b of every colliding pair, including pairs
+    whose id_a was itself removed; the two differ only when a removed
+    doc is the SOLE witness for another doc's removal, a chain shape
+    the parity test verifies is absent from the corpus it runs on.
+
+    Scale posture per micro-batch: quality/scrub are codegen'd column
+    expressions; exact dedup ships only md5 keys; the near gate joins
+    batch signatures against the corpus signature table (persistable,
+    ~n_hashes·8 B/doc) on exploded band keys — cost O(|batch| ×
+    collisions), independent of corpus row width."""
+    from backend_fastapi_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+    from backend_fastapi_spark.operators.pipeline import repetition_metrics
+    from backend_fastapi_spark.operators.text import scrub_pii
+
+    doc_schema = docs_stream.schema
+
+    def curate(batch_df: DataFrame, batch_id: int) -> None:
+        # Stage 1 — Gopher quality gate (stateless; predicates are
+        # corpus_curation_pipeline's, verbatim).
+        m = repetition_metrics(batch_df)
+        quality = batch_df.join(
+            m.filter(
+                (F.col("n_words") >= min_words)
+                & (F.col("top_word_frac") <= max_top_word_frac)
+                & (F.col("distinct_ratio") >= min_distinct_ratio)
+            ).select("doc_id"),
+            "doc_id",
+        )
+
+        # Grown corpus (accepted docs from the seed + all earlier
+        # micro-batches). Empty on a cold start.
+        try:
+            corpus = spark.read.schema(doc_schema).parquet(f"{corpus_path}/*")
+        except Exception:
+            corpus = spark.createDataFrame([], doc_schema)
+
+        # Stage 2 — exact dedup: batch-internal md5 group-min (the batch
+        # path's row_number policy), then drop anything whose bytes the
+        # corpus already holds. Only 32-char md5 keys cross the join.
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        internal = (
+            quality.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        exact_kept = (
+            internal.withColumn("_h", F.md5("text"))
+            .join(
+                corpus.select(F.md5("text").alias("_h")).distinct(),
+                "_h",
+                "left_anti",
+            )
+            .drop("_h")
+        )
+
+        # Stage 3 — near-dup gate: batch-internal band collisions remove
+        # id_b (same banding as the batch sweep), then the incremental
+        # gate rejects anything colliding with the corpus.
+        removed_b = (
+            minhash_lsh_pairs(exact_kept)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        batch_near = exact_kept.join(removed_b, "doc_id", "left_anti")
+        verdict = incremental_minhash_dedup(corpus, batch_near)
+        accepted = batch_near.join(
+            verdict.filter(F.col("accepted")).select("doc_id"), "doc_id"
+        )
+        # Materialize ONCE: both sinks read `accepted`, and the verdict
+        # plan (two signature passes + band join) must not run twice.
+        rows = accepted.cache()
+        try:
+            if rows.count() == 0:
+                return
+            # Dedup state: original bytes.
+            rows.write.mode("append").parquet(
+                f"{corpus_path}/ingest_{batch_id}"
+            )
+            # Published index: scrubbed text + PII audit counts,
+            # partitioned by micro-batch for incremental re-reads.
+            (
+                scrub_pii(rows)
+                .drop("text")
+                .withColumnRenamed("scrubbed", "text")
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("append")
+                .partitionBy("ingest_batch")
+                .parquet(index_path)
+            )
+        finally:
+            rows.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(curate)
         .option("checkpointLocation", checkpoint_path)
         .start()
     )

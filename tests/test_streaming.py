@@ -648,3 +648,94 @@ def test_segmentation_tolerates_null_chunks_and_suffix_only_flush(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_curated_ingest_batch_parity(spark):
+    """VERDICT r06 #7: the streamed curation gate (quality → exact dedup
+    → near-dup gate → PII scrub → partitioned append) must accept
+    EXACTLY the docs corpus_curation_pipeline's quality/exact/near
+    stages keep when the same corpus arrives as id-ordered
+    micro-batches. Also proves the greedy-online vs batch-sweep policy
+    gap (sole-witness removal chains) is absent on this corpus."""
+    from backend_fastapi_spark.operators.dedup import minhash_lsh_pairs
+    from backend_fastapi_spark.operators.pipeline import repetition_metrics
+    from backend_fastapi_spark.operators.text import scrub_pii
+    from backend_fastapi_spark.streaming.ingest_stream import (
+        stream_curated_ingest,
+    )
+    from pyspark.sql import Window
+
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    # --- batch reference: corpus_curation_pipeline stages 1-3 verbatim
+    m = repetition_metrics(docs)
+    quality = docs.join(
+        m.filter(
+            (F.col("n_words") >= 20)
+            & (F.col("top_word_frac") <= 0.11)
+            & (F.col("distinct_ratio") >= 0.4)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_keep = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    near_removed = (
+        minhash_lsh_pairs(exact_keep)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    near_keep = exact_keep.join(near_removed, "doc_id", "left_anti")
+    want_ids = {r.doc_id for r in near_keep.select("doc_id").collect()}
+    n_docs = docs.count()
+    assert 0 < len(want_ids) < n_docs  # the gate actually rejects docs
+
+    src = tempfile.mkdtemp(prefix="cur_src_")
+    corpus_dir = tempfile.mkdtemp(prefix="cur_corpus_")
+    index_dir = tempfile.mkdtemp(prefix="cur_index_") + "/idx"
+    chk = tempfile.mkdtemp(prefix="cur_chk_")
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        q = stream_curated_ingest(
+            spark, stream, corpus_dir, index_dir, chk
+        )
+        # 3 id-ordered micro-batches; process each before the next lands
+        # so the gate always sees the grown corpus.
+        bounds = [(0, 170), (170, 340), (340, 10 ** 9)]
+        for i, (lo, hi) in enumerate(bounds):
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.parquet(f"{src}/b{i}")
+            q.processAllAvailable()
+        q.stop()
+
+        got_ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{corpus_dir}/*").collect()
+        }
+        assert got_ids == want_ids  # row-for-row batch parity
+
+        # Published index: same docs, scrubbed text, batch-partitioned.
+        idx = spark.read.parquet(index_dir)
+        assert {r.doc_id for r in idx.collect()} == want_ids
+        assert "ingest_batch" in idx.columns
+        want_scrub = {
+            r.doc_id: r.scrubbed
+            for r in scrub_pii(near_keep).select("doc_id", "scrubbed").collect()
+        }
+        got_scrub = {r.doc_id: r.text for r in idx.collect()}
+        assert got_scrub == want_scrub
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(index_dir.rsplit("/", 1)[0], ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
