@@ -117,16 +117,18 @@ def data_stanza(spark, sf_dir: str) -> dict:
     return out
 
 
-def time_set(spark, names, sf_dir, runs, timings, cards, cc_stats, tag=""):
+def time_set(spark, names, sf_dir, runs, timings, cards, cc_stats, tag="",
+             warmup=True):
     for name in names:
         spec = Q.REGISTRY.get(name)
         if spec is None:
             continue
-        rows = spec.fn(spark, sf_dir).count()  # warmup: JIT/codegen, footers
+        if warmup:  # JIT/codegen, footers
+            rows = spec.fn(spark, sf_dir).count()
         best = float("inf")
         for _ in range(runs):  # min-of-N damps transient host noise
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
+            rows = spec.fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         cards[name] = rows
@@ -255,6 +257,31 @@ def main() -> None:
         context["sf1_cardinalities"] = sf1_cards
         context["sf1_cc_stats"] = sf1_cc
         context["sf1_data"] = data_stanza(spark, sf1_dir)
+
+    # Optional 100x scale point (VERDICT r06 directive #3): the five
+    # heaviest corpus-pipeline extras, one COLD run each (no warmup —
+    # at this size the measurement of record is the full cold plan; a
+    # warmup pass would double an already ~5 min section). Upgrades the
+    # 100 TB design arguments for the dedup/curation family from
+    # "sublinear at 10x" to "measured at 100x".
+    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", ".scaledata/sf10")
+    if os.path.isdir(sf10_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF10"):
+        spark.catalog.clearCache()
+        sf10_cc: dict[str, dict] = {}
+        sf10_timings: dict[str, float] = {}
+        sf10_cards: dict[str, int] = {}
+        time_set(
+            spark,
+            ["dup_clusters", "dedup_canonical_corpus",
+             "incremental_dedup_batch", "corpus_curation_pipeline",
+             "winnow_near_dup"],
+            sf10_dir, 1, sf10_timings, sf10_cards, sf10_cc,
+            tag="sf10 ", warmup=False,
+        )
+        context["sf10_extra_queries"] = sf10_timings
+        context["sf10_cardinalities"] = sf10_cards
+        context["sf10_cc_stats"] = sf10_cc
+        context["sf10_data"] = data_stanza(spark, sf10_dir)
 
     context["cardinalities"] = cards
     context["cc_stats"] = cc_stats
