@@ -125,6 +125,87 @@ def winnow_fingerprints(hashes: Column, w: int = 12) -> Column:
     )
 
 
+def winnow_fingerprint_table(
+    df: DataFrame,
+    k: int = 20,
+    w: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, n_kgrams, fps) per document — the winnowing substrate as
+    ONE Arrow-batched corpus scan (mapInPandas), semantically identical
+    to :func:`kgram_hashes` + :func:`winnow_fingerprints` (kept as the
+    executable spec and property-test subject; a parity test pins the
+    two paths equal).
+
+    Why this port exists (VERDICT r06 #8): the expression form walks a
+    higher-order-function lambda per char position — interpreted, never
+    codegen'd — and the r7 sf10 measurement showed it dominating
+    `winnow_near_dup` (99.8 s at 100×, tied-heaviest extra). Same
+    diagnosis and same cure as the r6 RP-LSH pass: per Arrow batch, the
+    k-gram hash is C-backed hashlib.md5 whose first 8 digest bytes ARE
+    the first-16-hex-chars prefix as a uint64 (lexicographic order of
+    equal-length lowercase hex == numeric order), the window minimum is
+    one numpy sliding-window reduction, and distinct-preserving-order is
+    pd.unique. ASCII docs hash byte slices directly; any non-ASCII doc
+    falls back to codepoint slicing + encode (Spark's substr counts
+    codepoints). Zero shuffles, one scan — unchanged plan shape, ~3×
+    lower constant.
+
+    Lowercasing happens IN SPARK (the ``lower(text)`` projection), not
+    Python: Python str.lower and JVM toLowerCase disagree on a handful
+    of Unicode mappings, and the oracle's semantics are Spark's."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = df.filter(
+        F.length(F.lower(F.col(text_col))) >= k + w - 1
+    ).select(F.col(id_col), F.lower(F.col(text_col)).alias("_tx"))
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType),
+            T.StructField("n_kgrams", T.LongType(), False),
+            T.StructField("fps", T.ArrayType(T.StringType(), False), False),
+        ]
+    )
+
+    def gen(batches):
+        md5 = hashlib.md5
+        swv = np.lib.stride_tricks.sliding_window_view
+        for pdf in batches:
+            ids, n_kgrams, fps = [], [], []
+            for did, t in zip(pdf[id_col], pdf["_tx"]):
+                n = len(t) - k + 1  # >= w by the length filter
+                b = t.encode("utf-8")
+                if len(b) == len(t):  # ASCII: byte slice == char slice
+                    it = (
+                        int.from_bytes(md5(b[j:j + k]).digest()[:8], "big")
+                        for j in range(n)
+                    )
+                else:
+                    it = (
+                        int.from_bytes(
+                            md5(t[j:j + k].encode("utf-8")).digest()[:8],
+                            "big",
+                        )
+                        for j in range(n)
+                    )
+                hs = np.fromiter(it, dtype=np.uint64, count=n)
+                mins = swv(hs, w).min(axis=1)
+                ids.append(did)
+                n_kgrams.append(n)
+                fps.append([format(v, "016x") for v in pd.unique(mins)])
+            yield pd.DataFrame(
+                {id_col: ids, "n_kgrams": n_kgrams, "fps": fps}
+            )
+
+    return base.mapInPandas(gen, schema=out_schema)
+
+
 def kgram_hashes(text: Column, k: int = 20) -> Column:
     """Rolling char k-gram hash array: first 16 md5 hex chars of each
     k-char substring of ``text``, in position order. The substrate for

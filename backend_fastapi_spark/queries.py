@@ -1156,24 +1156,16 @@ _WINNOW_CTE = f"""
 
 
 def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_kgrams, fps) — hash array in its own projection so the
-    non-cheap transform is computed once (CollapseProject keeps it named)."""
+    """(doc_id, n_kgrams, fps) via the Arrow-batched winnowing substrate
+    (operators/text.py::winnow_fingerprint_table — r7 port of the
+    interpreted-HOF expression form the sf10 stanza showed dominating;
+    same oracle, parity-tested against the expression twin)."""
     from backend_fastapi_spark.operators.util import ensure_parallelism
 
     # Per-row cost is ~len(text) md5 calls: spread small single-file
-    # scans across cores (no-op at real multi-file scale). lower(text)
-    # is projected ONCE as a named column — inlined into the transform
-    # lambda it would re-run per k-gram position, O(len²) per row.
+    # scans across cores (no-op at real multi-file scale).
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
-    base = docs.filter(
-        F.length(F.lower(F.col("text"))) >= _WINNOW_K + _WINNOW_W - 1
-    ).select("doc_id", F.lower(F.col("text")).alias("tx"))
-    hs = base.select("doc_id", TX.kgram_hashes(F.col("tx"), _WINNOW_K).alias("hs"))
-    return hs.select(
-        "doc_id",
-        F.size("hs").cast("long").alias("n_kgrams"),
-        TX.winnow_fingerprints(F.col("hs"), _WINNOW_W).alias("fps"),
-    )
+    return TX.winnow_fingerprint_table(docs, _WINNOW_K, _WINNOW_W)
 
 
 @register(

@@ -181,3 +181,47 @@ def test_winnow_guarantee_and_density(spark):
         n_windows = r.n_kgrams - (w - 1)
         assert len(r.fps) * w >= n_windows  # each fp covers <= w windows
         assert len(r.fps) <= n_windows
+
+
+def test_winnow_arrow_table_matches_expression_form(spark):
+    """The Arrow-batched winnowing substrate (r7 constant-factor port)
+    must equal the expression form doc-for-doc — n_kgrams AND the exact
+    fingerprint list (order included: pd.unique and array_distinct both
+    keep first occurrence). Includes non-ASCII (codepoint-slicing
+    fallback) and a length-boundary doc."""
+    from backend_fastapi_spark.operators.text import (
+        kgram_hashes,
+        winnow_fingerprints,
+        winnow_fingerprint_table,
+    )
+
+    k, w = 20, 12
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "한국어 텍스트가 섞인 문서입니다 winnowing은 코드포인트 기준으로 동작해야 합니다"),
+        (3, "x" * (k + w - 1)),          # exactly the minimum length
+        (4, "too short"),                # filtered out by both paths
+        (5, "MiXeD CaSe TeXt SO THE LOWERING PATH IS EXERCISED TOO ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = df.filter(
+        F.length(F.lower(F.col("text"))) >= k + w - 1
+    ).select("doc_id", F.lower(F.col("text")).alias("tx"))
+    want = {
+        r.doc_id: (r.n_kgrams, list(r.fps))
+        for r in base.select(
+            "doc_id", kgram_hashes(F.col("tx"), k).alias("hs")
+        )
+        .select(
+            "doc_id",
+            F.size("hs").cast("long").alias("n_kgrams"),
+            winnow_fingerprints(F.col("hs"), w).alias("fps"),
+        )
+        .collect()
+    }
+    got = {
+        r.doc_id: (r.n_kgrams, list(r.fps))
+        for r in winnow_fingerprint_table(df, k, w).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}
+    assert got == want
