@@ -135,6 +135,35 @@ def cluster_write(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a Spark bucketed table: rows hash-partitioned
+    into ``n_buckets`` files per write-task group on ``bucket_cols``
+    (and sorted within buckets when ``sort``), with the bucket spec
+    recorded in the session catalog. THE co-location tool for repeated
+    big-to-big equi-joins at 100 TB: two tables bucketed the same way
+    on the join key join with ZERO Exchange on either side — the
+    shuffle is paid once at write time, not per query
+    (tests/test_maintenance.py asserts the exchange-free plan). Also
+    removes the sort for sort-merge joins when ``sort`` matches the
+    join key.
+
+    Catalog-backed by necessity (plain parquet paths carry no bucket
+    metadata); at cluster scale the same API writes through the shared
+    metastore."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
 def skipping_report(path: str, col: str, lo, hi) -> dict:
     """Row-group pruning statistics for predicate ``lo <= col <= hi``,
     read from the parquet footers (pyarrow, metadata-only): how many row

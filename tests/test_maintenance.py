@@ -7,6 +7,8 @@ same stats a Spark scan's row-group filter consults.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from backend_fastapi_spark.operators import maintenance as M
 from tests.conftest import SF_SMOKE
 
@@ -114,3 +116,40 @@ def test_skipping_report_partitioned_layout_and_errors(spark, tmp_path):
         M.skipping_report(str(tmp_path / "nope"), "x", 0, 1)
     with pytest.raises(ValueError, match="local OS"):
         M.skipping_report("s3a://bucket/table", "x", 0, 1)
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    """Co-located big-to-big equi-join: orders and a per-customer
+    aggregate both bucketed on the key join WITHOUT any Exchange in the
+    plan — the write-once-shuffle-never pattern that turns a repeated
+    100 TB fact-to-fact join from two shuffles per query into zero.
+    The same join over the plain parquet copies must show Exchanges, so
+    the assertion can't pass vacuously."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    try:
+        M.write_bucketed(orders, "b_orders", ["o_custkey"], 8)
+        M.write_bucketed(cust, "b_customer", ["c_custkey"], 8)
+        # merge hint: at test size the planner would broadcast (which
+        # ignores bucketing); the 100 TB case is two UNbroadcastable
+        # sides, i.e. sort-merge — exactly what the hint forces.
+        bj = spark.table("b_orders").hint("merge").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = bj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        pj = orders.hint("merge").join(
+            cust, F.col("o_custkey") == F.col("c_custkey")
+        )
+        plain = pj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain
+        # same rows either way
+        assert bj.count() == orders.join(
+            cust, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
