@@ -149,7 +149,7 @@ def write_bucketed(
     big-to-big equi-joins at 100 TB: two tables bucketed the same way
     on the join key join with ZERO Exchange on either side — the
     shuffle is paid once at write time, not per query
-    (tests/test_maintenance.py asserts the exchange-free plan). Also
+    (tests/test_maintenance.py::test_bucketed_join_avoids_shuffle asserts the exchange-free plan). Also
     removes the sort for sort-merge joins when ``sort`` matches the
     join key.
 

@@ -118,7 +118,7 @@ def test_skipping_report_partitioned_layout_and_errors(spark, tmp_path):
         M.skipping_report("s3a://bucket/table", "x", 0, 1)
 
 
-def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Co-located big-to-big equi-join: orders and a per-customer
     aggregate both bucketed on the key join WITHOUT any Exchange in the
     plan — the write-once-shuffle-never pattern that turns a repeated
