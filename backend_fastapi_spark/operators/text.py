@@ -297,3 +297,61 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return out.withColumn("scrubbed", scrubbed)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/document quality filtering (Raffel et al. 2020, §2.2 —
+# public). The reference has no web-cleaning stage (its corpus arrives
+# via curated ingest); a 100 TB web-scale pretraining pipeline starts
+# here, so the engine carries it as a first-class operator alongside the
+# Gopher repetition gate.
+# ---------------------------------------------------------------------------
+
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning rules as pure column expressions (whole-stage
+    codegen, no UDF, embarrassingly parallel):
+
+    - keep a LINE iff it ends in terminal punctuation, has at least
+      ``min_line_words`` whitespace words, and does not mention
+      'javascript' (case-insensitive);
+    - keep the DOC iff it contains neither 'lorem ipsum' nor '{' and
+      retains at least ``min_kept_lines`` lines.
+
+    Adds: ``n_lines``, ``n_kept_lines``, ``doc_kept`` (int 0/1), and
+    ``clean_text`` (kept lines re-joined with newlines; NULL when the
+    doc is dropped — a dropped page has no cleaned form)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.endswith(l, F.lit(C4_TERMINALS[0]))
+            | F.endswith(l, F.lit(C4_TERMINALS[1]))
+            | F.endswith(l, F.lit(C4_TERMINALS[2]))
+            | F.endswith(l, F.lit(C4_TERMINALS[3]))
+        )
+        & (F.size(F.split(l, " ")) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    low = F.lower(F.col(text_col))
+    doc_kept = (
+        ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+        & (F.size(kept) >= min_kept_lines)
+    )
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept_lines", F.size(kept).cast("long"))
+        .withColumn("doc_kept", doc_kept.cast("int"))
+        .withColumn(
+            "clean_text",
+            F.when(doc_kept, F.array_join(kept, "\n")),
+        )
+    )

@@ -5094,6 +5094,112 @@ def q_bloom_prejoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4 cleaning rules (Raffel et al. 2020 §2.2 — public): the synthetic
+# corpus is single-line word soup (DuckDB probe: zero newlines, periods,
+# braces or 'lorem ipsum' at every sf), so the filter is exercised on
+# deterministically PLANTED page structure in BOTH engines — the same
+# vacuity-avoidance pattern as pii_scrub_stats. Six planted lines per
+# doc cover every rule: always-kept sentence, no-terminal-punctuation
+# (id%3), javascript boilerplate (id%5), under-3-words (id%7),
+# 'lorem ipsum' page drop (id%11), '{' code page drop (id%13); the
+# min-kept-lines=4 page threshold fires on its own for ids where two of
+# {3,5,7} divide (e.g. 0, 15, 21, 35, ...).
+_C4_PLANT_SQL = """
+      SELECT doc_id,
+             'This is sentence one for doc ' || CAST(doc_id AS VARCHAR) || '.'
+             || chr(10) || CASE WHEN doc_id % 3 = 0
+                  THEN 'no terminal punctuation here'
+                  ELSE 'Another proper sentence.' END
+             || chr(10) || CASE WHEN doc_id % 5 = 0
+                  THEN 'Please enable javascript to view.'
+                  ELSE 'A third line with punctuation.' END
+             || chr(10) || CASE WHEN doc_id % 7 = 0
+                  THEN 'short.'
+                  ELSE 'This fourth line also ends well.' END
+             || chr(10) || CASE WHEN doc_id % 11 = 0
+                  THEN 'lorem ipsum dolor sit amet.'
+                  ELSE 'Final line of the page.' END
+             || chr(10) || CASE WHEN doc_id % 13 = 0
+                  THEN 'function() { return 0; }'
+                  ELSE 'Closing remarks are here.' END AS text
+      FROM documents"""
+
+
+@register(
+    "c4_quality_filter",
+    oracle=f"""
+    WITH planted AS ({_C4_PLANT_SQL}),
+    split AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      FROM planted),
+    kept AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, l ->
+               right(l, 1) IN ('.', '!', '?', '"')
+               AND len(string_split(l, ' ')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS keep
+      FROM split)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(keep) AS BIGINT) AS n_kept_lines,
+           CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+                 AND NOT contains(text, chr(123))
+                 AND len(keep) >= 4 THEN 1 ELSE 0 END AS doc_kept,
+           CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+                 AND NOT contains(text, chr(123))
+                 AND len(keep) >= 4
+                THEN md5(list_aggregate(keep, 'string_agg', chr(10)))
+           END AS clean_md5
+    FROM kept
+    """,
+)
+def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style web-page cleaning (operators/text.py::c4_line_filter;
+    Raffel et al. 2020 §2.2) over deterministically planted page
+    structure: line-level keep (terminal punctuation + ≥3 words + no
+    'javascript'), page-level drop ('lorem ipsum', brace, <4 kept lines).
+    Reports per-doc line counts, the page verdict, and the md5 of the
+    cleaned text — the hash certifies the REASSEMBLED page, not just
+    the counts. Pure codegen'd column expressions, one scan, zero
+    shuffles — the shape that makes this the first pass over 100 TB of
+    raw crawl."""
+    from backend_fastapi_spark.operators.text import c4_line_filter
+
+    nl, brace_line = "\n", "function() { return 0; }"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("This is sentence one for doc "),
+            F.col("doc_id").cast("string"), F.lit("."),
+            F.lit(nl),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("no terminal punctuation here"))
+            .otherwise(F.lit("Another proper sentence.")),
+            F.lit(nl),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("Please enable javascript to view."))
+            .otherwise(F.lit("A third line with punctuation.")),
+            F.lit(nl),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("short."))
+            .otherwise(F.lit("This fourth line also ends well.")),
+            F.lit(nl),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("lorem ipsum dolor sit amet."))
+            .otherwise(F.lit("Final line of the page.")),
+            F.lit(nl),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(brace_line))
+            .otherwise(F.lit("Closing remarks are here.")),
+        ).alias("text"),
+    )
+    return c4_line_filter(docs, min_kept_lines=4).select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "doc_kept",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 # Lake-maintenance data-skipping audit (VERDICT r06 directive #4): the
 # written layout is deterministic, so the footer statistics are too —
 # this turns cluster_write/skipping_report from test-only evidence into

@@ -225,3 +225,36 @@ def test_winnow_arrow_table_matches_expression_form(spark):
     }
     assert set(got) == {1, 2, 3, 5}
     assert got == want
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule branch on crafted pages: line-level terminal
+    punctuation / min-words / javascript, page-level lorem-ipsum /
+    brace / min-kept-lines, and the cleaned reassembly."""
+    from backend_fastapi_spark.operators.text import c4_line_filter
+
+    rows = [
+        (1, "Good first sentence.\nAnother fine line here.\n"
+            "Third one stays too.\nfourth has no terminal mark"),
+        (2, "Good first sentence.\nno terminal punctuation\n"
+            "Enable JavaScript to continue.\ntoo short.\nFine ending line."),
+        (3, "Lorem Ipsum dolor sit amet.\nGood line one.\n"
+            "Good line two.\nGood line three.\nGood line four."),
+        (4, "Good line one stays.\nvar x = { nope }\nGood line two stays.\n"
+            "Good line three stays.\nGood line four stays."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           c4_line_filter(df, min_kept_lines=3).collect()}
+    # doc 1: 4 lines, 3 end in '.', last one doesn't -> 3 kept, page kept
+    assert (got[1].n_lines, got[1].n_kept_lines, got[1].doc_kept) == (4, 3, 1)
+    assert got[1].clean_text == (
+        "Good first sentence.\nAnother fine line here.\nThird one stays too."
+    )
+    # doc 2: only 2 survive the line rules -> below min_kept_lines
+    assert (got[2].n_kept_lines, got[2].doc_kept) == (2, 0)
+    assert got[2].clean_text is None
+    # doc 3: lorem ipsum kills the page even with 5 keepable lines
+    assert (got[3].n_kept_lines, got[3].doc_kept) == (5, 0)
+    # doc 4: a single brace kills the page
+    assert got[4].doc_kept == 0
