@@ -242,3 +242,54 @@ class Engine:
 
         M.cluster_write(df, dst, sort_cols, n_files)
         return M.file_stats(self.spark, dst)
+
+    def bucket_table(
+        self, df: DataFrame, table: str, bucket_cols: list[str],
+        n_buckets: int,
+    ) -> DataFrame:
+        """Persist ``df`` as a catalog-backed bucketed table
+        (operators/maintenance.py::write_bucketed) and return it: two
+        tables bucketed identically on a join key sort-merge-join with
+        zero Exchange — pay the shuffle once at write time, not per
+        query."""
+        from backend_fastapi_spark.operators import maintenance as M
+
+        M.write_bucketed(df, table, bucket_cols, n_buckets)
+        return self.spark.table(table)
+
+    def clean_pages(
+        self, df: DataFrame | None = None, text_col: str = "text",
+        min_line_words: int = 3, min_kept_lines: int = 3,
+    ) -> DataFrame:
+        """C4-style page cleaning (operators/text.py::c4_line_filter):
+        line-level terminal-punctuation / min-words / boilerplate rules
+        plus page-level lorem-ipsum / brace / min-kept-lines drops;
+        adds n_lines, n_kept_lines, doc_kept, clean_text."""
+        from backend_fastapi_spark.operators.text import c4_line_filter
+
+        return c4_line_filter(
+            df if df is not None else self.table("documents"),
+            text_col, min_line_words, min_kept_lines,
+        )
+
+    def semantic_dedup(
+        self, threshold: float = 0.25, with_lsh_union: bool = False
+    ) -> DataFrame:
+        """Semantic near-dup pairs over the embeddings table (SemDeDup;
+        operators/semdedup.py). ``with_lsh_union=True`` unions the
+        clustering-independent RP-LSH pass — the cluster-boundary
+        recall mitigation (pairs found by both carry identical scores,
+        so the union is a plain DISTINCT)."""
+        from backend_fastapi_spark.operators.semdedup import (
+            semantic_dedup_pairs,
+            semantic_dedup_union_pairs,
+        )
+        from backend_fastapi_spark.operators.vector import FIXED_SCALE
+
+        emb = self.table("embeddings")
+        tau = int(threshold * FIXED_SCALE * FIXED_SCALE)
+        if with_lsh_union:
+            return semantic_dedup_union_pairs(emb, threshold_i64=tau)
+        return semantic_dedup_pairs(emb, threshold_i64=tau).select(
+            "id_a", "id_b", "score_i64"
+        )

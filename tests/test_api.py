@@ -211,3 +211,33 @@ def test_engine_scrub_and_pii_report(spark):
     assert len(rep) == 20  # one row per source
     # synthetic corpus is PII-free — the report proves it
     assert all(r.n_url == 0 and r.n_email == 0 and r.n_phone == 0 for r in rep)
+
+
+def test_engine_clean_pages_and_semantic_dedup(spark):
+    eng = Engine.open(spark, SF_ORACLE)
+    row = eng.clean_pages(
+        spark.createDataFrame(
+            [("Keep this line fine.\nno mark\nAnother keeper right here.\n"
+              "Third keeper closes it.",)],
+            ["text"],
+        )
+    ).head()
+    assert (row.n_lines, row.n_kept_lines, row.doc_kept) == (4, 3, 1)
+    pairs = eng.semantic_dedup()
+    both = eng.semantic_dedup(with_lsh_union=True)
+    a, b = pairs.count(), both.count()
+    assert 0 < a <= b  # the union never loses a SemDeDup pair
+
+
+def test_engine_bucket_table_roundtrip(spark):
+    eng = Engine.open(spark, SF_ORACLE)
+    try:
+        t = eng.bucket_table(
+            eng.table("customer"), "api_b_cust", ["c_custkey"], 4
+        )
+        assert t.count() == eng.table("customer").count()
+        meta = spark.sql("DESCRIBE TABLE EXTENDED api_b_cust").collect()
+        txt = "\n".join(f"{r.col_name} {r.data_type}" for r in meta)
+        assert "Num Buckets 4" in txt
+    finally:
+        spark.sql("DROP TABLE IF EXISTS api_b_cust")
