@@ -327,8 +327,13 @@ def c4_line_filter(
 
     Adds: ``n_lines``, ``n_kept_lines``, ``doc_kept`` (int 0/1), and
     ``clean_text`` (kept lines re-joined with newlines; NULL when the
-    doc is dropped — a dropped page has no cleaned form)."""
-    lines = F.split(F.col(text_col), "\n")
+    doc is dropped — a dropped page has no cleaned form).
+
+    NULL text is treated as an empty page (coalesce to ''): one empty
+    line, zero kept, page dropped — the operator emits one row per
+    input doc with non-NULL counters, never a NULL-propagated verdict
+    (same discipline as repetition_metrics / scrub_pii)."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     kept = F.filter(
         lines,
         lambda l: (
@@ -340,7 +345,7 @@ def c4_line_filter(
         & (F.size(F.split(l, " ")) >= min_line_words)
         & ~F.lower(l).contains("javascript"),
     )
-    low = F.lower(F.col(text_col))
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     doc_kept = (
         ~low.contains("lorem ipsum")
         & ~low.contains("{")
@@ -354,4 +359,81 @@ def c4_line_filter(
             "clean_text",
             F.when(doc_kept, F.array_join(kept, "\n")),
         )
+    )
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's cross-document span deduplication (Raffel et al. 2020 §2.2:
+    "we discarded any repeated three-sentence span, keeping one") over
+    newline-delimited sentences: hash every run of ``n`` consecutive
+    lines, keep the FIRST occurrence corpus-wide (total order
+    (doc_id, pos) — deterministic, no survivor ambiguity), and remove
+    from every later occurrence the lines it covers. Returns one row
+    per input doc: (id, n_sents, n_spans, n_dup_spans, n_kept_sents,
+    clean_text) — clean_text is the surviving lines re-joined, NULL
+    when nothing survives.
+
+    Feed it sentence-per-line text: upstream that is the streaming
+    sentence segmenter or :func:`c4_line_filter`'s clean_text.
+
+    Scale shape: ONE shuffle on the span hash (the first-occurrence
+    window — span keys are md5-uniform, no hot key), one groupBy on
+    doc id to gather each doc's removed positions (a small int array —
+    dup spans per doc, not spans per doc), and the reassembly is a
+    positional array filter in codegen. The corpus text never shuffles;
+    only (id, pos, 32-char hash) rows do."""
+    from backend_fastapi_spark.operators.util import materialize
+
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    # Materialized: read twice (span explode + reassembly join) and the
+    # split must not recompute under the exploded lineage.
+    base = materialize(df.select(F.col(id_col), lines.alias("_lines")))
+    span_arr = F.when(
+        F.size("_lines") >= n,
+        F.transform(
+            # sequence(0, size-n): ascending only when size >= n — the
+            # guard avoids sequence()'s descending surprise (see
+            # winnow_fingerprints).
+            F.sequence(F.lit(0), F.size("_lines") - n),
+            lambda i: F.md5(F.concat_ws("\n", F.slice("_lines", i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = base.select(
+        F.col(id_col),
+        F.posexplode(span_arr).alias("pos", "span_h"),
+    )
+    w = Window.partitionBy("span_h").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    dups = (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("pos").alias("_dup_pos"),
+            F.count(F.lit(1)).alias("_n_dup"),
+        )
+    )
+    joined = base.join(dups, id_col, "left")
+    dup_pos = F.coalesce(F.col("_dup_pos"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_lines"),
+        lambda l, i: ~F.exists(
+            dup_pos, lambda p: (p <= i) & (i <= p + (n - 1))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_lines").cast("long").alias("n_sents"),
+        F.greatest(F.size("_lines") - (n - 1), F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+        F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.size(kept).cast("long").alias("n_kept_sents"),
+        F.when(F.size(kept) > 0, F.array_join(kept, "\n")).alias("clean_text"),
     )

@@ -5125,6 +5125,38 @@ _C4_PLANT_SQL = """
       FROM documents"""
 
 
+def _c4_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _C4_PLANT_SQL — six deterministic lines per
+    doc; shared by the C4 line-filter and span-dedup queries so the
+    planted structure cannot drift between them."""
+    nl, brace_line = "\n", "function() { return 0; }"
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("This is sentence one for doc "),
+            F.col("doc_id").cast("string"), F.lit("."),
+            F.lit(nl),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("no terminal punctuation here"))
+            .otherwise(F.lit("Another proper sentence.")),
+            F.lit(nl),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("Please enable javascript to view."))
+            .otherwise(F.lit("A third line with punctuation.")),
+            F.lit(nl),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("short."))
+            .otherwise(F.lit("This fourth line also ends well.")),
+            F.lit(nl),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("lorem ipsum dolor sit amet."))
+            .otherwise(F.lit("Final line of the page.")),
+            F.lit(nl),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(brace_line))
+            .otherwise(F.lit("Closing remarks are here.")),
+        ).alias("text"),
+    )
+
+
 @register(
     "c4_quality_filter",
     oracle=f"""
@@ -5165,37 +5197,72 @@ def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw crawl."""
     from backend_fastapi_spark.operators.text import c4_line_filter
 
-    nl, brace_line = "\n", "function() { return 0; }"
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.lit("This is sentence one for doc "),
-            F.col("doc_id").cast("string"), F.lit("."),
-            F.lit(nl),
-            F.when(F.col("doc_id") % 3 == 0,
-                   F.lit("no terminal punctuation here"))
-            .otherwise(F.lit("Another proper sentence.")),
-            F.lit(nl),
-            F.when(F.col("doc_id") % 5 == 0,
-                   F.lit("Please enable javascript to view."))
-            .otherwise(F.lit("A third line with punctuation.")),
-            F.lit(nl),
-            F.when(F.col("doc_id") % 7 == 0, F.lit("short."))
-            .otherwise(F.lit("This fourth line also ends well.")),
-            F.lit(nl),
-            F.when(F.col("doc_id") % 11 == 0,
-                   F.lit("lorem ipsum dolor sit amet."))
-            .otherwise(F.lit("Final line of the page.")),
-            F.lit(nl),
-            F.when(F.col("doc_id") % 13 == 0, F.lit(brace_line))
-            .otherwise(F.lit("Closing remarks are here.")),
-        ).alias("text"),
-    )
+    docs = _c4_planted_docs(spark, sf_dir)
     return c4_line_filter(docs, min_kept_lines=4).select(
         "doc_id",
         "n_lines",
         "n_kept_lines",
         "doc_kept",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@register(
+    "c4_span_dedup",
+    oracle=f"""
+    WITH planted AS ({_C4_PLANT_SQL}),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM planted),
+    sp AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(list_aggregate(lines[i:i+2], 'string_agg', chr(10)))
+               AS span_h
+      FROM l, LATERAL (SELECT unnest(range(1, len(lines) - 3 + 2)) AS i) t),
+    occ AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY span_h
+                                ORDER BY doc_id, pos) AS rn
+      FROM sp),
+    dups AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+    dupagg AS (SELECT doc_id, count(*) AS n_dup FROM dups GROUP BY doc_id),
+    kept AS (
+      SELECT l.doc_id, i, lines[i] AS line
+      FROM l, LATERAL (SELECT unnest(range(1, len(lines) + 1)) AS i) t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM dups d
+        WHERE d.doc_id = l.doc_id AND i - 1 BETWEEN d.pos AND d.pos + 2)),
+    reasm AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY i)) AS clean_md5
+      FROM kept GROUP BY doc_id)
+    SELECT l.doc_id,
+           CAST(len(lines) AS BIGINT) AS n_sents,
+           CAST(greatest(len(lines) - 2, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(da.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept_sents,
+           r.clean_md5
+    FROM l LEFT JOIN dupagg da USING (doc_id)
+           LEFT JOIN reasm r USING (doc_id)
+    """,
+)
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's cross-document three-sentence-span dedup (operators/
+    text.py::c4_span_dedup) over the planted pages: every run of 3
+    consecutive lines is hashed, the corpus-wide FIRST occurrence
+    (total order (doc_id, pos)) survives, and later occurrences lose
+    the lines they cover. The planted pages draw lines from small
+    per-rule pools, so span triples repeat heavily across docs — a
+    rich, deterministic dup structure. Hash-checked end to end: span
+    counts, dup counts, surviving-sentence counts, AND the md5 of each
+    reassembled doc. One shuffle on the span hash + one per-doc
+    gather; the corpus text never shuffles."""
+    from backend_fastapi_spark.operators.text import c4_span_dedup
+
+    return c4_span_dedup(_c4_planted_docs(spark, sf_dir), n=3).select(
+        "doc_id",
+        "n_sents",
+        "n_spans",
+        "n_dup_spans",
+        "n_kept_sents",
         F.md5("clean_text").alias("clean_md5"),
     )
 

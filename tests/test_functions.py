@@ -258,3 +258,35 @@ def test_c4_line_filter_rules(spark):
     assert (got[3].n_kept_lines, got[3].doc_kept) == (5, 0)
     # doc 4: a single brace kills the page
     assert got[4].doc_kept == 0
+    # NULL text: one empty line, zero kept, dropped — counters non-NULL
+    null_row = c4_line_filter(
+        spark.createDataFrame([(9, None)], "doc_id long, text string")
+    ).head()
+    assert (null_row.n_lines, null_row.n_kept_lines,
+            null_row.doc_kept, null_row.clean_text) == (1, 0, 0, None)
+
+
+def test_c4_span_dedup_first_occurrence_survives(spark):
+    """Cross-doc 3-sentence-span dedup: the (doc_id, pos)-first
+    occurrence keeps its lines; every later occurrence loses exactly
+    the covered lines; docs shorter than the span are untouched."""
+    from backend_fastapi_spark.operators.text import c4_span_dedup
+
+    a = "A1.\nA2.\nA3.\nA4."              # spans (A1A2A3), (A2A3A4)
+    b = "B0.\nA1.\nA2.\nA3.\nB5."          # repeats span (A1A2A3) at pos 1
+    c = "tiny.\npage."                     # < 3 lines: no spans
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in c4_span_dedup(df, n=3).collect()}
+    # doc 1 is first everywhere: nothing removed
+    assert (got[1].n_spans, got[1].n_dup_spans) == (2, 0)
+    assert got[1].clean_text == a
+    # doc 2: its (A1,A2,A3) span is a dup -> lines 1-3 removed,
+    # B0 and B5 survive
+    assert (got[2].n_spans, got[2].n_dup_spans) == (3, 1)
+    assert got[2].clean_text == "B0.\nB5."
+    assert got[2].n_kept_sents == 2
+    # doc 3: no spans, fully kept
+    assert (got[3].n_spans, got[3].n_dup_spans, got[3].n_kept_sents) == (0, 0, 2)
+    assert got[3].clean_text == c
