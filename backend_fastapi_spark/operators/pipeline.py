@@ -259,3 +259,76 @@ def temperature_sample_oracle_sql(
     FROM ranked r JOIN quota q ON r.{group_expr} = q.g
     WHERE r._rn <= q.quota
     """
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 4096,
+    reg_param: float = 0.01,
+) -> DataFrame:
+    """Model-based document quality scoring — the GPT-3/WebText recipe
+    (Brown et al. 2020, Appendix A — public): train a linear classifier
+    to tell "reference-quality" text from raw text, then keep/weight
+    docs by the classifier's score. No curated positive corpus ships
+    with the engine, so the WEAK LABELS come from the deterministic
+    Gopher gate (``repetition_metrics``: word count, top-word fraction,
+    distinct ratio) — the standard bootstrap when a curated reference
+    set hasn't been built yet; swap in real labels by passing a frame
+    with a ``label`` column to MLlib directly.
+
+    Returns (id_col, label, p_good): the weak label and the model's
+    P(good). Rows-only by nature (MLlib LBFGS float math, like
+    ann_lsh_top10); ranking power over held-out docs is asserted in
+    tests/test_pipeline.py.
+
+    Scale shape: HashingTF is a stateless per-row projection (no
+    vocabulary broadcast, no fit pass — works at any corpus size);
+    logistic regression is MLlib's distributed LBFGS (treeAggregate
+    gradients — O(n_features) driver memory, never O(rows)); scoring
+    is one model broadcast + a map. The classic 100 TB quality-filter
+    plan."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    m = repetition_metrics(df, text_col, id_col)
+    labeled = (
+        df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("_tx"))
+        .join(
+            m.select(
+                F.col(id_col),
+                (
+                    (F.col("n_words") >= 20)
+                    & (F.col("top_word_frac") <= 0.11)
+                    & (F.col("distinct_ratio") >= 0.4)
+                )
+                .cast("double")
+                .alias("label"),
+            ),
+            id_col,
+        )
+    )
+    tok = Tokenizer(inputCol="_tx", outputCol="_words")
+    tf = HashingTF(
+        inputCol="_words", outputCol="_features", numFeatures=n_features
+    )
+    feats = tf.transform(tok.transform(labeled)).cache()
+    try:
+        lr = LogisticRegression(
+            featuresCol="_features",
+            labelCol="label",
+            regParam=reg_param,
+            maxIter=50,
+        )
+        model = lr.fit(feats)
+        scored = model.transform(feats)
+    finally:
+        feats.unpersist()
+    p_good = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.select(
+        F.col(id_col),
+        F.col("label").cast("int").alias("label"),
+        p_good.alias("p_good"),
+    )

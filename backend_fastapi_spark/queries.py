@@ -5207,6 +5207,24 @@ def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quality_classifier_scores", oracle=None)  # MLlib LBFGS float math
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators/pipeline.py::
+    quality_classifier_scores — the GPT-3/WebText recipe, Brown et al.
+    2020 App. A): HashingTF features → distributed logistic regression
+    on weak labels from the deterministic Gopher gate → per-doc
+    P(good). Rows-only like the other MLlib paths; ranking power (AUC
+    ≥ 0.95 on a vocabulary-signal corpus) asserted in
+    tests/test_pipeline.py. Stateless per-row featurization + a
+    treeAggregate fit + a broadcast-model map — the classic 100 TB
+    quality-filter plan."""
+    from backend_fastapi_spark.operators.pipeline import (
+        quality_classifier_scores,
+    )
+
+    return quality_classifier_scores(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "c4_span_dedup",
     oracle=f"""

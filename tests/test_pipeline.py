@@ -317,3 +317,51 @@ def test_temperature_sample_excludes_null_groups_from_universe(spark):
     # universe = the 100 'ko' rows; quota = (100 DIV 2) * w / w = 50
     assert got.count() == 50
     assert all(r.lang == "ko" for r in got.collect())
+
+
+def test_quality_classifier_separates_gopher_labels(spark):
+    """The GPT-3-recipe quality scorer (weak labels from the Gopher
+    gate). Trained where vocabulary carries the signal — boilerplate
+    docs are repetitive AND use boilerplate tokens, the shape the
+    classifier exists to learn — it must rank good docs above bad with
+    high AUC; on the real word-soup corpus (labels driven by ratios a
+    bag-of-words linear model can only partly express) it must still
+    emit one calibrated row per doc with the right ordering."""
+    import itertools
+
+    from backend_fastapi_spark.operators.pipeline import (
+        quality_classifier_scores,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # Vocabulary-signal corpus: diverse prose passes the Gopher gate,
+    # repeated boilerplate fails it (and betrays itself lexically).
+    good_vocab = [f"word{i}" for i in range(40)]
+    rows = []
+    for d in range(120):
+        if d % 2 == 0:
+            toks = [good_vocab[(d + j) % 40] for j in range(30)]
+        else:
+            toks = [f"buy{d % 7}"] * 30  # top_word_frac = 1.0
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    scored = quality_classifier_scores(df).collect()
+    assert len(scored) == 120
+    assert all(0.0 <= r.p_good <= 1.0 for r in scored)
+    good = [r.p_good for r in scored if r.label == 1]
+    bad = [r.p_good for r in scored if r.label == 0]
+    assert len(good) == 60 and len(bad) == 60
+    wins = sum(
+        (g > b) + 0.5 * (g == b) for g, b in itertools.product(good, bad)
+    )
+    assert wins / (len(good) * len(bad)) >= 0.95
+
+    # Real corpus: one row per doc, and the ordering still holds even
+    # though ratio-driven labels are only partly linearly expressible.
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    scored = quality_classifier_scores(docs).collect()
+    assert len(scored) == docs.count()
+    good = [r.p_good for r in scored if r.label == 1]
+    bad = [r.p_good for r in scored if r.label == 0]
+    assert good and bad
+    assert sum(good) / len(good) > sum(bad) / len(bad)
