@@ -158,21 +158,28 @@ def stream_curated_ingest(
         rows = accepted.cache()
         try:
             if rows.count() == 0:
+                # A RETRIED batch whose accepts were already written
+                # lands here too (its own rows re-gate as duplicates of
+                # themselves): the prior batch-scoped dirs already hold
+                # exactly the accepted set, so doing nothing is correct.
                 return
+            # Both sinks OVERWRITE a batch-id-scoped directory:
+            # foreachBatch is at-least-once, and append on retry would
+            # silently double rows — overwrite makes each micro-batch
+            # idempotent.
             # Dedup state: original bytes.
-            rows.write.mode("append").parquet(
+            rows.write.mode("overwrite").parquet(
                 f"{corpus_path}/ingest_{batch_id}"
             )
-            # Published index: scrubbed text + PII audit counts,
-            # partitioned by micro-batch for incremental re-reads.
+            # Published index: scrubbed text + PII audit counts; the
+            # batch-scoped key=value dir IS the partition (readers of
+            # index_path see ingest_batch as a column).
             (
                 scrub_pii(rows)
                 .drop("text")
                 .withColumnRenamed("scrubbed", "text")
-                .withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("append")
-                .partitionBy("ingest_batch")
-                .parquet(index_path)
+                .write.mode("overwrite")
+                .parquet(f"{index_path}/ingest_batch={batch_id}")
             )
         finally:
             rows.unpersist()
