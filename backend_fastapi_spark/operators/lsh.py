@@ -92,6 +92,26 @@ import hashlib as _hashlib
 from backend_fastapi_spark.operators.vector import FIXED_SCALE
 
 
+def rp_size_for(n_vectors: int, target_bucket: int = 64,
+                n_tables: int = 6) -> tuple[int, int]:
+    """(n_tables, n_planes) sized to the corpus — THE scale knob for
+    :func:`rp_near_dup_pairs`. Buckets per table = 2^planes is fixed by
+    the plane count, so with planes held constant the candidate volume
+    grows ~n²/2^planes: measured at sf10 (200k vectors), the 8-plane
+    default generated ~312M candidates and took 238 s, while 12 planes
+    cut it to 26.9 s and 14 planes to 17.2 s (SCALING.md r7). Keep the
+    expected bucket ~``target_bucket`` by planes ≈ log2(n/target);
+    each added plane lowers per-table collision probability for true
+    pairs, so recall is restored by more tables (the classic LSH
+    budget: tables × per-table-recall). The registered oracle query
+    keeps the fixed 4×8 configuration — this helper is for corpus-sized
+    production calls."""
+    import math
+
+    planes = max(8, math.ceil(math.log2(max(n_vectors, 1) / max(target_bucket, 1))))
+    return n_tables, planes
+
+
 def rp_planes(dim: int, n_tables: int, n_planes: int) -> list[list[list[int]]]:
     """Rademacher hyperplanes H[t][p][d] in {-1, +1}, each component the
     md5 parity of "t|p|d" — a pure function, identical everywhere."""
