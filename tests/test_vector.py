@@ -273,3 +273,17 @@ def test_semantic_dedup_planted_dups_and_summary_consistency(spark):
     for c, r in summ.items():
         assert r.n_kept == r.n_vectors - r.n_removed
         assert r.n_removed == len(removed_by_cluster.get(c, set()))
+
+
+def test_rp_size_for_scaling_law():
+    from backend_fastapi_spark.operators.lsh import rp_size_for
+
+    # floor at the oracle config's 8 planes for small corpora
+    assert rp_size_for(1_000) == (6, 8)
+    # 200k vectors / 64-target -> ceil(log2(3125)) = 12 planes
+    assert rp_size_for(200_000) == (6, 12)
+    # growing corpus adds ~1 plane per doubling; tables stay the
+    # recall budget
+    t, p = rp_size_for(2_000_000_000)
+    assert p == 25 and t == 6
+    assert rp_size_for(0)[1] == 8  # degenerate inputs stay sane
