@@ -142,6 +142,25 @@ def semantic_dedup_summary(
     )
 
 
+def k_clusters_for(n_vectors: int, target_cluster: int | None = None) -> int:
+    """The SemDeDup scale knob: k_clusters ≈ √n (the paper's sizing —
+    50k clusters for LAION-440M), optionally overridden by a target
+    per-cluster population. Within-cluster work is a per-cluster
+    int64 Gram matrix, so a cluster of size c costs c² ops and ~8c²
+    bytes transient per task — k ~ √n keeps both bounded as the corpus
+    grows. Measured at sf10 (200k vectors): the oracle-fixed k=16
+    leaves ~12.5k-vector clusters (≈1.2 GB Gram per task, 5.3 s);
+    k=512 ≈ √n runs the same summary in 2.9 s with ~390-vector
+    clusters (SCALING.md r7). The registered queries keep k=16 so
+    their DuckDB oracles stay bit-stable."""
+    import math
+
+    n = max(n_vectors, 1)
+    if target_cluster:
+        return max(1, math.ceil(n / target_cluster))
+    return max(1, math.isqrt(n))
+
+
 def semantic_dedup_union_pairs(
     df: DataFrame,
     threshold_i64: int,

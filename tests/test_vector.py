@@ -287,3 +287,12 @@ def test_rp_size_for_scaling_law():
     t, p = rp_size_for(2_000_000_000)
     assert p == 25 and t == 6
     assert rp_size_for(0)[1] == 8  # degenerate inputs stay sane
+
+
+def test_semdedup_k_clusters_sizing():
+    from backend_fastapi_spark.operators.semdedup import k_clusters_for
+
+    assert k_clusters_for(200_000) == 447          # isqrt(n)
+    assert k_clusters_for(440_000_000) == 20976    # LAION-scale ~ paper's 50k
+    assert k_clusters_for(200_000, target_cluster=400) == 500
+    assert k_clusters_for(0) == 1
