@@ -92,6 +92,35 @@ def stream_curated_ingest(
     batch signatures against the corpus signature table (persistable,
     ~n_hashes·8 B/doc) on exploded band keys — cost O(|batch| ×
     collisions), independent of corpus row width."""
+    def curate(batch_df: DataFrame, batch_id: int) -> None:
+        curate_batch(
+            spark, batch_df, batch_id, corpus_path, index_path,
+            min_words, max_top_word_frac, min_distinct_ratio,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(curate)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def curate_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    index_path: str,
+    min_words: int = 20,
+    max_top_word_frac: float = 0.11,
+    min_distinct_ratio: float = 0.4,
+) -> None:
+    """One micro-batch of the curation gate — the exact function
+    ``stream_curated_ingest`` hands to foreachBatch, exposed at module
+    level so idempotency (a retried batch_id must not change either
+    sink) and batch-parity are directly testable without driving a
+    stream. See ``stream_curated_ingest`` for the full pipeline
+    contract."""
     from backend_fastapi_spark.operators.dedup import (
         incremental_minhash_dedup,
         minhash_lsh_pairs,
@@ -99,93 +128,87 @@ def stream_curated_ingest(
     from backend_fastapi_spark.operators.pipeline import repetition_metrics
     from backend_fastapi_spark.operators.text import scrub_pii
 
-    doc_schema = docs_stream.schema
+    doc_schema = batch_df.schema
 
-    def curate(batch_df: DataFrame, batch_id: int) -> None:
-        # Stage 1 — Gopher quality gate (stateless; predicates are
-        # corpus_curation_pipeline's, verbatim).
-        m = repetition_metrics(batch_df)
-        quality = batch_df.join(
-            m.filter(
-                (F.col("n_words") >= min_words)
-                & (F.col("top_word_frac") <= max_top_word_frac)
-                & (F.col("distinct_ratio") >= min_distinct_ratio)
-            ).select("doc_id"),
-            "doc_id",
-        )
-
-        # Grown corpus (accepted docs from the seed + all earlier
-        # micro-batches). Empty on a cold start.
-        try:
-            corpus = spark.read.schema(doc_schema).parquet(f"{corpus_path}/*")
-        except Exception:
-            corpus = spark.createDataFrame([], doc_schema)
-
-        # Stage 2 — exact dedup: batch-internal md5 group-min (the batch
-        # path's row_number policy), then drop anything whose bytes the
-        # corpus already holds. Only 32-char md5 keys cross the join.
-        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-        internal = (
-            quality.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        exact_kept = (
-            internal.withColumn("_h", F.md5("text"))
-            .join(
-                corpus.select(F.md5("text").alias("_h")).distinct(),
-                "_h",
-                "left_anti",
-            )
-            .drop("_h")
-        )
-
-        # Stage 3 — near-dup gate: batch-internal band collisions remove
-        # id_b (same banding as the batch sweep), then the incremental
-        # gate rejects anything colliding with the corpus.
-        removed_b = (
-            minhash_lsh_pairs(exact_kept)
-            .select(F.col("id_b").alias("doc_id"))
-            .distinct()
-        )
-        batch_near = exact_kept.join(removed_b, "doc_id", "left_anti")
-        verdict = incremental_minhash_dedup(corpus, batch_near)
-        accepted = batch_near.join(
-            verdict.filter(F.col("accepted")).select("doc_id"), "doc_id"
-        )
-        # Materialize ONCE: both sinks read `accepted`, and the verdict
-        # plan (two signature passes + band join) must not run twice.
-        rows = accepted.cache()
-        try:
-            if rows.count() == 0:
-                # A RETRIED batch whose accepts were already written
-                # lands here too (its own rows re-gate as duplicates of
-                # themselves): the prior batch-scoped dirs already hold
-                # exactly the accepted set, so doing nothing is correct.
-                return
-            # Both sinks OVERWRITE a batch-id-scoped directory:
-            # foreachBatch is at-least-once, and append on retry would
-            # silently double rows — overwrite makes each micro-batch
-            # idempotent.
-            # Dedup state: original bytes.
-            rows.write.mode("overwrite").parquet(
-                f"{corpus_path}/ingest_{batch_id}"
-            )
-            # Published index: scrubbed text + PII audit counts; the
-            # batch-scoped key=value dir IS the partition (readers of
-            # index_path see ingest_batch as a column).
-            (
-                scrub_pii(rows)
-                .drop("text")
-                .withColumnRenamed("scrubbed", "text")
-                .write.mode("overwrite")
-                .parquet(f"{index_path}/ingest_batch={batch_id}")
-            )
-        finally:
-            rows.unpersist()
-
-    return (
-        docs_stream.writeStream.foreachBatch(curate)
-        .option("checkpointLocation", checkpoint_path)
-        .start()
+    # Stage 1 — Gopher quality gate (stateless; predicates are
+    # corpus_curation_pipeline's, verbatim).
+    m = repetition_metrics(batch_df)
+    quality = batch_df.join(
+        m.filter(
+            (F.col("n_words") >= min_words)
+            & (F.col("top_word_frac") <= max_top_word_frac)
+            & (F.col("distinct_ratio") >= min_distinct_ratio)
+        ).select("doc_id"),
+        "doc_id",
     )
+
+    # Grown corpus (accepted docs from the seed + all earlier
+    # micro-batches). Empty on a cold start.
+    try:
+        corpus = spark.read.schema(doc_schema).parquet(f"{corpus_path}/*")
+    except Exception:
+        corpus = spark.createDataFrame([], doc_schema)
+
+    # Stage 2 — exact dedup: batch-internal md5 group-min (the batch
+    # path's row_number policy), then drop anything whose bytes the
+    # corpus already holds. Only 32-char md5 keys cross the join.
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    internal = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    exact_kept = (
+        internal.withColumn("_h", F.md5("text"))
+        .join(
+            corpus.select(F.md5("text").alias("_h")).distinct(),
+            "_h",
+            "left_anti",
+        )
+        .drop("_h")
+    )
+
+    # Stage 3 — near-dup gate: batch-internal band collisions remove
+    # id_b (same banding as the batch sweep), then the incremental
+    # gate rejects anything colliding with the corpus.
+    removed_b = (
+        minhash_lsh_pairs(exact_kept)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    batch_near = exact_kept.join(removed_b, "doc_id", "left_anti")
+    verdict = incremental_minhash_dedup(corpus, batch_near)
+    accepted = batch_near.join(
+        verdict.filter(F.col("accepted")).select("doc_id"), "doc_id"
+    )
+    # Materialize ONCE: both sinks read `accepted`, and the verdict
+    # plan (two signature passes + band join) must not run twice.
+    rows = accepted.cache()
+    try:
+        if rows.count() == 0:
+            # A RETRIED batch whose accepts were already written
+            # lands here too (its own rows re-gate as duplicates of
+            # themselves): the prior batch-scoped dirs already hold
+            # exactly the accepted set, so doing nothing is correct.
+            return
+        # Both sinks OVERWRITE a batch-id-scoped directory:
+        # foreachBatch is at-least-once, and append on retry would
+        # silently double rows — overwrite makes each micro-batch
+        # idempotent.
+        # Dedup state: original bytes.
+        rows.write.mode("overwrite").parquet(
+            f"{corpus_path}/ingest_{batch_id}"
+        )
+        # Published index: scrubbed text + PII audit counts; the
+        # batch-scoped key=value dir IS the partition (readers of
+        # index_path see ingest_batch as a column).
+        (
+            scrub_pii(rows)
+            .drop("text")
+            .withColumnRenamed("scrubbed", "text")
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/ingest_batch={batch_id}")
+        )
+    finally:
+        rows.unpersist()
+

@@ -739,3 +739,59 @@ def test_stream_curated_ingest_batch_parity(spark):
         shutil.rmtree(corpus_dir, ignore_errors=True)
         shutil.rmtree(index_dir.rsplit("/", 1)[0], ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_curate_batch_retry_is_idempotent(spark):
+    """foreachBatch is at-least-once: re-running the SAME batch_id
+    (crash-after-write retry) must leave both sinks byte-identical —
+    the retried rows re-gate as duplicates of themselves and the
+    batch-scoped overwrite never doubles rows."""
+    from backend_fastapi_spark.streaming.ingest_stream import curate_batch
+
+    corpus_dir = tempfile.mkdtemp(prefix="ret_corpus_")
+    index_dir = tempfile.mkdtemp(prefix="ret_index_") + "/idx"
+
+    def words(seed, n=30):
+        return " ".join(f"w{seed}q{i % 9}z{(i * seed) % 13}" for i in range(n))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [(i, words(i + 2)) for i in range(6)], schema
+    )
+    try:
+        curate_batch(spark, batch, 0, corpus_dir, index_dir)
+        first_corpus = sorted(
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{corpus_dir}/*").collect()
+        )
+        first_index = sorted(
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(index_dir).collect()
+        )
+        assert first_corpus  # gate accepted the novel docs
+        # RETRY: identical batch, identical batch_id
+        curate_batch(spark, batch, 0, corpus_dir, index_dir)
+        again_corpus = sorted(
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{corpus_dir}/*").collect()
+        )
+        again_index = sorted(
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(index_dir).collect()
+        )
+        assert again_corpus == first_corpus
+        assert again_index == first_index
+        # a LATER batch repeating the docs is also fully rejected
+        curate_batch(spark, batch, 1, corpus_dir, index_dir)
+        assert sorted(
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{corpus_dir}/*").collect()
+        ) == first_corpus
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(index_dir.rsplit("/", 1)[0], ignore_errors=True)
