@@ -152,6 +152,136 @@ def hll_sketch(df: DataFrame, key_col: str, label: str) -> DataFrame:
     )
 
 
+def hll_sketch_by(
+    df: DataFrame,
+    key_col: str,
+    group_expr,
+    merged_label: str = "merged",
+) -> DataFrame:
+    """Per-group deterministic HLL sketches PLUS their register-level
+    merge — THE mergeability demo (and the reason sketches win at
+    100 TB): each group (e.g. each day's partition) reduces to a
+    ≤m-row (bucket → max rho) register table, and the union's sketch
+    is just groupBy(bucket).max over the per-group registers — no
+    re-scan of raw keys, ever. Returns one (src, n_rows, v_zero,
+    reg_sum, hll_est) row per group (src = the group value as string)
+    plus one ``merged_label`` row whose registers are the max-merge;
+    because max is associative, the merged row is BIT-IDENTICAL to
+    sketching the union directly (property-tested). NULL groups and
+    NULL keys are excluded (no distinct-count information)."""
+    h = df.select(
+        group_expr.cast("string").alias("grp"),
+        _h32(F.col(key_col).cast("string")).alias("hv"),
+    ).filter(F.col("hv").isNotNull() & F.col("grp").isNotNull()).select(
+        "grp",
+        F.shiftright(F.col("hv"), HLL_W_BITS).alias("bucket"),
+        (F.col("hv") % F.lit(HLL_W_MOD)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        h.select("grp", F.col("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_j"), F.count(F.lit(1)).alias("n_in_bucket"))
+    )
+    # The merge: register-level max across groups (+ row-count sum).
+    merged_regs = regs.groupBy("bucket").agg(
+        F.max("m_j").alias("m_j"), F.sum("n_in_bucket").alias("n_in_bucket")
+    ).withColumn("grp", F.lit(merged_label))
+
+    def finalize(r: DataFrame) -> DataFrame:
+        agg = r.groupBy("grp").agg(
+            F.sum("n_in_bucket").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m_j)")
+            ).alias("present_sum"),
+        )
+        lc = F.element_at(
+            F.array(*[F.lit(x).cast("long") for x in HLL_LC_TABLE]),
+            F.col("v_zero").cast("int"),
+        )
+        raw = F.expr(f"CAST({HLL_NUMER} AS BIGINT) DIV reg_sum DIV 1000000")
+        return (
+            agg.select(
+                F.col("grp").alias("src"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("v_zero"),
+                (
+                    F.col("present_sum")
+                    + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << HLL_RHO_MAX)
+                )
+                .cast("long")
+                .alias("reg_sum"),
+            )
+            .withColumn("_raw", raw)
+            .withColumn(
+                "hll_est",
+                F.when(F.col("v_zero") >= HLL_M, F.lit(0).cast("long"))
+                .when((F.col("v_zero") > 0) & (F.col("_raw") <= HLL_LC_CUT), lc)
+                .otherwise(F.col("_raw")),
+            )
+            .drop("_raw")
+        )
+
+    return finalize(regs).unionByName(finalize(merged_regs))
+
+
+def hll_by_oracle_sql(
+    table: str, key_expr: str, group_expr: str, merged_label: str = "merged"
+) -> str:
+    """DuckDB twin of hll_sketch_by — per-group registers via the same
+    md5/bucket/rho arithmetic, the merged row via MAX over the
+    per-group register table, finalized with the shared estimator."""
+    lc_list = ", ".join(str(x) for x in HLL_LC_TABLE)
+    finalize = f"""
+      SELECT src,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST({HLL_M} - n_present AS BIGINT) AS v_zero,
+             CAST(present_sum
+                  + ({HLL_M} - n_present) * CAST({1 << HLL_RHO_MAX} AS BIGINT)
+                  AS BIGINT) AS reg_sum
+      FROM (
+        SELECT src, SUM(n_in_bucket) AS n_rows, COUNT(*) AS n_present,
+               SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_j)) AS present_sum
+        FROM {{src_regs}} GROUP BY src)"""
+    return f"""
+    WITH h AS (
+      SELECT CAST(grp0 AS VARCHAR) AS grp,
+             hv // {HLL_W_MOD} AS bucket, hv % {HLL_W_MOD} AS w
+      FROM (
+        SELECT {group_expr} AS grp0,
+               CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hv
+        FROM {table}
+        WHERE {key_expr} IS NOT NULL AND ({group_expr}) IS NOT NULL)),
+    regs AS (
+      SELECT grp, bucket,
+             MAX(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
+                      ELSE {HLL_RHO_MAX} - length(bin(w)) END) AS m_j,
+             COUNT(*) AS n_in_bucket
+      FROM h GROUP BY grp, bucket),
+    mregs AS (
+      SELECT '{merged_label}' AS grp, bucket, MAX(m_j) AS m_j,
+             SUM(n_in_bucket) AS n_in_bucket
+      FROM regs GROUP BY bucket),
+    fin AS (
+      {finalize.format(src_regs="(SELECT grp AS src, m_j, n_in_bucket FROM regs)")}
+      UNION ALL
+      {finalize.format(src_regs="(SELECT grp AS src, m_j, n_in_bucket FROM mregs)")})
+    SELECT src, n_rows, v_zero, reg_sum,
+           CASE WHEN v_zero >= {HLL_M} THEN CAST(0 AS BIGINT)
+                WHEN v_zero > 0
+                     AND CAST({HLL_NUMER} AS BIGINT) // reg_sum // 1000000
+                         <= {HLL_LC_CUT}
+                  THEN CAST([{lc_list}][CAST(v_zero AS INTEGER)] AS BIGINT)
+                ELSE CAST({HLL_NUMER} AS BIGINT) // reg_sum // 1000000
+           END AS hll_est
+    FROM fin
+    """
+
+
 def hll_oracle_sql(table: str, key_expr: str, label: str) -> str:
     """DuckDB twin of hll_sketch — generated from the same constants
     (including the precomputed linear-counting table) so the two can

@@ -5001,6 +5001,31 @@ def q_hll_distinct_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_monthly_merge",
+    oracle=SK.hll_by_oracle_sql(
+        "orders", "o_custkey", "strftime(o_orderdate, '%Y-%m')"
+    ),
+)
+def q_hll_monthly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability as a driver-checked row — the property that
+    makes sketches THE 100 TB answer for rolling distinct counts: one
+    sketch per month of orders (distinct o_custkey), then the
+    all-months estimate computed by MERGING the per-month register
+    tables (groupBy(bucket).max) — the raw keys are never re-scanned.
+    Max-merge is associative, so the merged row is bit-identical to
+    sketching the union directly (property-tested in
+    tests/test_sketches.py); here every per-month sketch AND the merge
+    are hash-verified against the DuckDB twin."""
+    from backend_fastapi_spark.operators.sketches import hll_sketch_by
+
+    return hll_sketch_by(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM"),
+    )
+
+
+@register(
     "bottomk_sample_quantiles",
     oracle=SK.bottomk_oracle_sql("orders", "o_orderkey", "o_totalprice"),
 )

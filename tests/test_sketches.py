@@ -390,3 +390,21 @@ def test_hll_empty_input_all_columns_zeroed(spark):
     ).collect()[0]
     assert (r.n_rows, r.v_zero, r.hll_est) == (0, SK.HLL_M, 0)
     assert r.reg_sum == SK.HLL_M * (1 << SK.HLL_RHO_MAX)
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Register-level max-merge is associative: the merged row of
+    hll_sketch_by must be BIT-IDENTICAL (v_zero, reg_sum, estimate) to
+    sketching the union directly — the property that lets rolling
+    distinct counts reuse per-partition sketches without re-scanning
+    raw keys."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    by = SK.hll_sketch_by(
+        orders, "o_custkey", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    merged = by.filter(F.col("src") == "merged").collect()[0]
+    direct = SK.hll_sketch(orders, "o_custkey", "direct").collect()[0]
+    assert (merged.v_zero, merged.reg_sum, merged.hll_est) == (
+        direct.v_zero, direct.reg_sum, direct.hll_est
+    )
+    assert merged.n_rows == direct.n_rows
