@@ -463,3 +463,49 @@ def test_near_dup_matmul_preserves_string_ids(spark):
         df, threshold_i64=900_000_000_000, block_col="grp"
     ).collect()
     assert {(r.id_a, r.id_b) for r in rows} == {("doc-a", "doc-b")}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=6),
+                 min_size=3, max_size=8),
+        min_size=2, max_size=5,
+    )
+)
+def test_c4_span_dedup_accounting(spark, docs_lines):
+    """Exact global accounting for span dedup: every span occurrence
+    beyond its corpus-wide first is a dup (sum of n_dup_spans ==
+    total occurrences − distinct spans), per-doc counters are
+    conserved, and a corpus with all-distinct spans loses nothing."""
+    from backend_fastapi_spark.operators.text import c4_span_dedup
+
+    n = 3
+    rows = [
+        (i, "\n".join(f"line token {v}." for v in lines))
+        for i, lines in enumerate(docs_lines)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_span_dedup(df, n=n).collect()}
+    assert set(out) == {i for i, _ in rows}
+    # recompute the span universe exactly
+    occurrences = []
+    for i, (_, text) in enumerate(rows):
+        lines = text.split("\n")
+        for j in range(len(lines) - n + 1):
+            occurrences.append(tuple(lines[j:j + n]))
+    total_dups = len(occurrences) - len(set(occurrences))
+    assert sum(r.n_dup_spans for r in out.values()) == total_dups
+    for i, (_, text) in enumerate(rows):
+        r = out[i]
+        lines = text.split("\n")
+        assert r.n_sents == len(lines)
+        assert r.n_spans == max(len(lines) - n + 1, 0)
+        assert 0 <= r.n_kept_sents <= r.n_sents
+        kept = r.clean_text.split("\n") if r.clean_text else []
+        assert len(kept) == r.n_kept_sents
+        # kept lines are a subsequence of the originals
+        it = iter(lines)
+        assert all(any(k == x for x in it) for k in kept)
+    if total_dups == 0:  # all-distinct corpus is untouched
+        assert all(out[i].clean_text == rows[i][1] for i, _ in rows)
