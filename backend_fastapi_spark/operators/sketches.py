@@ -867,3 +867,151 @@ def kmv_jaccard_oracle_sql(
     FROM ranked WHERE rn <= {k}
     GROUP BY group_a, group_b
     """
+
+
+def kmv_set_cardinalities(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """(group_a, group_b, n_common, m_union, est_union, est_inter):
+    Beyer et al. 2007 distinct-value estimation extended to pairwise
+    set algebra — |A∪B| from the k-th smallest hash of the union's
+    bottom-k ((k−1)·2⁶⁰ / h_(k); exact when the union sketch isn't
+    full), |A∩B| = Ĵ · |A∪B|^. Every input to the float arithmetic is
+    an integer (md5-prefix 60-bit ranks, counts), the divisions and
+    product run in the same order in both engines, and the outputs are
+    FLOORed to int64 (CAST double→BIGINT truncates in Spark but rounds
+    in DuckDB — floor() first makes them agree), so the estimates are
+    hash-exact. Same shape and group-dimension contract (≤256 groups)
+    as kmv_jaccard; the sketch-building lines mirror it verbatim so
+    the two queries can share driver-side evidence semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    s = (
+        df.select(F.col(group_col).alias("g"),
+                  F.col(key_col).cast("string").alias("key"))
+        .distinct()
+        .withColumn("h", F.md5("key"))
+    )
+    w = Window.partitionBy("g").orderBy("h", "key")
+    sk = (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "key", "h")
+    ).cache()
+    gs = sorted(r.g for r in sk.select("g").distinct().collect())
+    if len(gs) > 256:
+        raise ValueError(
+            f"kmv_set_cardinalities: {len(gs)} groups — pairwise "
+            "enumeration is quadratic in the group dimension (<= 256)"
+        )
+    g_type = sk.schema["g"].dataType
+    pairs = df.sparkSession.createDataFrame(
+        [(a, b) for i, a in enumerate(gs) for b in gs[i + 1:]],
+        T.StructType(
+            [
+                T.StructField("group_a", g_type),
+                T.StructField("group_b", g_type),
+            ]
+        ),
+    )
+    side_a = pairs.join(sk, F.col("group_a") == F.col("g")).select(
+        "group_a", "group_b", "key", "h", F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"))
+    side_b = pairs.join(sk, F.col("group_b") == F.col("g")).select(
+        "group_a", "group_b", "key", "h", F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("group_a", "group_b", "key", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("group_a", "group_b").orderBy("h", "key")
+    agg = (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+            F.count(F.lit(1)).alias("m_union"),
+            # 60-bit numeric rank of the LARGEST retained hash = h_(m)
+            F.max(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+            ).alias("h_m"),
+        )
+    )
+    est_union = F.when(
+        F.col("m_union") < k, F.col("m_union").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("h_m").cast("double")
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("m_union").cast("long").alias("m_union"),
+        F.floor(est_union).cast("long").alias("est_union"),
+        F.floor(
+            (F.col("n_common").cast("double") / F.col("m_union").cast("double"))
+            * est_union
+        ).cast("long").alias("est_inter"),
+    )
+
+
+def kmv_set_cardinalities_oracle_sql(
+    table: str, group_expr: str, key_expr: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of kmv_set_cardinalities — identical sketches, 60-bit
+    ranks, estimator order, and floor-to-int64 finishes."""
+    return f"""
+    WITH s AS (
+      SELECT DISTINCT {group_expr} AS g, CAST({key_expr} AS VARCHAR) AS key
+      FROM {table}),
+    sk AS (
+      SELECT g, key, md5(key) AS h FROM (
+        SELECT g, key,
+               row_number() OVER (PARTITION BY g
+                                  ORDER BY md5(key), key) AS rn
+        FROM s) WHERE rn <= {k}),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b
+      FROM (SELECT DISTINCT g FROM sk) a
+      JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+    merged AS (
+      SELECT group_a, group_b, key, h,
+             MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM (
+        SELECT p.group_a, p.group_b, sk.key, sk.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk ON sk.g = p.group_a
+        UNION ALL
+        SELECT p.group_a, p.group_b, sk.key, sk.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk ON sk.g = p.group_b)
+      GROUP BY group_a, group_b, key, h),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY group_a, group_b
+                                   ORDER BY h, key) AS rn
+      FROM merged),
+    agg AS (
+      SELECT group_a, group_b,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+             CAST(COUNT(*) AS BIGINT) AS m_union,
+             MAX(CAST(('0x' || substr(h, 1, 15)) AS BIGINT)) AS h_m
+      FROM ranked WHERE rn <= {k}
+      GROUP BY group_a, group_b),
+    est AS (
+      SELECT *,
+             CASE WHEN m_union < {k} THEN CAST(m_union AS DOUBLE)
+                  ELSE CAST({float(k - 1)} AS DOUBLE)
+                       * CAST({float(1 << 60)} AS DOUBLE)
+                       / CAST(h_m AS DOUBLE)
+             END AS est_u
+      FROM agg)
+    SELECT group_a, group_b, n_common, m_union,
+           CAST(FLOOR(est_u) AS BIGINT) AS est_union,
+           CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(m_union AS DOUBLE))
+                      * est_u) AS BIGINT) AS est_inter
+    FROM est
+    """

@@ -5063,6 +5063,32 @@ def q_cms_heavy_users_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "kmv_set_cardinalities",
+    oracle=SK.kmv_set_cardinalities_oracle_sql("orders", "o_orderpriority", "o_custkey"),
+)
+def q_kmv_set_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set ALGEBRA (Beyer et al. 2007): per order-priority pair
+    (distinct-customer sets: 1280-1304 members, pairwise overlaps
+    ~1100-1130 — genuine partial-overlap structure, unlike the
+    event-type user sets which are all identical),
+    estimated |A∪B| from the k-th smallest 60-bit hash rank of the
+    union's bottom-k ((k−1)·2⁶⁰/h_(k); exact when the union sketch
+    isn't full) and |A∩B| = Ĵ·|A∪B|^ — completing the set-operation
+    sketch member beyond Jaccard. Integer inputs, identical float
+    expression order in both engines, floor-to-int64 finishes
+    (Spark CASTs double→bigint by truncation, DuckDB by rounding —
+    floor first makes them agree), so the estimates hash-match.
+    Accuracy vs exact set sizes bounded in tests/test_sketches.py."""
+    from backend_fastapi_spark.operators.sketches import (
+        kmv_set_cardinalities,
+    )
+
+    return kmv_set_cardinalities(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )
+
+
+@register(
     "kmv_set_similarity",
     oracle=SK.kmv_jaccard_oracle_sql("events", "event_type", "user_id"),
 )

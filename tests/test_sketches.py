@@ -408,3 +408,23 @@ def test_hll_merge_equals_direct_sketch(spark):
         direct.v_zero, direct.reg_sum, direct.hll_est
     )
     assert merged.n_rows == direct.n_rows
+
+
+def test_kmv_set_cardinalities_accuracy_and_exact_regime(spark):
+    """Beyer estimator sanity: on planted sets A=0..999, B=500..1499
+    (|A∪B|=1500, |A∩B|=500) the k=64 estimates land within the ~3σ
+    sketch band; sets smaller than k take the exact branch
+    (m_union < k → est_union == m_union == |A∪B| exactly)."""
+    rows = [("A", i) for i in range(1000)] + [("B", i) for i in range(500, 1500)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    r = SK.kmv_set_cardinalities(df, "g", "u").collect()[0]
+    assert r.m_union == SK.KMV_K
+    assert abs(r.est_union - 1500) / 1500 < 0.40, r
+    assert abs(r.est_inter - 500) / 500 < 0.60, r  # inter compounds J-error
+    assert 0 <= r.est_inter <= r.est_union
+
+    small = [("A", i) for i in range(20)] + [("B", i) for i in range(10, 40)]
+    r2 = SK.kmv_set_cardinalities(
+        spark.createDataFrame(small, ["g", "u"]), "g", "u"
+    ).collect()[0]
+    assert (r2.m_union, r2.est_union, r2.n_common, r2.est_inter) == (40, 40, 10, 10)
