@@ -5166,7 +5166,8 @@ _C4_PLANT_SQL = """
                   ELSE 'A third line with punctuation.' END
              || chr(10) || CASE WHEN doc_id % 7 = 0
                   THEN 'short.'
-                  ELSE 'This fourth line also ends well.' END
+                  ELSE 'This fourth line also ends well for doc '
+                       || CAST(doc_id AS VARCHAR) || '.' END
              || chr(10) || CASE WHEN doc_id % 11 = 0
                   THEN 'lorem ipsum dolor sit amet.'
                   ELSE 'Final line of the page.' END
@@ -5196,7 +5197,9 @@ def _c4_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("A third line with punctuation.")),
             F.lit(nl),
             F.when(F.col("doc_id") % 7 == 0, F.lit("short."))
-            .otherwise(F.lit("This fourth line also ends well.")),
+            .otherwise(F.concat(
+                F.lit("This fourth line also ends well for doc "),
+                F.col("doc_id").cast("string"), F.lit("."))),
             F.lit(nl),
             F.when(F.col("doc_id") % 11 == 0,
                    F.lit("lorem ipsum dolor sit amet."))
@@ -5208,6 +5211,17 @@ def _c4_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared SQL fragments for the C4 rules — single source for the filter
+# oracle AND the composed web-curation ledger (they must never drift).
+_C4_LINE_KEEP_SQL = """list_filter(lines, l ->
+               right(l, 1) IN ('.', '!', '?', '"')
+               AND len(string_split(l, ' ')) >= 3
+               AND NOT contains(lower(l), 'javascript'))"""
+_C4_PAGE_COND_SQL = """NOT contains(lower(text), 'lorem ipsum')
+                 AND NOT contains(text, chr(123))
+                 AND len(keep) >= 4"""
+
+
 @register(
     "c4_quality_filter",
     oracle=f"""
@@ -5217,20 +5231,13 @@ def _c4_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM planted),
     kept AS (
       SELECT doc_id, text, lines,
-             list_filter(lines, l ->
-               right(l, 1) IN ('.', '!', '?', '"')
-               AND len(string_split(l, ' ')) >= 3
-               AND NOT contains(lower(l), 'javascript')) AS keep
+             {_C4_LINE_KEEP_SQL} AS keep
       FROM split)
     SELECT doc_id,
            CAST(len(lines) AS BIGINT) AS n_lines,
            CAST(len(keep) AS BIGINT) AS n_kept_lines,
-           CASE WHEN NOT contains(lower(text), 'lorem ipsum')
-                 AND NOT contains(text, chr(123))
-                 AND len(keep) >= 4 THEN 1 ELSE 0 END AS doc_kept,
-           CASE WHEN NOT contains(lower(text), 'lorem ipsum')
-                 AND NOT contains(text, chr(123))
-                 AND len(keep) >= 4
+           CASE WHEN {_C4_PAGE_COND_SQL} THEN 1 ELSE 0 END AS doc_kept,
+           CASE WHEN {_C4_PAGE_COND_SQL}
                 THEN md5(list_aggregate(keep, 'string_agg', chr(10)))
            END AS clean_md5
     FROM kept
@@ -5276,16 +5283,18 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_scores(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "c4_span_dedup",
-    oracle=f"""
-    WITH planted AS ({_C4_PLANT_SQL}),
-    l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM planted),
+def _c4_span_cte(input_cte: str, n: int = 3) -> str:
+    """Span-dedup CTE chain over any (doc_id, text) relation named by
+    ``input_cte`` — shared by c4_span_dedup and the composed web
+    curation ledger so the two cannot drift. Defines l / sp / occ /
+    dups / dupagg / kept / reasm; the caller selects from them."""
+    return f"""
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM {input_cte}),
     sp AS (
       SELECT doc_id, i - 1 AS pos,
-             md5(list_aggregate(lines[i:i+2], 'string_agg', chr(10)))
+             md5(list_aggregate(lines[i:i+{n - 1}], 'string_agg', chr(10)))
                AS span_h
-      FROM l, LATERAL (SELECT unnest(range(1, len(lines) - 3 + 2)) AS i) t),
+      FROM l, LATERAL (SELECT unnest(range(1, len(lines) - {n} + 2)) AS i) t),
     occ AS (
       SELECT doc_id, pos,
              row_number() OVER (PARTITION BY span_h
@@ -5298,11 +5307,19 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM l, LATERAL (SELECT unnest(range(1, len(lines) + 1)) AS i) t
       WHERE NOT EXISTS (
         SELECT 1 FROM dups d
-        WHERE d.doc_id = l.doc_id AND i - 1 BETWEEN d.pos AND d.pos + 2)),
+        WHERE d.doc_id = l.doc_id AND i - 1 BETWEEN d.pos AND d.pos + {n - 1})),
     reasm AS (
       SELECT doc_id, count(*) AS n_kept,
-             md5(string_agg(line, chr(10) ORDER BY i)) AS clean_md5
-      FROM kept GROUP BY doc_id)
+             md5(string_agg(line, chr(10) ORDER BY i)) AS clean_md5,
+             string_agg(line, chr(10) ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id)"""
+
+
+@register(
+    "c4_span_dedup",
+    oracle=f"""
+    WITH planted AS ({_C4_PLANT_SQL}),
+    {_c4_span_cte("planted")}
     SELECT l.doc_id,
            CAST(len(lines) AS BIGINT) AS n_sents,
            CAST(greatest(len(lines) - 2, 0) AS BIGINT) AS n_spans,
@@ -5333,6 +5350,79 @@ def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_spans",
         "n_kept_sents",
         F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@register(
+    "web_curation_pipeline",
+    oracle=f"""
+    WITH planted AS ({_C4_PLANT_SQL}),
+    csplit AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      FROM planted),
+    ckept AS (
+      SELECT doc_id, text, lines, {_C4_LINE_KEEP_SQL} AS keep
+      FROM csplit),
+    cpages AS (
+      SELECT doc_id, list_aggregate(keep, 'string_agg', chr(10)) AS text
+      FROM ckept WHERE {_C4_PAGE_COND_SQL}),
+    {_c4_span_cte("cpages")},
+    span_kept AS (
+      SELECT doc_id, clean_text FROM reasm WHERE n_kept >= 2)
+    SELECT 'a_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM planted
+    UNION ALL SELECT 'b_c4_pages', CAST(COUNT(*) AS BIGINT) FROM cpages
+    UNION ALL SELECT 'c_span_kept', CAST(COUNT(*) AS BIGINT) FROM span_kept
+    UNION ALL SELECT 'd_exact_unique',
+              CAST(COUNT(DISTINCT md5(clean_text)) AS BIGINT) FROM span_kept
+    """,
+)
+def q_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB-corpus curation ledger — the r7 C4 family composed the
+    way a crawl pipeline runs it (complementing the word-soup
+    corpus_curation_pipeline flagship): planted pages → C4 line/page
+    cleaning → cross-document 3-sentence-span dedup (≥2 surviving
+    sentences) → exact dedup on the fully-cleaned text. Output = the
+    per-stage survivor counts a curator reads before committing the
+    prune (500 → 415 → 361 → 361 at sf0.01; the exact stage's zero
+    drop is honest — surviving pages keep doc-unique lines, so no two
+    cleaned texts collide; exact-dedup drops are exercised in
+    corpus_curation_pipeline and exact_dup_groups); every stage reuses
+    an already-hash-green operator and the
+    oracle is assembled from the SAME shared SQL fragments
+    (_C4_LINE_KEEP_SQL / _C4_PAGE_COND_SQL / _c4_span_cte), so the
+    composition cannot drift from its pieces. Plan: the cleaned-pages
+    set is materialized once (it feeds the span substrate AND the
+    ledger); span dedup is one shuffle on the span hash; the exact
+    stage ships only md5s."""
+    from backend_fastapi_spark.operators.text import (
+        c4_line_filter,
+        c4_span_dedup,
+    )
+    from backend_fastapi_spark.operators.util import materialize
+
+    docs = _c4_planted_docs(spark, sf_dir)
+    pages = materialize(
+        c4_line_filter(docs, min_kept_lines=4)
+        .filter(F.col("doc_kept") == 1)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    span_kept = materialize(
+        c4_span_dedup(pages, n=3)
+        .filter(F.col("n_kept_sents") >= 2)
+        .select("doc_id", "clean_text")
+    )
+
+    def stage(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    exact_unique = span_kept.select(F.md5("clean_text").alias("h")).distinct()
+    return (
+        stage("a_raw", docs)
+        .unionByName(stage("b_c4_pages", pages))
+        .unionByName(stage("c_span_kept", span_kept))
+        .unionByName(stage("d_exact_unique", exact_unique))
     )
 
 
