@@ -95,6 +95,14 @@ EXTRA = [
     "shipping_priority",
     "returned_items_by_customer",
     "next_order_asof_forward",
+    # round 7 additions
+    "semantic_dedup_union",
+    "c4_quality_filter",
+    "c4_span_dedup",
+    "web_curation_pipeline",
+    "hll_monthly_merge",
+    "kmv_set_cardinalities",
+    "maintenance_skipping",
 ]
 
 # Queries whose plan runs connected_components — snapshot its stats.
