@@ -5025,6 +5025,50 @@ def q_hll_monthly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BKM_SUB = """(
+      SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (
+                 PARTITION BY strftime(o_orderdate, '%Y-%m')
+                 ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey,
+                          CAST(o_totalprice AS DOUBLE)) AS prn
+        FROM orders)
+      WHERE prn <= 64)"""
+
+
+@register(
+    "bottomk_monthly_merge",
+    oracle=SK.bottomk_oracle_sql(_BKM_SUB, "o_orderkey", "o_totalprice"),
+)
+def q_bottomk_monthly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantiles via the DISTRIBUTED-MERGE route (the quantile
+    twin of hll_monthly_merge): each month of orders reduces to its
+    bottom-64 md5-rank sample, and the global quantiles come from the
+    bottom-1024 of the UNION of those partial samples — raw rows are
+    never re-scanned past the first per-month pass. Equals the direct
+    global sample whenever no month contributes more than 64 of the
+    global winners (asserted on this data in tests/test_sketches.py —
+    md5 ranks are independent of the month, so per-month contributions
+    concentrate near 1024/80); both engines run the identical two-stage
+    computation, so the result is hash-exact either way."""
+    from backend_fastapi_spark.operators.sketches import bottomk_quantiles
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy(
+        F.date_format("o_orderdate", "yyyy-MM")
+    ).orderBy(
+        F.md5(F.col("o_orderkey").cast("string")),
+        F.col("o_orderkey"),
+        F.col("o_totalprice").cast("double"),
+    )
+    per_month = (
+        orders.withColumn("_prn", F.row_number().over(w))
+        .filter(F.col("_prn") <= 64)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return bottomk_quantiles(per_month, "o_orderkey", "o_totalprice")
+
+
 @register(
     "bottomk_sample_quantiles",
     oracle=SK.bottomk_oracle_sql("orders", "o_orderkey", "o_totalprice"),

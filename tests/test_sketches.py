@@ -428,3 +428,36 @@ def test_kmv_set_cardinalities_accuracy_and_exact_regime(spark):
         spark.createDataFrame(small, ["g", "u"]), "g", "u"
     ).collect()[0]
     assert (r2.m_union, r2.est_union, r2.n_common, r2.est_inter) == (40, 40, 10, 10)
+
+
+def test_bottomk_monthly_merge_equals_direct(spark):
+    """The two-stage route (per-month bottom-64 → global bottom-1024
+    over the partials) must produce the same quantiles as the direct
+    global sample: md5 ranks are independent of the month, so no month
+    contributes more than 64 of the global winners on this data — the
+    distributed-merge plan loses nothing."""
+    from backend_fastapi_spark import queries as Q
+
+    direct = {r.q: r.est_value for r in
+              Q.REGISTRY["bottomk_sample_quantiles"]
+              .fn(spark, SF_SMOKE).collect()}
+    merged = {r.q: r.est_value for r in
+              Q.REGISTRY["bottomk_monthly_merge"]
+              .fn(spark, SF_SMOKE).collect()}
+    assert merged == direct and len(merged) == 5
+    # the premise itself: max per-month contribution to the global
+    # bottom-1024 stays under the 64-row partial cap
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    winners = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+            "o_orderkey",
+        )
+        .orderBy("h", "o_orderkey")
+        .limit(1024)
+    )
+    worst = (
+        winners.groupBy("m").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert worst <= 64, worst
