@@ -529,6 +529,10 @@ def kmv_jaccard(
     s = (
         df.select(F.col(group_col).alias("g"),
                   F.col(key_col).cast("string").alias("key"))
+        # NULL groups would TypeError the driver-side sort below and
+        # NULL keys rank on opposite ends in the two engines — exclude
+        # both, mirrored in the oracle.
+        .filter(F.col("g").isNotNull() & F.col("key").isNotNull())
         .distinct()
         .withColumn("h", F.md5("key"))
     )
@@ -538,64 +542,71 @@ def kmv_jaccard(
         .filter(F.col("rn") <= k)
         .select("g", "key", "h")
     ).cache()
-    # Pair enumeration: the group dimension is small BY CONTRACT (event
-    # types, sources, languages), so collect it (bounded, guarded) and
-    # broadcast literal pairs — an equi-join shape. The alternative — a
-    # g_a < g_b theta self-join — compiles to BroadcastNestedLoopJoin,
-    # which the plan-audit gate rightly flags as a pair-blowup risk.
-    gs = sorted(r.g for r in sk.select("g").distinct().collect())
-    if len(gs) > 256:
-        raise ValueError(
-            f"kmv_jaccard: {len(gs)} groups — pairwise enumeration is "
-            "quadratic in the group dimension; this operator is for "
-            "small group dimensions (<= 256)"
-        )
-    from pyspark.sql import types as T
+    try:
+        # Pair enumeration: the group dimension is small BY CONTRACT (event
+        # types, sources, languages), so collect it (bounded, guarded) and
+        # broadcast literal pairs — an equi-join shape. The alternative — a
+        # g_a < g_b theta self-join — compiles to BroadcastNestedLoopJoin,
+        # which the plan-audit gate rightly flags as a pair-blowup risk.
+        gs = sorted(r.g for r in sk.select("g").distinct().collect())
+        if len(gs) > 256:
+            raise ValueError(
+                f"kmv_jaccard: {len(gs)} groups — pairwise enumeration is "
+                "quadratic in the group dimension; this operator is for "
+                "small group dimensions (<= 256)"
+            )
+        from pyspark.sql import types as T
 
-    g_type = sk.schema["g"].dataType
-    pairs = df.sparkSession.createDataFrame(
-        [(a, b) for i, a in enumerate(gs) for b in gs[i + 1:]],
-        # explicit schema: with < 2 groups the pair list is empty and
-        # schema inference would raise instead of returning 0 rows
-        T.StructType(
-            [
-                T.StructField("group_a", g_type),
-                T.StructField("group_b", g_type),
-            ]
-        ),
-    )
-    # Sketch rows of both sides of each pair, deduped per key with a
-    # both-sides flag; the union's bottom-k is a window over <= 2k rows.
-    side_a = pairs.join(sk, F.col("group_a") == F.col("g")).select(
-        "group_a", "group_b", "key", "h", F.lit(1).alias("in_a"),
-        F.lit(0).alias("in_b"))
-    side_b = pairs.join(sk, F.col("group_b") == F.col("g")).select(
-        "group_a", "group_b", "key", "h", F.lit(0).alias("in_a"),
-        F.lit(1).alias("in_b"))
-    merged = (
-        side_a.unionByName(side_b)
-        .groupBy("group_a", "group_b", "key", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    wu = Window.partitionBy("group_a", "group_b").orderBy("h", "key")
-    return (
-        merged.withColumn("rn", F.row_number().over(wu))
-        .filter(F.col("rn") <= k)
-        .groupBy("group_a", "group_b")
-        .agg(
-            F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
-            # KMV estimator divides by |bottom-k OF THE UNION| =
-            # min(k, |A∪B|) — the post-filter row count — not by the
-            # constant k: when the union is smaller than k, a constant
-            # denominator underestimates (two identical 10-key sets
-            # would read 10/64 instead of 1.0). int/int double division
-            # is IEEE-identical in both engines.
-            (
-                F.sum(F.col("in_a") * F.col("in_b"))
-                / F.count(F.lit(1)).cast("double")
-            ).alias("est_jaccard"),
+        g_type = sk.schema["g"].dataType
+        pairs = df.sparkSession.createDataFrame(
+            [(a, b) for i, a in enumerate(gs) for b in gs[i + 1:]],
+            # explicit schema: with < 2 groups the pair list is empty and
+            # schema inference would raise instead of returning 0 rows
+            T.StructType(
+                [
+                    T.StructField("group_a", g_type),
+                    T.StructField("group_b", g_type),
+                ]
+            ),
         )
-    )
+        # Sketch rows of both sides of each pair, deduped per key with a
+        # both-sides flag; the union's bottom-k is a window over <= 2k rows.
+        side_a = pairs.join(sk, F.col("group_a") == F.col("g")).select(
+            "group_a", "group_b", "key", "h", F.lit(1).alias("in_a"),
+            F.lit(0).alias("in_b"))
+        side_b = pairs.join(sk, F.col("group_b") == F.col("g")).select(
+            "group_a", "group_b", "key", "h", F.lit(0).alias("in_a"),
+            F.lit(1).alias("in_b"))
+        merged = (
+            side_a.unionByName(side_b)
+            .groupBy("group_a", "group_b", "key", "h")
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        )
+        wu = Window.partitionBy("group_a", "group_b").orderBy("h", "key")
+        out = (
+            merged.withColumn("rn", F.row_number().over(wu))
+            .filter(F.col("rn") <= k)
+            .groupBy("group_a", "group_b")
+            .agg(
+                F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+                # KMV estimator divides by |bottom-k OF THE UNION| =
+                # min(k, |A∪B|) — the post-filter row count — not by the
+                # constant k: when the union is smaller than k, a constant
+                # denominator underestimates (two identical 10-key sets
+                # would read 10/64 instead of 1.0). int/int double division
+                # is IEEE-identical in both engines.
+                (
+                    F.sum(F.col("in_a") * F.col("in_b"))
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("est_jaccard"),
+            )
+        )
+        # Materialize before unpersisting sk (bounded by the 256-group
+        # contract: <= 32,640 pair rows) so the cached sketches are
+        # released at function exit instead of leaking for the session.
+        return df.sparkSession.createDataFrame(out.collect(), out.schema)
+    finally:
+        sk.unpersist()
 
 
 # --- Bloom filter (membership) ----------------------------------------
@@ -835,7 +846,8 @@ def kmv_jaccard_oracle_sql(
     return f"""
     WITH s AS (
       SELECT DISTINCT {group_expr} AS g, CAST({key_expr} AS VARCHAR) AS key
-      FROM {table}),
+      FROM {table}
+      WHERE ({group_expr}) IS NOT NULL AND ({key_expr}) IS NOT NULL),
     sk AS (
       SELECT g, key, md5(key) AS h FROM (
         SELECT g, key,
@@ -893,6 +905,12 @@ def kmv_set_cardinalities(
     s = (
         df.select(F.col(group_col).alias("g"),
                   F.col(key_col).cast("string").alias("key"))
+        # NULL groups would TypeError the driver-side sort below and
+        # NULL keys hash to md5(NULL)=NULL, which the two engines rank
+        # on opposite ends (Spark NULLS FIRST vs DuckDB NULLS LAST) —
+        # exclude both, mirrored in the oracle (bloom_prejoin_stats'
+        # discipline).
+        .filter(F.col("g").isNotNull() & F.col("key").isNotNull())
         .distinct()
         .withColumn("h", F.md5("key"))
     )
@@ -902,63 +920,72 @@ def kmv_set_cardinalities(
         .filter(F.col("rn") <= k)
         .select("g", "key", "h")
     ).cache()
-    gs = sorted(r.g for r in sk.select("g").distinct().collect())
-    if len(gs) > 256:
-        raise ValueError(
-            f"kmv_set_cardinalities: {len(gs)} groups — pairwise "
-            "enumeration is quadratic in the group dimension (<= 256)"
+    try:
+        gs = sorted(r.g for r in sk.select("g").distinct().collect())
+        if len(gs) > 256:
+            raise ValueError(
+                f"kmv_set_cardinalities: {len(gs)} groups — pairwise "
+                "enumeration is quadratic in the group dimension (<= 256)"
+            )
+        g_type = sk.schema["g"].dataType
+        pairs = df.sparkSession.createDataFrame(
+            [(a, b) for i, a in enumerate(gs) for b in gs[i + 1:]],
+            T.StructType(
+                [
+                    T.StructField("group_a", g_type),
+                    T.StructField("group_b", g_type),
+                ]
+            ),
         )
-    g_type = sk.schema["g"].dataType
-    pairs = df.sparkSession.createDataFrame(
-        [(a, b) for i, a in enumerate(gs) for b in gs[i + 1:]],
-        T.StructType(
-            [
-                T.StructField("group_a", g_type),
-                T.StructField("group_b", g_type),
-            ]
-        ),
-    )
-    side_a = pairs.join(sk, F.col("group_a") == F.col("g")).select(
-        "group_a", "group_b", "key", "h", F.lit(1).alias("in_a"),
-        F.lit(0).alias("in_b"))
-    side_b = pairs.join(sk, F.col("group_b") == F.col("g")).select(
-        "group_a", "group_b", "key", "h", F.lit(0).alias("in_a"),
-        F.lit(1).alias("in_b"))
-    merged = (
-        side_a.unionByName(side_b)
-        .groupBy("group_a", "group_b", "key", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    wu = Window.partitionBy("group_a", "group_b").orderBy("h", "key")
-    agg = (
-        merged.withColumn("rn", F.row_number().over(wu))
-        .filter(F.col("rn") <= k)
-        .groupBy("group_a", "group_b")
-        .agg(
-            F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
-            F.count(F.lit(1)).alias("m_union"),
-            # 60-bit numeric rank of the LARGEST retained hash = h_(m)
-            F.max(
-                F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
-            ).alias("h_m"),
+        side_a = pairs.join(sk, F.col("group_a") == F.col("g")).select(
+            "group_a", "group_b", "key", "h", F.lit(1).alias("in_a"),
+            F.lit(0).alias("in_b"))
+        side_b = pairs.join(sk, F.col("group_b") == F.col("g")).select(
+            "group_a", "group_b", "key", "h", F.lit(0).alias("in_a"),
+            F.lit(1).alias("in_b"))
+        merged = (
+            side_a.unionByName(side_b)
+            .groupBy("group_a", "group_b", "key", "h")
+            .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
         )
-    )
-    est_union = F.when(
-        F.col("m_union") < k, F.col("m_union").cast("double")
-    ).otherwise(
-        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("h_m").cast("double")
-    )
-    return agg.select(
-        "group_a",
-        "group_b",
-        F.col("n_common").cast("long").alias("n_common"),
-        F.col("m_union").cast("long").alias("m_union"),
-        F.floor(est_union).cast("long").alias("est_union"),
-        F.floor(
-            (F.col("n_common").cast("double") / F.col("m_union").cast("double"))
-            * est_union
-        ).cast("long").alias("est_inter"),
-    )
+        wu = Window.partitionBy("group_a", "group_b").orderBy("h", "key")
+        agg = (
+            merged.withColumn("rn", F.row_number().over(wu))
+            .filter(F.col("rn") <= k)
+            .groupBy("group_a", "group_b")
+            .agg(
+                F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+                F.count(F.lit(1)).alias("m_union"),
+                # 60-bit numeric rank of the LARGEST retained hash = h_(m)
+                F.max(
+                    F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+                ).alias("h_m"),
+            )
+        )
+        est_union = F.when(
+            F.col("m_union") < k, F.col("m_union").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("h_m").cast("double")
+        )
+        out = agg.select(
+            "group_a",
+            "group_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("m_union").cast("long").alias("m_union"),
+            F.floor(est_union).cast("long").alias("est_union"),
+            F.floor(
+                (F.col("n_common").cast("double") / F.col("m_union").cast("double"))
+                * est_union
+            ).cast("long").alias("est_inter"),
+        )
+        # Materialize before unpersisting sk so the cached sketches are
+        # released at function exit (not leaked for the session). The
+        # result is bounded by the 256-group contract (<= 32,640 pair
+        # rows), so the driver round-trip is a constant-size local
+        # relation, not a scale hazard.
+        return df.sparkSession.createDataFrame(out.collect(), out.schema)
+    finally:
+        sk.unpersist()
 
 
 def kmv_set_cardinalities_oracle_sql(
@@ -969,7 +996,8 @@ def kmv_set_cardinalities_oracle_sql(
     return f"""
     WITH s AS (
       SELECT DISTINCT {group_expr} AS g, CAST({key_expr} AS VARCHAR) AS key
-      FROM {table}),
+      FROM {table}
+      WHERE ({group_expr}) IS NOT NULL AND ({key_expr}) IS NOT NULL),
     sk AS (
       SELECT g, key, md5(key) AS h FROM (
         SELECT g, key,

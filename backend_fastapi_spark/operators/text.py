@@ -342,7 +342,15 @@ def c4_line_filter(
             | F.endswith(l, F.lit(C4_TERMINALS[2]))
             | F.endswith(l, F.lit(C4_TERMINALS[3]))
         )
-        & (F.size(F.split(l, " ")) >= min_line_words)
+        # whitespace WORDS: split on a whitespace run and drop empty
+        # tokens, so "a  b" is 2 words (not 3) and tabs split too —
+        # mirrored in queries._C4_LINE_KEEP_SQL
+        & (
+            F.size(
+                F.filter(F.split(l, r"\s+"), lambda x: x != F.lit(""))
+            )
+            >= min_line_words
+        )
         & ~F.lower(l).contains("javascript"),
     )
     low = F.lower(F.coalesce(F.col(text_col), F.lit("")))

@@ -5259,7 +5259,8 @@ def _c4_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle AND the composed web-curation ledger (they must never drift).
 _C4_LINE_KEEP_SQL = """list_filter(lines, l ->
                right(l, 1) IN ('.', '!', '?', '"')
-               AND len(string_split(l, ' ')) >= 3
+               AND len(list_filter(string_split_regex(l, '\\s+'),
+                                   x -> x != '')) >= 3
                AND NOT contains(lower(l), 'javascript'))"""
 _C4_PAGE_COND_SQL = """NOT contains(lower(text), 'lorem ipsum')
                  AND NOT contains(text, chr(123))
@@ -5586,36 +5587,39 @@ _LAST_GREEN = {
     "asof_join_events_orders": 5,
     "attribute_filter": 6,
     "bloom_prejoin_stats": 6,
+    "bottomk_monthly_merge": 7,
     "bottomk_sample_quantiles": 6,
     "bpe_top_merges": 6,
-    "brand_price_stats": 4,
+    "brand_price_stats": 7,
     "branded_quantity_revenue": 6,
-    "chunk_documents": 4,
+    "c4_quality_filter": 7,
+    "c4_span_dedup": 7,
+    "chunk_documents": 7,
     "cms_heavy_users_deterministic": 6,
     "cohort_retention": 5,
     "corpus_curation_pipeline": 6,
     "cube_status_priority": 5,
     "customer_360": 5,
     "customer_order_distribution": 6,
-    "customers_with_orders": 4,
+    "customers_with_orders": 7,
     "customers_without_orders": 6,
-    "daily_value_by_type": 4,
+    "daily_value_by_type": 7,
     "decontaminate_test_split": 5,
     "dedup_canonical_corpus": 5,
-    "dedup_min_event": 4,
+    "dedup_min_event": 7,
     "delete_keys_orders": 5,
     "distinct_count_stats": 5,
-    "diversified_docs": 4,
+    "diversified_docs": 7,
     "doc_embed_knn": 5,
-    "doc_fingerprint_groups": 4,
-    "doc_template_assembly": 4,
+    "doc_fingerprint_groups": 7,
+    "doc_template_assembly": 7,
     "dup_clusters": 5,
     "dup_rate_by_source": 6,
-    "embedding_near_dup": 4,
+    "embedding_near_dup": 7,
     "embedding_near_dup_rp": 5,
     "events_burst_60s": 5,
     "exact_dup_groups": 6,
-    "filtered_projection": 4,
+    "filtered_projection": 7,
     "forecast_revenue_change": 6,
     "from_json_native": 5,
     "funnel_conversion": 5,
@@ -5623,36 +5627,39 @@ _LAST_GREEN = {
     "grocery_best_store": 5,
     "grouping_sets_revenue": 5,
     "hll_distinct_deterministic": 6,
+    "hll_monthly_merge": 7,
     "html_strip": 5,
     "idle_rich_customers": 6,
     "incremental_dedup_batch": 6,
     "ingest_pipeline_chunks": 6,
     "json_extract_stats": 5,
-    "keyword_or_filter": 4,
+    "keyword_or_filter": 7,
+    "kmv_set_cardinalities": 7,
     "kmv_set_similarity": 6,
-    "knn_batch_top5": 4,
-    "knn_margin_topk": 4,
-    "knn_top10_dot": 4,
-    "knn_top10_l2": 4,
+    "knn_batch_top5": 7,
+    "knn_margin_topk": 7,
+    "knn_top10_dot": 7,
+    "knn_top10_l2": 7,
     "lang_id_confusion": 6,
-    "lang_quality_score": 4,
+    "lang_quality_score": 7,
     "large_volume_customers": 6,
     "late_shipment_priority": 6,
-    "minhash_lsh_candidates": 4,
-    "minhash_verified_dupes": 4,
+    "maintenance_skipping": 7,
+    "minhash_lsh_candidates": 7,
+    "minhash_verified_dupes": 7,
     "minmax_rescale": 5,
-    "multi_key_sort": 4,
+    "multi_key_sort": 7,
     "multimodal_feature_stats": 5,
     "next_order_asof_forward": 5,
-    "ngram_jaccard_dupes": 4,
-    "null_normalization": 4,
-    "order_status_histogram": 4,
+    "ngram_jaccard_dupes": 7,
+    "null_normalization": 7,
+    "order_status_histogram": 7,
     "orders_growth_mom": 6,
-    "pack_docs_budget": 4,
+    "pack_docs_budget": 7,
     "pack_pretrain_sequences": 6,
     "paginated_orders": 5,
     "pct_change_daily": 5,
-    "per_customer_top3_orders": 4,
+    "per_customer_top3_orders": 7,
     "percentile_stats": 5,
     "pii_scrub_stats": 6,
     "pivot_priority_by_status": 5,
@@ -5666,10 +5673,11 @@ _LAST_GREEN = {
     "rewrite_chain": 5,
     "rollup_region_nation": 4,
     "salted_skew_sum": 5,
-    "scalar_subquery_join": 4,
+    "scalar_subquery_join": 7,
     "scd2_customer_merge": 6,
     "semantic_dedup_pairs": 6,
     "semantic_dedup_summary": 6,
+    "semantic_dedup_union": 7,
     "session_window_native": 5,
     "sessionize_events": 5,
     "shipmode_priority_counts": 6,
@@ -5681,28 +5689,29 @@ _LAST_GREEN = {
     "supplier_balance_by_region": 5,
     "temperature_sample_langs": 6,
     "tfidf_top_terms": 5,
-    "token_stats": 4,
-    "top_orders_recent": 4,
+    "token_stats": 7,
+    "top_orders_recent": 7,
     "top_parts_by_region": 6,
     "top_supplier_revenue": 6,
     "train_test_split_counts": 5,
-    "ts_daily_resample": 4,
+    "ts_daily_resample": 7,
     "ts_forecast_metrics": 4,
-    "ts_interpolated": 4,
+    "ts_interpolated": 7,
     "ts_last_valid_window": 5,
-    "ts_longest_run": 4,
+    "ts_longest_run": 7,
     "ts_ratio_split": 4,
-    "ts_seasonal_features": 4,
+    "ts_seasonal_features": 7,
     "ts_sliding_windows": 4,
     "tumbling_hourly_counts": 5,
-    "union_all_counts": 4,
+    "union_all_counts": 7,
     "union_then_global_topn": 5,
     "upsert_orders": 5,
     "user_context_star": 6,
     "user_rapid_repeat_events": 5,
     "variant_extract_stats": 6,
-    "vector_search_sql": 4,
+    "vector_search_sql": 7,
     "watermark_late_drop": 5,
+    "web_curation_pipeline": 7,
     "weighted_recommend_score": 5,
     "weighted_sample_docs": 5,
     "winnow_fingerprint_stats": 6,
@@ -5725,9 +5734,10 @@ _PRIORITY_REFRESH = (
 # (rows-only green in some round) — demoted behind anything that still
 # needs its first driver row.
 _ROWS_ONLY_EXERCISED = frozenset(
-    {"ann_ivf_top10", "ann_lsh_top10", "approx_sketch_stats",
-     "chunk_documents_recursive", "embedding_near_dup_lsh",
-     "fruit_prices_daily", "ingest_pipeline_embedded"}
+    {"ann_ivf_top10", "ann_lsh_top10", "ann_pq_trained_top10",
+     "approx_sketch_stats", "chunk_documents_recursive",
+     "embedding_near_dup_lsh", "fruit_prices_daily",
+     "ingest_pipeline_embedded", "quality_classifier_scores"}
 )
 # doc_embed_knn left this set in round 5: it gained a full SQL oracle
 # (md5 feature-hash embedder is engine-reproducible), so it queues with

@@ -25,6 +25,19 @@ from pyspark.sql.streaming import StreamingQuery
 from backend_fastapi_spark.plans.ingest import ingest_table
 
 
+def _hadoop_glob_exists(spark: SparkSession, pattern: str) -> bool:
+    """True iff the Hadoop glob matches at least one path. Used to make
+    cold-start detection EXPLICIT: a missing corpus directory is a cold
+    start, but a corrupt footer or transient FS error on an existing
+    corpus must FAIL the micro-batch (Structured Streaming retries it)
+    rather than silently gate against an empty frame."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(path)
+    return matches is not None and len(matches) > 0
+
+
 def stream_ingest(
     docs_stream: DataFrame,
     index_name: str,
@@ -143,10 +156,13 @@ def curate_batch(
     )
 
     # Grown corpus (accepted docs from the seed + all earlier
-    # micro-batches). Empty on a cold start.
-    try:
+    # micro-batches). Cold start is detected by filesystem listing, not
+    # by catching read errors: a corrupt footer or transient FS failure
+    # on an existing corpus must fail the batch (the stream retries it),
+    # never silently bypass the dedup gates with an empty frame.
+    if _hadoop_glob_exists(spark, f"{corpus_path}/*"):
         corpus = spark.read.schema(doc_schema).parquet(f"{corpus_path}/*")
-    except Exception:
+    else:
         corpus = spark.createDataFrame([], doc_schema)
 
     # Stage 2 — exact dedup: batch-internal md5 group-min (the batch
@@ -186,10 +202,23 @@ def curate_batch(
     rows = accepted.cache()
     try:
         if rows.count() == 0:
-            # A RETRIED batch whose accepts were already written
-            # lands here too (its own rows re-gate as duplicates of
-            # themselves): the prior batch-scoped dirs already hold
-            # exactly the accepted set, so doing nothing is correct.
+            # A RETRIED batch whose accepts were already written lands
+            # here too (its own rows re-gate as duplicates of
+            # themselves). But at-least-once means the prior attempt may
+            # have crashed AFTER the corpus write and BEFORE the index
+            # write — the corpus dir is the commit point, so if it
+            # exists, re-derive the index partition from it instead of
+            # returning (otherwise ingest_batch=N would be lost forever).
+            batch_dir = f"{corpus_path}/ingest_{batch_id}"
+            if _hadoop_glob_exists(spark, batch_dir):
+                prior = spark.read.schema(doc_schema).parquet(batch_dir)
+                (
+                    scrub_pii(prior)
+                    .drop("text")
+                    .withColumnRenamed("scrubbed", "text")
+                    .write.mode("overwrite")
+                    .parquet(f"{index_path}/ingest_batch={batch_id}")
+                )
             return
         # Both sinks OVERWRITE a batch-id-scoped directory:
         # foreachBatch is at-least-once, and append on retry would

@@ -264,6 +264,18 @@ def test_c4_line_filter_rules(spark):
     ).head()
     assert (null_row.n_lines, null_row.n_kept_lines,
             null_row.doc_kept, null_row.clean_text) == (1, 0, 0, None)
+    # Whitespace-word semantics: consecutive spaces are ONE separator
+    # ("Too  short." is 2 words, not 3 — dropped) and tabs DO split
+    # ("Tab\tsplit\twords." is 3 words — kept).
+    ws = {r.doc_id: r for r in c4_line_filter(
+        spark.createDataFrame(
+            [(10, "Too  short."), (11, "Tab\tsplit\twords.")],
+            ["doc_id", "text"],
+        ),
+        min_kept_lines=1,
+    ).collect()}
+    assert (ws[10].n_kept_lines, ws[10].doc_kept) == (0, 0)
+    assert (ws[11].n_kept_lines, ws[11].doc_kept) == (1, 1)
 
 
 def test_c4_span_dedup_first_occurrence_survives(spark):

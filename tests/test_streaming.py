@@ -3,6 +3,7 @@ micro-batches (state carry-over) and watermarked windowed counts."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -792,6 +793,80 @@ def test_curate_batch_retry_is_idempotent(spark):
             (r.doc_id, r.text)
             for r in spark.read.parquet(f"{corpus_dir}/*").collect()
         ) == first_corpus
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(index_dir.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_curate_batch_recovers_index_after_partial_crash(spark):
+    """At-least-once recovery when the prior attempt crashed BETWEEN the
+    two sink writes: corpus dir written, index partition missing. On
+    retry the batch's rows re-gate as duplicates of themselves (accepted
+    is empty), but the corpus dir is the commit point — the retry must
+    re-derive ingest_batch=N from it, not return with the partition
+    permanently lost."""
+    from backend_fastapi_spark.streaming.ingest_stream import curate_batch
+
+    corpus_dir = tempfile.mkdtemp(prefix="cr_corpus_")
+    index_dir = tempfile.mkdtemp(prefix="cr_index_") + "/idx"
+
+    def words(seed, n=30):
+        return " ".join(f"r{seed}k{i % 9}v{(i * seed) % 13}" for i in range(n))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [(i, words(i + 3)) for i in range(6)], schema
+    )
+    try:
+        curate_batch(spark, batch, 0, corpus_dir, index_dir)
+        want_index = sorted(
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(index_dir).collect()
+        )
+        assert want_index
+        # Simulate the crash window: corpus write landed, index write did
+        # not (delete the batch's index partition).
+        shutil.rmtree(f"{index_dir}/ingest_batch=0")
+        # RETRY the same batch_id — empty-accepted path must re-derive.
+        curate_batch(spark, batch, 0, corpus_dir, index_dir)
+        got_index = sorted(
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(index_dir).collect()
+        )
+        assert got_index == want_index
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(index_dir.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_curate_batch_fails_on_corrupt_corpus(spark):
+    """A corrupt corpus file must FAIL the micro-batch (Structured
+    Streaming retries it) — never be silently treated as a cold start,
+    which would bypass both dedup gates and admit duplicates."""
+    from backend_fastapi_spark.streaming.ingest_stream import curate_batch
+
+    corpus_dir = tempfile.mkdtemp(prefix="bad_corpus_")
+    index_dir = tempfile.mkdtemp(prefix="bad_index_") + "/idx"
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    text = " ".join(f"c{i % 9}x{(i * 7) % 13}" for i in range(30))
+    batch = spark.createDataFrame([(1, text)], schema)
+    try:
+        os.makedirs(f"{corpus_dir}/ingest_0")
+        with open(f"{corpus_dir}/ingest_0/part-0.parquet", "wb") as f:
+            f.write(b"this is not a parquet file")
+        with pytest.raises(Exception):
+            curate_batch(spark, batch, 1, corpus_dir, index_dir)
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
         shutil.rmtree(index_dir.rsplit("/", 1)[0], ignore_errors=True)
