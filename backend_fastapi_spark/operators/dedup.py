@@ -428,6 +428,27 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_state(
+    df: DataFrame,
+    n_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE per-doc dedup-gate state: one row per doc —
+    (``id_col``, ``_h`` = md5 of the text, sig_0..sig_{n_hashes-1};
+    signature columns NULL for docs too short to shingle). ~32 B +
+    n_hashes·8 B per doc, the table ``incremental_minhash_dedup``
+    consumes via ``corpus_state`` so a continuously ingesting gate never
+    rescans raw corpus text: at 100 TB the corpus contributes only this
+    signature table (persist it partitioned by ingest batch alongside
+    the corpus; see streaming/ingest_stream.curate_batch)."""
+    sigs = minhash_signatures(df, n_hashes, text_col, id_col, n)
+    return df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_h")
+    ).join(sigs, id_col, "left")
+
+
 def incremental_minhash_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -436,6 +457,7 @@ def incremental_minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    corpus_state: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time dedup: check a NEW batch against the EXISTING corpus
     without ever comparing corpus-to-corpus — the shape a continuously
@@ -450,10 +472,29 @@ def incremental_minhash_dedup(
     signature table — at 100 TB the corpus signatures are ~n_hashes·8
     bytes/doc and the batch never meets raw corpus text. ``accepted`` is
     the no-collision verdict (band agreement ⇒ est. Jaccard ≥ ~0.5 at
-    4-row bands); first_match = min colliding corpus id for audit."""
-    sig_c = materialize(
-        minhash_signatures(corpus, n_hashes, text_col, id_col, n)
-    )
+    4-row bands); first_match = min colliding corpus id for audit.
+
+    Pass ``corpus_state`` (a :func:`dedup_state` table, typically read
+    back from parquet) to make that posture literal: the corpus side is
+    then the precomputed signature table and raw corpus text is never
+    touched — ``corpus`` may be None. Verdicts are identical either way
+    (signatures are doc-local and deterministic)."""
+    if corpus_state is not None:
+        sig_cols = [f"sig_{s}" for s in range(n_hashes)]
+        sig_c = corpus_state.filter(
+            F.col("sig_0").isNotNull()
+        ).select(id_col, *sig_cols)
+        corpus_md5 = corpus_state.select(
+            F.col(id_col).alias("corpus_id"), "_h"
+        )
+    else:
+        sig_c = materialize(
+            minhash_signatures(corpus, n_hashes, text_col, id_col, n)
+        )
+        corpus_md5 = corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
     sig_b = materialize(
         minhash_signatures(batch, n_hashes, text_col, id_col, n)
     )
@@ -491,13 +532,7 @@ def incremental_minhash_dedup(
             F.col(id_col).alias("batch_id"),
             F.md5(F.col(text_col)).alias("_h"),
         )
-        .join(
-            corpus.select(
-                F.col(id_col).alias("corpus_id"),
-                F.md5(F.col(text_col)).alias("_h"),
-            ),
-            "_h",
-        )
+        .join(corpus_md5, "_h")
         .select("batch_id", "corpus_id")
     )
     hits = (

@@ -38,6 +38,19 @@ def _hadoop_glob_exists(spark: SparkSession, pattern: str) -> bool:
     return matches is not None and len(matches) > 0
 
 
+def _hadoop_subdirs(spark: SparkSession, dir_path: str) -> list[str]:
+    """Names of the immediate subdirectories of ``dir_path`` (empty if
+    the directory does not exist) — Hadoop FS so it works on any
+    cluster filesystem, not just local."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/*")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(path)
+    if matches is None:
+        return []
+    return [m.getPath().getName() for m in matches if m.isDirectory()]
+
+
 def stream_ingest(
     docs_stream: DataFrame,
     index_name: str,
@@ -102,9 +115,14 @@ def stream_curated_ingest(
 
     Scale posture per micro-batch: quality/scrub are codegen'd column
     expressions; exact dedup ships only md5 keys; the near gate joins
-    batch signatures against the corpus signature table (persistable,
-    ~n_hashes·8 B/doc) on exploded band keys — cost O(|batch| ×
-    collisions), independent of corpus row width."""
+    batch signatures against the corpus signature table on exploded
+    band keys — cost O(|batch| × collisions), independent of corpus row
+    width. The signature table is PERSISTED (``{corpus_path}_sigstate``,
+    one dir per micro-batch, ~168 B/doc, written right after each corpus
+    commit and lazily rebuilt for any corpus dir missing its twin), so
+    raw corpus text is read at most once per ingested doc — the gate's
+    per-batch cost is measured flat in bench.py's sf1_stream_profile
+    stanza."""
     def curate(batch_df: DataFrame, batch_id: int) -> None:
         curate_batch(
             spark, batch_df, batch_id, corpus_path, index_path,
@@ -135,6 +153,7 @@ def curate_batch(
     stream. See ``stream_curated_ingest`` for the full pipeline
     contract."""
     from backend_fastapi_spark.operators.dedup import (
+        dedup_state,
         incremental_minhash_dedup,
         minhash_lsh_pairs,
     )
@@ -142,6 +161,7 @@ def curate_batch(
     from backend_fastapi_spark.operators.text import scrub_pii
 
     doc_schema = batch_df.schema
+    state_path = corpus_path.rstrip("/") + "_sigstate"
 
     # Stage 1 — Gopher quality gate (stateless; predicates are
     # corpus_curation_pipeline's, verbatim).
@@ -155,15 +175,28 @@ def curate_batch(
         "doc_id",
     )
 
-    # Grown corpus (accepted docs from the seed + all earlier
-    # micro-batches). Cold start is detected by filesystem listing, not
-    # by catching read errors: a corrupt footer or transient FS failure
-    # on an existing corpus must fail the batch (the stream retries it),
-    # never silently bypass the dedup gates with an empty frame.
-    if _hadoop_glob_exists(spark, f"{corpus_path}/*"):
-        corpus = spark.read.schema(doc_schema).parquet(f"{corpus_path}/*")
+    # Corpus gate state (accepted docs from the seed + all earlier
+    # micro-batches), as the PERSISTED signature table — raw corpus text
+    # is never rescanned once a subdirectory's state exists (the 100 TB
+    # posture: the corpus contributes ~168 B/doc of md5 + MinHash state,
+    # not its text). Any corpus subdir without a state twin (the seed on
+    # first contact, or a crash between the corpus and state writes) is
+    # rebuilt once from its rows; cold start is detected by filesystem
+    # listing, never by catching read errors — a corrupt footer or
+    # transient FS failure must fail the batch (the stream retries it),
+    # not silently bypass the gates with an empty frame.
+    corpus_dirs = _hadoop_subdirs(spark, corpus_path)
+    state_dirs = set(_hadoop_subdirs(spark, state_path))
+    for d in corpus_dirs:
+        if d not in state_dirs:
+            part = spark.read.schema(doc_schema).parquet(f"{corpus_path}/{d}")
+            dedup_state(part).write.mode("overwrite").parquet(
+                f"{state_path}/{d}"
+            )
+    if corpus_dirs:
+        state = spark.read.parquet(*[f"{state_path}/{d}" for d in corpus_dirs])
     else:
-        corpus = spark.createDataFrame([], doc_schema)
+        state = dedup_state(spark.createDataFrame([], doc_schema))
 
     # Stage 2 — exact dedup: batch-internal md5 group-min (the batch
     # path's row_number policy), then drop anything whose bytes the
@@ -176,24 +209,20 @@ def curate_batch(
     )
     exact_kept = (
         internal.withColumn("_h", F.md5("text"))
-        .join(
-            corpus.select(F.md5("text").alias("_h")).distinct(),
-            "_h",
-            "left_anti",
-        )
+        .join(state.select("_h").distinct(), "_h", "left_anti")
         .drop("_h")
     )
 
     # Stage 3 — near-dup gate: batch-internal band collisions remove
     # id_b (same banding as the batch sweep), then the incremental
-    # gate rejects anything colliding with the corpus.
+    # gate rejects anything colliding with the corpus state.
     removed_b = (
         minhash_lsh_pairs(exact_kept)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
     batch_near = exact_kept.join(removed_b, "doc_id", "left_anti")
-    verdict = incremental_minhash_dedup(corpus, batch_near)
+    verdict = incremental_minhash_dedup(None, batch_near, corpus_state=state)
     accepted = batch_near.join(
         verdict.filter(F.col("accepted")).select("doc_id"), "doc_id"
     )
@@ -224,9 +253,16 @@ def curate_batch(
         # foreachBatch is at-least-once, and append on retry would
         # silently double rows — overwrite makes each micro-batch
         # idempotent.
-        # Dedup state: original bytes.
+        # Dedup state: original bytes (the commit point).
         rows.write.mode("overwrite").parquet(
             f"{corpus_path}/ingest_{batch_id}"
+        )
+        # Signature state for the accepted rows — what future batches
+        # gate against instead of the raw text. A crash before this
+        # write is safe: the lazy rebuild loop above recreates any
+        # state dir missing for an existing corpus dir.
+        dedup_state(rows).write.mode("overwrite").parquet(
+            f"{state_path}/ingest_{batch_id}"
         )
         # Published index: scrubbed text + PII audit counts; the
         # batch-scoped key=value dir IS the partition (readers of

@@ -150,6 +150,249 @@ def time_set(spark, names, sf_dir, runs, timings, cards, cc_stats, tag="",
         print(f"# {tag}{name}: {timings[name]:.3f}s rows={rows}", file=sys.stderr)
 
 
+def ivf_probe_stanza(spark, sf_dir: str, k_clusters: int = 64, k: int = 10,
+                     n_queries: int = 16) -> dict:
+    """Persisted-IVF recall/latency curve at 100x corpus scale (VERDICT
+    r07 directive #4): build an MLlib-KMeans IVF index over the sf10
+    embeddings, persist it partitioned by cluster, then probe with
+    nprobe ∈ {1,4,8,16} recording wall time and recall@10 against the
+    exact top-10 (same fixed-point dot scorer). The FAISS-IVF serving
+    claim measured: probed scan cost ∝ nprobe/k_clusters, recall → 1."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf, ivf_search_persisted, write_ivf_index)
+    from backend_fastapi_spark.operators.vector import knn_exact
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_vec = emb.count()
+    # Deterministic query set: the n_queries smallest vec_ids, frozen to
+    # a local relation so each probe pass pays index IO, not query scans.
+    q = emb.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    queries = spark.createDataFrame(q.collect(), q.schema)
+
+    t0 = time.perf_counter()
+    assigned, centroids = build_ivf(emb, k_clusters=k_clusters)
+    path = tempfile.mkdtemp(prefix="bench_ivf_")
+    write_ivf_index(assigned, centroids, path)
+    build_s = round(time.perf_counter() - t0, 3)
+
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in knn_exact(emb, queries, k=k, exclude_self=False).collect()
+    }
+    out: dict = {"n_vectors": n_vec, "k_clusters": k_clusters, "k": k,
+                 "n_queries": n_queries, "build_and_write_s": build_s,
+                 "probe": {}}
+    try:
+        for nprobe in (1, 4, 8, 16):
+            t0 = time.perf_counter()
+            got = ivf_search_persisted(
+                spark, path, queries, k=k, nprobe=nprobe
+            ).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            hits = sum(1 for r in got if (r["q_id"], r["vec_id"]) in exact)
+            rec = round(hits / max(len(exact), 1), 4)
+            out["probe"][str(nprobe)] = {"sec": dt, "recall_at_10": rec}
+            print(f"# ivf-probe nprobe={nprobe}: {dt:.3f}s recall@10={rec}",
+                  file=sys.stderr)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def cc_distributed_stanza(spark, sf_dir: str) -> dict:
+    """Distributed connected-components executed at 100x (VERDICT r07
+    directive #2): every benched cc_stats so far recorded
+    ``mode: driver, rounds: 0`` — the Pregel min-label loop, the
+    algorithm the 100 TB story depends on above CC_DRIVER_MAX_EDGES,
+    had never run in a benched stanza. Two real sf10 edge lists:
+
+    (a) the doc near-dup edges (~25.6k), timed in BOTH modes — driver
+        union-find (default) vs the distributed loop (short-circuit
+        disabled) — with the labelings asserted identical;
+    (b) the RP-LSH-verified embedding near-dup pairs (> 100k edges at
+        sf10), where the distributed loop IS the default path.
+
+    Each entry records {edges, vertices, rounds, changed_per_round,
+    mode, sec} so a timing swing is attributable to graph shape."""
+    from pyspark.sql import functions as F
+
+    from backend_fastapi_spark.operators import dedup as D
+    from backend_fastapi_spark.operators.lsh import (
+        rp_near_dup_pairs, rp_size_for)
+    from backend_fastapi_spark.operators.util import materialize
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    out: dict = {}
+
+    def timed_cc(edges, key, **kw):
+        t0 = time.perf_counter()
+        labels = D.connected_components(edges, **kw)
+        n_rows = labels.count()
+        dt = round(time.perf_counter() - t0, 3)
+        stats = D.last_cc_stats()
+        out[key] = {
+            k: (list(v) if k == "changed_per_round" else v)
+            for k, v in stats.items()
+        } | {"sec": dt, "label_rows": n_rows}
+        print(f"# cc-dist {key}: {dt:.3f}s mode={stats.get('mode')} "
+              f"edges={stats.get('edges')} rounds={stats.get('rounds')}",
+              file=sys.stderr)
+        return labels
+
+    # (a) doc near-dup graph, both modes on the SAME materialized edges.
+    docs = read_table(spark, sf_dir, "documents")
+    doc_edges = materialize(
+        D.ngram_jaccard_pairs(docs, 0.8, max_shingle_df=64)
+        .select("id_a", "id_b")
+    )
+    drv = timed_cc(doc_edges, "doc_edges_driver")
+    dist = timed_cc(doc_edges, "doc_edges_distributed", driver_max_edges=0)
+    out["doc_edges_labels_match"] = (
+        drv.exceptAll(dist).count() == 0 and dist.exceptAll(drv).count() == 0
+    )
+
+    # (b) embedding near-dup pairs: > CC_DRIVER_MAX_EDGES at sf10, so the
+    # hybrid picks the distributed loop on its own — no knob touched.
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    n_tables, n_planes = rp_size_for(n_vec)
+    emb_edges = materialize(
+        rp_near_dup_pairs(
+            emb, threshold_i64=250_000_000_000,
+            n_tables=n_tables, n_planes=n_planes,
+        ).select("id_a", "id_b")
+    )
+    timed_cc(emb_edges, "emb_edges_default")
+    return out
+
+
+def stream_profile_stanza(spark, sf_dir: str, n_batches: int = 20) -> dict:
+    """Streamed-curation throughput (VERDICT r07 directive #5): drive
+    ``curate_batch`` — the exact function stream_curated_ingest hands to
+    foreachBatch — over ``n_batches`` deterministic slices of the sf1
+    documents table, recording per-batch seconds, accepted rows, and the
+    cumulative corpus signature-state growth. The incremental-gate claim
+    measured: per-batch cost stays flat (batch × collisions) as the
+    corpus grows — never corpus × corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from backend_fastapi_spark.sources.parquet import read_table
+    from backend_fastapi_spark.streaming.ingest_stream import curate_batch
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_dir = tempfile.mkdtemp(prefix="bench_stream_corpus_")
+    index_dir = tempfile.mkdtemp(prefix="bench_stream_index_") + "/idx"
+    per_batch = []
+    try:
+        for i in range(n_batches):
+            b = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == i)
+            n_in = b.count()  # outside the timed section
+            t0 = time.perf_counter()
+            curate_batch(spark, b, i, corpus_dir, index_dir)
+            dt = time.perf_counter() - t0
+            bdir = f"{corpus_dir}/ingest_{i}"
+            accepted = (
+                spark.read.parquet(bdir).count()
+                if os.path.isdir(bdir) else 0
+            )
+            per_batch.append({
+                "batch": i, "sec": round(dt, 3), "rows_in": n_in,
+                "accepted": accepted, "rows_per_s": round(n_in / dt, 1),
+            })
+            print(f"# stream-profile batch {i}: {dt:.3f}s in={n_in} "
+                  f"accepted={accepted}", file=sys.stderr)
+        secs = sorted(p["sec"] for p in per_batch)
+        return {
+            "n_batches": n_batches,
+            "corpus_rows_final": spark.read.parquet(f"{corpus_dir}/*").count(),
+            "first_batch_s": per_batch[0]["sec"],
+            "last_batch_s": per_batch[-1]["sec"],
+            "median_batch_s": secs[len(secs) // 2],
+            "per_batch": per_batch,
+        }
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(index_dir.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def bucketed_stanza(spark, sf_dir: str, n_buckets: int = 16) -> dict:
+    """Bucketed-join saving in seconds (VERDICT r07 directive #6): write
+    orders and lineitem bucketed on the join key at sf1, run the same
+    big-to-big join-aggregate over bucketed tables vs plain parquet
+    (merge hint on both so the comparison is SMJ-with-Exchange vs
+    SMJ-without — the 100 TB case where neither side broadcasts), and
+    record seconds plus Exchange counts from the executed plans."""
+    from pyspark.sql import functions as F
+
+    from backend_fastapi_spark.operators.maintenance import write_bucketed
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    def agg(o, l):
+        return (
+            o.hint("merge")
+            .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).alias("rev"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def run(o, l):
+        df = agg(o, l)
+        df.count()  # warm + resolve AQE final plan
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = agg(o, l)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return round(best, 3), plan
+
+    try:
+        t0 = time.perf_counter()
+        write_bucketed(orders, "bench_orders_b", ["o_orderkey"], n_buckets)
+        write_bucketed(lineitem, "bench_lineitem_b", ["l_orderkey"], n_buckets)
+        write_s = round(time.perf_counter() - t0, 3)
+        plain_s, plain_plan = run(orders, lineitem)
+        buck_s, buck_plan = run(
+            spark.table("bench_orders_b"), spark.table("bench_lineitem_b")
+        )
+        out = {
+            "n_buckets": n_buckets,
+            "bucketed_write_s": write_s,
+            "plain_join_s": plain_s,
+            "bucketed_join_s": buck_s,
+            "plain_exchanges": plain_plan.count("Exchange"),
+            "bucketed_exchanges": buck_plan.count("Exchange"),
+            "bucketed_plan_bucketed_true": "Bucketed: true" in buck_plan,
+        }
+        print(f"# bucketed-join: plain={plain_s:.3f}s "
+              f"(exchanges={out['plain_exchanges']}) bucketed={buck_s:.3f}s "
+              f"(exchanges={out['bucketed_exchanges']})", file=sys.stderr)
+        return out
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bench_orders_b")
+        spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
+
+
 def bench_round() -> int:
     """Round number for the context-sidecar filename: the BENCH_r{N}.json
     the driver is about to write is one past the newest on disk."""
@@ -311,6 +554,10 @@ def main() -> None:
         # and probe latency vs nprobe at 100x corpus scale.
         spark.catalog.clearCache()
         context["sf10_ivf_probe"] = ivf_probe_stanza(spark, sf10_dir)
+
+        # Distributed CC on >100k real edges (VERDICT r07 directive #2).
+        spark.catalog.clearCache()
+        context["sf10_cc_distributed"] = cc_distributed_stanza(spark, sf10_dir)
 
     # Streamed-curation throughput profile (VERDICT r07 directive #5):
     # per-micro-batch cost as the corpus grows, at sf1 document scale.

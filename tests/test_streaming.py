@@ -844,6 +844,62 @@ def test_curate_batch_recovers_index_after_partial_crash(spark):
         shutil.rmtree(index_dir.rsplit("/", 1)[0], ignore_errors=True)
 
 
+def test_curate_batch_state_cache_rebuild(spark):
+    """The persisted signature state is a CACHE of the corpus dirs: if
+    it is lost entirely (or a dir's twin is missing after a crash), the
+    next batch rebuilds it from the corpus rows and gates identically —
+    re-sent duplicates stay rejected."""
+    from backend_fastapi_spark.operators.dedup import dedup_state
+    from backend_fastapi_spark.streaming.ingest_stream import curate_batch
+
+    corpus_dir = tempfile.mkdtemp(prefix="st_corpus_")
+    state_dir = corpus_dir.rstrip("/") + "_sigstate"
+    index_dir = tempfile.mkdtemp(prefix="st_index_") + "/idx"
+
+    def words(seed, n=30):
+        return " ".join(f"s{seed}m{i % 9}w{(i * seed) % 13}" for i in range(n))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [(i, words(i + 5)) for i in range(6)], schema
+    )
+    try:
+        curate_batch(spark, batch, 0, corpus_dir, index_dir)
+        assert os.path.isdir(f"{state_dir}/ingest_0")
+        # the persisted state matches dedup_state of the corpus rows
+        want_state = sorted(
+            (r.doc_id, r._h)
+            for r in dedup_state(
+                spark.read.parquet(f"{corpus_dir}/ingest_0")
+            ).collect()
+        )
+        got_state = sorted(
+            (r.doc_id, r._h)
+            for r in spark.read.parquet(f"{state_dir}/ingest_0").collect()
+        )
+        assert got_state == want_state
+        corpus_before = sorted(
+            r.doc_id for r in spark.read.parquet(f"{corpus_dir}/*").collect()
+        )
+        # lose the whole state cache; a later duplicate batch must still
+        # be rejected (state rebuilt from the corpus dirs)
+        shutil.rmtree(state_dir)
+        curate_batch(spark, batch, 1, corpus_dir, index_dir)
+        assert os.path.isdir(f"{state_dir}/ingest_0")  # rebuilt
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(f"{corpus_dir}/*").collect()
+        ) == corpus_before
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(index_dir.rsplit("/", 1)[0], ignore_errors=True)
+
+
 def test_curate_batch_fails_on_corrupt_corpus(spark):
     """A corrupt corpus file must FAIL the micro-batch (Structured
     Streaming retries it) — never be silently treated as a cold start,
