@@ -1038,6 +1038,59 @@ def q_incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(docs, batch)
 
 
+@register(
+    "incremental_dedup_via_state",
+    oracle=f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_INC_BATCH_SQL},
+    toks_b AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM batch),
+    sh_b AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+             FROM toks_b, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+             WHERE len(w) >= 3),
+    sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+    sig_b AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh_b GROUP BY doc_id),
+    hits AS (SELECT DISTINCT batch_id, corpus_id FROM (
+      SELECT batch_id, corpus_id FROM ({_INC_HITS_SQL})
+      UNION ALL
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM batch b JOIN documents c ON md5(b.text) = md5(c.text)
+      WHERE b.doc_id NOT IN (SELECT doc_id FROM sig_b))),
+    agg AS (SELECT batch_id, COUNT(*) AS n_matches,
+                   MIN(corpus_id) AS first_match
+            FROM hits GROUP BY 1)
+    SELECT b.doc_id,
+           COALESCE(a.n_matches, 0) AS n_matches,
+           a.first_match,
+           COALESCE(a.n_matches, 0) = 0 AS accepted
+    FROM batch b LEFT JOIN agg a ON b.doc_id = a.batch_id
+    """,
+)
+def q_incremental_dedup_via_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ingest gate as ``incremental_dedup_batch`` — same batch,
+    same verdict schema, same oracle — but the corpus side enters as the
+    PERSISTED signature-state table (operators/dedup.py::dedup_state,
+    ``corpus=None``): raw corpus text is never touched, which is the
+    literal 100 TB posture the streaming curation gate runs
+    (streaming/ingest_stream.py::curate_batch persists/rebuilds this
+    state per micro-batch). A green hash here is the proof that the
+    state-fed gate is verdict-identical to the text-fed gate."""
+    from backend_fastapi_spark.operators.dedup import (
+        dedup_state,
+        incremental_minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    verbatim = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    reversed_docs = docs.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
+    )
+    batch = verbatim.unionByName(reversed_docs)
+    return incremental_minhash_dedup(
+        None, batch, corpus_state=dedup_state(docs)
+    )
+
 
 @register(
     "minhash_verified_dupes",
