@@ -199,28 +199,41 @@ def ivf_probe_stanza(spark, sf_dir: str, k_clusters: int = 64, k: int = 10,
             dt = round(time.perf_counter() - t0, 3)
             hits = sum(1 for r in got if (r["q_id"], r["vec_id"]) in exact)
             rec = round(hits / max(len(exact), 1), 4)
-            # Vectors the pruned scan actually touches (union of probed
-            # partitions): at local scale wall time is dominated by
-            # fixed per-job overhead, so THIS is the number that carries
-            # the cost ∝ nprobe/k_clusters claim — it is what a
-            # 1000-executor scan would pay IO for.
+            # Vectors scored PER QUERY (its own nprobe partitions): at
+            # local scale wall time is dominated by fixed per-job
+            # overhead, so THIS is the number that carries the cost ∝
+            # nprobe/k_clusters serving claim — what one query's pruned
+            # scan pays IO for on a 1000-executor cluster. The union
+            # across the whole 16-query batch (what THIS batch run
+            # reads once) is recorded alongside.
             probe_df = knn_exact(
                 spark.read.parquet(f"{path}/centroids").withColumnRenamed(
                     "centroid", "embedding"),
                 queries, k=nprobe, corpus_id="cluster", metric="l2",
                 exclude_self=False,
-            ).select("cluster").distinct()
-            probed = [int(r["cluster"]) for r in probe_df.collect()]
-            scanned = (
+            ).select("q_id", "cluster")
+            sizes = (
                 spark.read.parquet(f"{path}/lists")
-                .filter(F.col("cluster").isin(probed)).count()
+                .groupBy("cluster").count()
+            )
+            per_q = (
+                probe_df.join(sizes, "cluster")
+                .groupBy("q_id").agg(F.sum("count").alias("rows"))
+                .agg(F.avg("rows")).collect()[0][0]
+            )
+            union_scanned = (
+                probe_df.select("cluster").distinct()
+                .join(sizes, "cluster")
+                .agg(F.sum("count")).collect()[0][0]
             )
             out["probe"][str(nprobe)] = {
-                "sec": dt, "recall_at_10": rec, "rows_scanned": scanned,
-                "scan_frac": round(scanned / max(n_vec, 1), 4),
+                "sec": dt, "recall_at_10": rec,
+                "rows_scored_per_query": int(per_q),
+                "scan_frac_per_query": round(per_q / max(n_vec, 1), 4),
+                "rows_batch_union": int(union_scanned),
             }
             print(f"# ivf-probe nprobe={nprobe}: {dt:.3f}s recall@10={rec} "
-                  f"scanned={scanned}", file=sys.stderr)
+                  f"rows/q={int(per_q)}", file=sys.stderr)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
