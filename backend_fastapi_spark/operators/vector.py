@@ -271,6 +271,7 @@ def near_dup_pairs_matmul(
     vec_col: str = "embedding",
     strip_rows: int = 2048,
     max_block_rows: int = 100_000,
+    chunk_rows: int = 8192,
 ) -> DataFrame:
     """Exact embedding near-dup pairs by per-block matrix multiplication —
     identical output to ``near_dup_pairs`` at a fraction of the cost.
@@ -284,15 +285,28 @@ def near_dup_pairs_matmul(
     loop regardless of summation order. ~10-100× the throughput of
     per-element codegen on the pair loop.
 
+    Parallelism (r8): a block is decomposed into ``m = ceil(n /
+    chunk_rows)`` hash-assigned chunks and every CHUNK PAIR (i ≤ j)
+    becomes its own ``applyInPandas`` task — ``m·(m+1)/2`` tasks per
+    block instead of one, so a 10-label corpus no longer serializes its
+    quadratic Gram work onto 10 cores (sf10 measured: 74.7 → 35.6 s warm
+    — the floor is the 45.7 M-pair output itself at the registered
+    τ=0.25; the per-block count job adds ~0.3 s of fixed stage latency,
+    noise beyond sf0.1).
+    Each unordered vector pair lands in exactly one task (the pair of
+    its ids' chunks); emitted pairs are oriented id_a < id_b in-task, so
+    the output is row-identical to the single-task form. Rows shuffle
+    ``m×`` (one copy per partner chunk) — at 64 dims that is ~0.5 KB·m
+    per vector, the price of spreading O(n²/m²)-sized Grams across the
+    cluster.
+
     Memory contract (enforced, not assumed): a block larger than
-    ``max_block_rows`` raises with a pointer to the LSH path — blocking
-    relies on bounded label groups, and an unbounded block would stack an
-    ``n·dim·8``-byte matrix in one task (10M rows × 64 dims ≈ 5 GB). Below
-    the cap, peak per-task memory is ``n·dim·8`` for the block matrix plus
-    a Gram strip capped at ~64 MB: the strip height shrinks adaptively
-    (``min(strip_rows, 64MB / (n·8))``) so wide blocks trade strip count,
-    never memory. Defaults: 100k rows × 64 dims ≈ 51 MB matrix + 64 MB
-    strip.
+    ``max_block_rows`` raises with a pointer to the LSH path — label
+    blocking relies on bounded groups, and the task count (not memory)
+    still grows as (n/chunk_rows)². Per-task peak is two chunk matrices
+    (``≤ 2·chunk_rows·dim·8`` ≈ 8 MB at defaults) plus a Gram strip
+    capped at ~64 MB via adaptive strip height (``min(strip_rows,
+    64MB/(chunk·8))``).
     """
     import numpy as np
     import pandas as pd
@@ -306,30 +320,80 @@ def near_dup_pairs_matmul(
     )
     strip_budget = 64 << 20  # gram-strip bytes per task
 
-    def block_pairs(pdf):
-        n = len(pdf)
-        if n > max_block_rows:
+    # Chunk index: hash-assigned (no per-block sort/window needed; chunk
+    # membership only has to be deterministic, not ordered). m derives
+    # from the block's row count; every row fans out to its m partner
+    # tasks (side 0 = "left" chunk of the pair, side 1 = "right").
+    counts = quantized.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    fanned = (
+        quantized.join(F.broadcast(counts), "_blk")
+        .withColumn(
+            "_m",
+            F.ceil(F.col("_n") / F.lit(max(chunk_rows, 1))).cast("int"),
+        )
+        .withColumn(
+            "_ck", F.pmod(F.xxhash64("_id"), F.col("_m")).cast("int")
+        )
+        .select(
+            "_blk", "_id", "_q", "_n",
+            F.explode(F.sequence(F.lit(0), F.col("_m") - 1)).alias("_t"),
+            "_ck",
+        )
+        .select(
+            "_blk", "_id", "_q", "_n",
+            F.least("_ck", "_t").alias("_i"),
+            F.greatest("_ck", "_t").alias("_j"),
+            F.when(F.col("_ck") <= F.col("_t"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("_side"),
+        )
+    )
+
+    def chunk_pair(key, pdf):
+        n_blk = int(pdf["_n"].iat[0])
+        if n_blk > max_block_rows:
             raise ValueError(
-                f"near_dup_pairs_matmul block '{pdf['_blk'].iat[0]}' has "
-                f"{n} rows > max_block_rows={max_block_rows}; label blocking "
-                "assumes bounded groups — route oversized corpora through "
-                "lsh.ann_similarity_join (hash-bucketed, bounded block key)"
+                f"near_dup_pairs_matmul block '{key[0]}' has "
+                f"{n_blk} rows > max_block_rows={max_block_rows}; label "
+                "blocking assumes bounded groups — route oversized corpora "
+                "through lsh.ann_similarity_join (hash-bucketed, bounded "
+                "block key)"
             )
-        pdf = pdf.sort_values("_id")
-        ids = pdf["_id"].to_numpy()
-        m = np.stack(pdf["_q"].to_numpy()).astype(np.float64)
-        strip = max(64, min(strip_rows, strip_budget // max(n * 8, 1)))
+        self_pair = key[1] == key[2]
+        a = pdf if self_pair else pdf[pdf["_side"] == 0]
+        ids_a = a["_id"].to_numpy()
+        ma = np.stack(a["_q"].to_numpy()).astype(np.float64)
+        if self_pair:
+            ids_b, mb = ids_a, ma
+        else:
+            b = pdf[pdf["_side"] == 1]
+            ids_b = b["_id"].to_numpy()
+            mb = np.stack(b["_q"].to_numpy()).astype(np.float64)
+        strip = max(
+            64, min(strip_rows, strip_budget // max(len(ids_b) * 8, 1))
+        )
         out_a, out_b, out_s = [], [], []
-        for s0 in range(0, n, strip):
-            s1 = min(s0 + strip, n)
-            gram = m[s0:s1] @ m.T  # exact: all intermediates < 2^53
-            for i_local, i in enumerate(range(s0, s1)):
-                row = gram[i_local, i + 1 :]  # j > i ⇒ id_a < id_b (sorted)
-                hits = np.nonzero(row >= threshold_i64)[0]
-                if hits.size:
-                    out_a.extend([ids[i]] * hits.size)
-                    out_b.extend(ids[i + 1 + hits])
-                    out_s.extend(row[hits].astype(np.int64))
+        for s0 in range(0, len(ids_a), strip):
+            s1 = min(s0 + strip, len(ids_a))
+            gram = ma[s0:s1] @ mb.T  # exact: all intermediates < 2^53
+            rr, cc = np.nonzero(gram >= threshold_i64)
+            if rr.size == 0:
+                continue
+            ia, ib = ids_a[s0 + rr], ids_b[cc]
+            scores = gram[rr, cc].astype(np.int64)
+            # Orient id_a < id_b. Self-pair tasks see each unordered pair
+            # in both orientations (plus the diagonal) — keeping the
+            # strictly-less half emits it exactly once; cross-chunk tasks
+            # see each pair once in arbitrary orientation — swap to
+            # canonical order.
+            lt = ia < ib
+            if self_pair:
+                ia, ib, scores = ia[lt], ib[lt], scores[lt]
+            else:
+                ia, ib = np.where(lt, ia, ib), np.where(lt, ib, ia)
+            out_a.extend(ia)
+            out_b.extend(ib)
+            out_s.extend(scores)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim_i64": out_s})
 
     # id columns keep the INPUT id type (same derived-DDL discipline as
@@ -337,9 +401,9 @@ def near_dup_pairs_matmul(
     # the plain near_dup_pairs path handles fine.
     id_ddl = dict(zip(df.schema.names, df.schema))[id_col].dataType.simpleString()
     return (
-        quantized.groupBy("_blk")
+        fanned.groupBy("_blk", "_i", "_j")
         .applyInPandas(
-            block_pairs,
+            chunk_pair,
             schema=f"id_a {id_ddl}, id_b {id_ddl}, sim_i64 long",
         )
     )
