@@ -545,7 +545,8 @@ def main() -> None:
         sf1_extra: dict[str, float] = {}
         time_set(
             spark,
-            ["dup_clusters", "dedup_canonical_corpus", "decontaminate_test_split",
+            ["dup_clusters", "dup_clusters_minhash", "dedup_canonical_corpus",
+             "decontaminate_test_split",
              "gopher_repetition_filter", "train_test_split_counts",
              "embedding_near_dup_rp", "ann_ivf_deterministic", "ann_pq_adc_top10",
              "ann_ivfpq_top10",
@@ -580,7 +581,7 @@ def main() -> None:
         context["sf10_warm_tables_s"] = warm_tables(spark, sf10_dir)
         time_set(
             spark,
-            ["dedup_canonical_corpus", "dup_clusters",
+            ["dedup_canonical_corpus", "dup_clusters", "dup_clusters_minhash",
              "incremental_dedup_batch", "corpus_curation_pipeline",
              "winnow_near_dup"],
             sf10_dir, 1, sf10_timings, sf10_cards, sf10_cc,
