@@ -179,6 +179,51 @@ def deterministic_medoids(
     return [(c, [int(x) for x in r["_qv"]]) for c, r in enumerate(rows)]
 
 
+def trained_centroids(
+    df: DataFrame,
+    k_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[tuple[int, list[int]]]:
+    """KMeans-TRAINED coarse quantizer in ``deterministic_medoids``'
+    output format: (cluster, quantized_centroid) pairs learned by MLlib
+    KMeans over the quantized fixed-point components, float centers
+    rounded back to int64 — so the identical assign/probe/re-rank int64
+    plan (``ivf_deterministic_topk``) consumes either centroid table
+    unchanged. This completes for IVF the trained/deterministic twin
+    split the PQ family already has (``pq_codebooks_trained``): medoids
+    certify the plan shape hash-exactly, trained centroids are the
+    production-recall path. Seeded but JVM-float-derived, so the
+    consuming query is rows-only + recall-tested, never hash-oracled
+    (same boundary as ann_lsh_top10 / ann_pq_trained_top10).
+
+    Scale posture: one distributed KMeans over a narrow dim-wide
+    projection of a single corpus scan; at 100 TB the standard
+    refinement is fitting on a sample, which this accepts via a
+    pre-sampled ``df``."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(
+            F.transform(_quantize(F.col(vec_col)), lambda x: x.cast("double"))
+        ).alias("_f")
+    )
+    model = KMeans(
+        k=k_clusters, seed=seed, maxIter=max_iter, featuresCol="_f"
+    ).fit(feats)
+    C = [np.round(np.asarray(c)).astype(np.int64)
+         for c in model.clusterCenters()]
+    if len(C) < k_clusters:
+        raise ValueError(
+            f"KMeans found {len(C)} < {k_clusters} centers — corpus has "
+            "too few distinct vectors"
+        )
+    return [(i, [int(x) for x in c]) for i, c in enumerate(C)]
+
+
 def _assign_arrow(base: DataFrame, med: list[tuple[int, list[int]]],
                   id_col: str) -> DataFrame:
     """Coarse assignment as a per-Arrow-batch int64 matmul (the same
@@ -227,9 +272,13 @@ def ivf_deterministic_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    med: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """Hash-checkable IVF search: deterministic-medoid coarse quantizer,
     int64 fixed-point everywhere, total tie-break orders at every step.
+    Pass ``med`` (e.g. ``trained_centroids``) to run the identical plan
+    over a different coarse quantizer; default is the hash-exact medoid
+    table.
 
     Returns (q_id, <id_col>, cluster, score_i64): top-k by quantized dot
     among vectors in the ``nprobe`` clusters nearest each query, self
@@ -247,7 +296,8 @@ def ivf_deterministic_topk(
     """
     from pyspark.sql import Window
 
-    med = deterministic_medoids(df, k_clusters, id_col, vec_col)
+    if med is None:
+        med = deterministic_medoids(df, k_clusters, id_col, vec_col)
 
     def argmin_struct(qv):
         # array_sort on array<struct<d,cluster>> orders lexicographically —

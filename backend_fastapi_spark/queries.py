@@ -5009,6 +5009,28 @@ def q_ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_trained_top10", oracle=None)  # MLlib KMeans centroids: JVM float math, rows-only like ann_pq_trained_top10
+def q_ann_ivf_trained_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search with KMEANS-TRAINED coarse centroids — the
+    production-recall twin of ann_ivf_deterministic, completing for IVF
+    the trained/deterministic pairing the PQ family gained in round 7
+    (ann_pq_trained_top10). MLlib KMeans centroids are rounded to the
+    same int64 fixed-point, so the identical assign/probe/re-rank plan
+    runs unchanged over the learned table. Seeded but JVM-float-derived,
+    so rows-only by nature; recall@10 ≥ the medoid variant is asserted
+    in tests/test_pq.py."""
+    from backend_fastapi_spark.operators.ivf import (
+        ivf_deterministic_topk,
+        trained_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_deterministic_topk(
+        emb, _query_vectors(spark, sf_dir, 3), k=10, k_clusters=16, nprobe=2,
+        med=trained_centroids(emb, 16),
+    )
+
+
 @register(
     "ann_pq_adc_top10", oracle=PQ.pq_oracle_sql(n_queries=3, k=10, rerank=50)
 )

@@ -616,6 +616,15 @@ def main() -> None:
         spark.catalog.clearCache()
         context["sf10_cc_distributed"] = cc_distributed_stanza(spark, sf10_dir)
 
+        # Bucketed-join saving at a scale where the shuffle is the cost:
+        # at sf1 the whole join runs in ~0.6 s and the Exchange saving is
+        # structural but not measurable in seconds (r8 sidecar: 0.571 vs
+        # 0.567). At sf10 (60 M lineitem rows, 1.1 GB) the two dropped
+        # join-side Exchanges are real seconds — the write-once-
+        # shuffle-never claim with a number attached.
+        spark.catalog.clearCache()
+        context["sf10_bucketed_join"] = bucketed_stanza(spark, sf10_dir)
+
     # Streamed-curation throughput profile (VERDICT r07 directive #5):
     # per-micro-batch cost as the corpus grows, at sf1 document scale.
     if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF10"):

@@ -93,6 +93,34 @@ def test_pq_query_collect_guard(spark, emb):
         PQ.pq_adc_topk(emb, _queries(emb, 100), k=3, max_queries=10)
 
 
+def test_ivf_trained_centroids_beat_or_match_medoids(spark, emb):
+    """The KMeans-trained IVF twin (round 8, mirroring the PQ pairing):
+    same assign/probe/re-rank int64 plan, learned coarse centroids.
+    Recall@10 vs exact must be at least the md5-medoid variant's at the
+    same (k_clusters, nprobe) — a trained quantizer partitions the
+    distribution it fit better than a frozen pseudo-random sample."""
+    from backend_fastapi_spark.operators.ivf import (
+        ivf_deterministic_topk,
+        trained_centroids,
+    )
+
+    med_t = trained_centroids(emb, k_clusters=16)
+    assert len(med_t) == 16
+    assert [c for c, _ in med_t] == list(range(16))
+    assert all(isinstance(x, int) for _, cv in med_t for x in cv)
+    exact = knn_exact(emb, _queries(emb, 5), k=10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    det = ivf_deterministic_topk(
+        emb, _queries(emb, 5), k=10, k_clusters=16, nprobe=2
+    )
+    tra = ivf_deterministic_topk(
+        emb, _queries(emb, 5), k=10, k_clusters=16, nprobe=2, med=med_t
+    )
+    r_det = len(e & {(r["q_id"], r["vec_id"]) for r in det.collect()}) / len(e)
+    r_tra = len(e & {(r["q_id"], r["vec_id"]) for r in tra.collect()}) / len(e)
+    assert r_tra >= r_det, f"trained {r_tra} < deterministic {r_det}"
+
+
 def test_ivfpq_recall_and_prune_accounting(spark, emb):
     n = emb.count()
     k_clusters, nprobe = 16, 4
