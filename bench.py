@@ -98,6 +98,7 @@ EXTRA = [
     # round 8 additions
     "incremental_dedup_via_state",
     "dup_clusters_minhash",
+    "ann_ivf_trained_top10",
     # round 7 additions
     "semantic_dedup_union",
     "c4_quality_filter",
@@ -128,8 +129,53 @@ def data_stanza(spark, sf_dir: str) -> dict:
     return out
 
 
+def _plan_shuffle_stats(jplan) -> dict:
+    """Sum the executed plan's SQLMetrics: shuffle bytes/records written
+    across every Exchange, spill bytes, and parquet-scan output rows —
+    the 'is there a shuffle that becomes the bottleneck at 100×' numbers,
+    measured off the very execution that was just timed (the metrics are
+    the count-run's accumulators). ReusedExchange nodes share the
+    original's accumulators and are skipped to avoid double counting;
+    AQE/QueryStage wrappers are descended into."""
+    out = {"shuffle_bytes": 0, "shuffle_records": 0, "spill_bytes": 0,
+           "exchanges": 0, "scan_rows": 0}
+
+    def walk(node):
+        nm = node.nodeName()
+        if nm.startswith("ReusedExchange"):
+            return
+        is_exchange = nm.startswith("Exchange")
+        if is_exchange:
+            out["exchanges"] += 1
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            k, v = kv._1(), kv._2().value()
+            if is_exchange and k == "shuffleBytesWritten":
+                out["shuffle_bytes"] += v
+            elif is_exchange and k == "shuffleRecordsWritten":
+                out["shuffle_records"] += v
+            elif k in ("spillSize", "diskBytesSpilled"):
+                out["spill_bytes"] += v
+            elif k == "numOutputRows" and nm.startswith("Scan"):
+                out["scan_rows"] += v
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+        try:
+            if nm == "AdaptiveSparkPlan":
+                walk(node.executedPlan())
+            elif "QueryStage" in node.getClass().getSimpleName():
+                walk(node.plan())
+        except Exception:
+            pass
+
+    walk(jplan)
+    return out
+
+
 def time_set(spark, names, sf_dir, runs, timings, cards, cc_stats, tag="",
-             warmup=True):
+             warmup=True, shuffle_stats=None):
     for name in names:
         spec = Q.REGISTRY.get(name)
         if spec is None:
@@ -137,12 +183,29 @@ def time_set(spark, names, sf_dir, runs, timings, cards, cc_stats, tag="",
         if warmup:  # JIT/codegen, footers
             rows = spec.fn(spark, sf_dir).count()
         best = float("inf")
+        cdf = None
         for _ in range(runs):  # min-of-N damps transient host noise
             t0 = time.perf_counter()
-            rows = spec.fn(spark, sf_dir).count()
+            # same plan Dataset.count() runs (global agg + 1-row collect),
+            # but keeping the handle lets the shuffle scrape read the
+            # timed execution's own metrics afterwards.
+            cdf = spec.fn(spark, sf_dir).groupBy().count()
+            rows = int(cdf.collect()[0][0])
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         cards[name] = rows
+        if shuffle_stats is not None and cdf is not None:
+            try:
+                s = _plan_shuffle_stats(cdf._jdf.queryExecution().executedPlan())
+                shuffle_stats[name] = {
+                    "shuffle_mb": round(s["shuffle_bytes"] / 1e6, 2),
+                    "shuffle_records": s["shuffle_records"],
+                    "spill_mb": round(s["spill_bytes"] / 1e6, 2),
+                    "exchanges": s["exchanges"],
+                    "scan_rows": s["scan_rows"],
+                }
+            except Exception as e:  # metrics are best-effort, never fail the bench
+                shuffle_stats[name] = {"err": str(e)[:120]}
         # last_cc_stats() is thread-local: this snapshot is attributable
         # to the query just timed on THIS thread (ADVICE r05 #1).
         stats = D.last_cc_stats()
@@ -344,6 +407,11 @@ def stream_profile_stanza(spark, sf_dir: str, n_batches: int = 20) -> dict:
             per_batch.append({
                 "batch": i, "sec": round(dt, 3), "rows_in": n_in,
                 "accepted": accepted, "rows_per_s": round(n_in / dt, 1),
+                # host loadavg(1m) at batch end: spikes from external
+                # load are attributable (an idle-host run is flat
+                # 6.2-6.7 s; a loaded one drifts to 10-16 s with no
+                # change in corpus width).
+                "loadavg": round(os.getloadavg()[0], 2),
             })
             print(f"# stream-profile batch {i}: {dt:.3f}s in={n_in} "
                   f"accepted={accepted}", file=sys.stderr)
@@ -517,7 +585,10 @@ def main() -> None:
     cc_stats: dict[str, dict] = {}
 
     timings: dict[str, float] = {}
-    time_set(spark, HEADLINE, sf_dir, 3, timings, cards, cc_stats)
+    shuffle_stats: dict[str, dict] = {}
+    time_set(spark, HEADLINE, sf_dir, 3, timings, cards, cc_stats,
+             shuffle_stats=shuffle_stats)
+    context["shuffle_stats"] = shuffle_stats
 
     # Each section stands alone: drop the shared substrate caches so a
     # section's timings never pay (or profit from) another section's
@@ -538,9 +609,12 @@ def main() -> None:
         sf1_cc: dict[str, dict] = {}
         sf1_timings: dict[str, float] = {}
         sf1_cards: dict[str, int] = {}
-        time_set(spark, HEADLINE, sf1_dir, 2, sf1_timings, sf1_cards, sf1_cc, tag="sf1 ")
+        sf1_shuffle: dict[str, dict] = {}
+        time_set(spark, HEADLINE, sf1_dir, 2, sf1_timings, sf1_cards, sf1_cc,
+                 tag="sf1 ", shuffle_stats=sf1_shuffle)
         context["sf1_queries"] = sf1_timings
         context["sf1_total"] = round(sum(sf1_timings.values()), 3)
+        context["sf1_shuffle_stats"] = sf1_shuffle
         spark.catalog.clearCache()
         sf1_extra: dict[str, float] = {}
         time_set(
@@ -596,11 +670,14 @@ def main() -> None:
         # the identical plans and warm_tables() above paid the sf10
         # first-touch IO, so single runs are attributable.
         spark.catalog.clearCache()
+        sf10_shuffle: dict[str, dict] = {}
         time_set(spark, HEADLINE, sf10_dir, 1, sf10_timings, sf10_cards,
-                 sf10_cc, tag="sf10-headline ", warmup=False)
+                 sf10_cc, tag="sf10-headline ", warmup=False,
+                 shuffle_stats=sf10_shuffle)
         context["sf10_queries"] = {
             k: v for k, v in sf10_timings.items() if k in HEADLINE
         }
+        context["sf10_shuffle_stats"] = sf10_shuffle
         context["sf10_headline_total"] = round(
             sum(v for k, v in sf10_timings.items() if k in HEADLINE), 3
         )
