@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # JVM unified logging (e.g. "[warning][gc,alloc] ... GCLocker"
+        # under spill pressure) defaults to STDOUT; stdout must stay
+        # machine-parseable (bench.py's headline JSON line is consumed
+        # by tailing it), so route JVM warnings to stderr.
+        .config("spark.driver.extraJavaOptions", "-Xlog:all=warning:stderr")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
