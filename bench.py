@@ -664,15 +664,21 @@ def main() -> None:
         context["sf10_extra_queries"] = sf10_timings
 
         # 100x HEADLINE stanza (VERDICT r07 directive #3): the same 19
-        # queries the primary metric times, one warm run each — the
-        # per-decade growth of the actual graded plans, not just the
-        # dedup extras. Codegen/JIT is warm from the sf0.1/sf1 passes of
-        # the identical plans and warm_tables() above paid the sf10
-        # first-touch IO, so single runs are attributable.
+        # queries the primary metric times — the per-decade growth of
+        # the actual graded plans, not just the dedup extras. Per-query
+        # warmup (warmup=True): the sf0.1/sf1 passes of the identical
+        # plans do NOT fully warm the spill-heavy paths (measured A/B/A
+        # on sf10 ngram_jaccard: 103 s cold-ish → 47 s after one warm
+        # run → 28 s after two, identical plan and rows — the sort/spill
+        # code only JIT-tiers at the scale where it actually spills), so
+        # a warmup=False single run conflates JIT warm-up with plan
+        # cost, the same attribution hole VERDICT r07 flagged for
+        # dup_clusters. One warm run timed = "second execution" — a
+        # reproducible definition.
         spark.catalog.clearCache()
         sf10_shuffle: dict[str, dict] = {}
         time_set(spark, HEADLINE, sf10_dir, 1, sf10_timings, sf10_cards,
-                 sf10_cc, tag="sf10-headline ", warmup=False,
+                 sf10_cc, tag="sf10-headline ", warmup=True,
                  shuffle_stats=sf10_shuffle)
         context["sf10_queries"] = {
             k: v for k, v in sf10_timings.items() if k in HEADLINE
