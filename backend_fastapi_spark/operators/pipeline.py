@@ -332,3 +332,105 @@ def quality_classifier_scores(
         F.col("label").cast("int").alias("label"),
         p_good.alias("p_good"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_col: str = "lang",
+    target_val: str = "en",
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = 100,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-document log-likelihood ratio between a TARGET-domain
+    hashed-unigram multinomial (here: the ``target_col == target_val``
+    slice, the curated-domain proxy) and the full-corpus SOURCE
+    multinomial. Documents that look most target-like get the highest
+    weight; resampling by these weights is the published recipe for
+    steering a web-scale corpus toward a curated domain.
+
+    Deterministic end to end, so driver hash-checkable: tokens are the
+    ASCII-printable-normalized whitespace words (the doc_embed_knn
+    tokenizer), the feature hash is md5-derived (bucket = first 4 bytes
+    of md5(token) mod ``n_buckets``), add-one smoothing, and the
+    per-bucket log-ratio is int64 fixed-point (``round(1e6·ln)`` — the
+    tfidf precedent), so per-doc scores are exact int64 sums.
+
+    Plan shape at 100 TB: one corpus scan feeds the exploded token
+    table; bucket counts are ``n_buckets``-row aggregates with map-side
+    partials; the fitted "model" is an ``n_buckets``-row log-ratio table
+    that BROADCASTS to the per-(doc, bucket) count join — DSIR's core
+    property, the importance model is tiny no matter the corpus; the
+    only wide shuffles key on (doc, bucket) and doc with combiners.
+
+    Returns (doc_id, <target_col>, n_toks, score_fp) for the top
+    ``top_k`` docs by (score_fp DESC, id ASC); ``top_k=None`` returns
+    every doc (for resampling over the full corpus).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.col(target_col),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.regexp_replace(F.col(text_col), "[^ -~]", " ")),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    tb = toks.select(
+        id_col,
+        target_col,
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    src = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ns"))
+    tgt = (
+        tb.filter(F.col(target_col) == target_val)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    ns_tot = src.agg(F.sum("ns").alias("all_ns"))
+    nt_tot = tgt.agg(F.sum("nt").alias("all_nt"))
+    # identical double-op sequence as the SQL twin: (nt+1)/(Nt+B) and
+    # (ns+1)/(Ns+B) each divide first, then the ratio of ratios, then ln.
+    p_t = (F.coalesce(F.col("nt"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("all_nt").cast("double") + F.lit(float(n_buckets))
+    )
+    p_s = (F.col("ns").cast("double") + F.lit(1.0)) / (
+        F.col("all_ns").cast("double") + F.lit(float(n_buckets))
+    )
+    lr = (
+        src.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(ns_tot))
+        .crossJoin(F.broadcast(nt_tot))
+        .select(
+            "bucket",
+            F.round(F.lit(1e6) * F.log(p_t / p_s))
+            .cast("long")
+            .alias("lr_fp"),
+        )
+    )
+    cnt = tb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        cnt.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr_fp")).alias("score_fp"),
+            F.sum("cnt").alias("n_toks"),
+        )
+    )
+    out = (
+        scored.join(docs.select(id_col, target_col), id_col)
+        .orderBy(F.col("score_fp").desc(), F.col(id_col).asc())
+    )
+    if top_k is not None:
+        out = out.limit(top_k)
+    return out.select(id_col, target_col, "n_toks", "score_fp")

@@ -5455,6 +5455,57 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_scores(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_filter(
+               string_split(lower(regexp_replace(text, '[^ -~]', ' ', 'g')), ' '),
+               t -> t <> '')) AS tok
+      FROM documents),
+    tb AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS bucket
+           FROM toks),
+    src AS (SELECT bucket, count(*) AS ns FROM tb GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS nt
+            FROM tb WHERE lang = 'en' GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(ns) FROM src) AS all_ns,
+                   (SELECT sum(nt) FROM tgt) AS all_nt),
+    lr AS (SELECT s.bucket,
+             CAST(ROUND(1e6 * ln(
+               ((CAST(coalesce(t.nt, 0) AS DOUBLE) + 1.0)
+                  / (CAST(all_nt AS DOUBLE) + 4096.0))
+               / ((CAST(s.ns AS DOUBLE) + 1.0)
+                  / (CAST(all_ns AS DOUBLE) + 4096.0)))) AS BIGINT) AS lr_fp
+           FROM src s LEFT JOIN tgt t USING (bucket), tot),
+    cnt AS (SELECT doc_id, bucket, count(*) AS cnt
+            FROM tb GROUP BY doc_id, bucket),
+    scored AS (SELECT c.doc_id,
+                      CAST(sum(c.cnt * l.lr_fp) AS BIGINT) AS score_fp,
+                      CAST(sum(c.cnt) AS BIGINT) AS n_toks
+               FROM cnt c JOIN lr l USING (bucket) GROUP BY c.doc_id)
+    SELECT s.doc_id, d.lang, s.n_toks, s.score_fp
+    FROM scored s JOIN documents d USING (doc_id)
+    ORDER BY s.score_fp DESC, s.doc_id ASC LIMIT 100
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling (DSIR, Xie et al. 2023):
+    per-doc log-likelihood ratio between the target-domain ('en' slice,
+    the curated-domain proxy) and full-corpus hashed-unigram
+    multinomials — the published recipe for steering a web-scale corpus
+    toward a curated domain, joining quality_classifier_scores and
+    temperature_sample_langs in the data-selection family. Deterministic
+    twin of the fasttext/KenLM production form: md5 feature hash, add-one
+    smoothing, int64 fixed-point log-ratios (operators/pipeline.py::
+    dsir_weights), so the driver hash-checks model fit AND scoring. The
+    4096-row importance model broadcasts — corpus size never changes the
+    model's footprint."""
+    from backend_fastapi_spark.operators.pipeline import dsir_weights
+
+    return dsir_weights(_t(spark, sf_dir, "documents"))
+
+
 def _c4_span_cte(input_cte: str, n: int = 3) -> str:
     """Span-dedup CTE chain over any (doc_id, text) relation named by
     ``input_cte`` — shared by c4_span_dedup and the composed web

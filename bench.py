@@ -99,6 +99,7 @@ EXTRA = [
     "incremental_dedup_via_state",
     "dup_clusters_minhash",
     "ann_ivf_trained_top10",
+    "dsir_importance_weights",
     # round 7 additions
     "semantic_dedup_union",
     "c4_quality_filter",

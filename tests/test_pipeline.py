@@ -365,3 +365,27 @@ def test_quality_classifier_separates_gopher_labels(spark):
     bad = [r.p_good for r in scored if r.label == 0]
     assert good and bad
     assert sum(good) / len(good) > sum(bad) / len(bad)
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """DSIR sanity: the mean importance weight of target-domain ('en')
+    docs must exceed the non-target mean — the target slice defines the
+    numerator multinomial, so its own docs are on average the most
+    target-like. Also: top_k=None covers every tokenizable doc, and the
+    top-k head is deterministic under repartitioning."""
+    from backend_fastapi_spark.operators.pipeline import dsir_weights
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    allw = dsir_weights(docs, top_k=None)
+    rows = allw.collect()
+    assert len(rows) == docs.count()  # every doc has >=1 ASCII token here
+    en = [r["score_fp"] / r["n_toks"] for r in rows if r["lang"] == "en"]
+    other = [r["score_fp"] / r["n_toks"] for r in rows if r["lang"] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+    head = [r["doc_id"] for r in dsir_weights(docs, top_k=20).collect()]
+    head_rp = [
+        r["doc_id"]
+        for r in dsir_weights(docs.repartition(13), top_k=20).collect()
+    ]
+    assert head == head_rp and len(head) == 20
