@@ -55,8 +55,14 @@ def get_spark(
         # JVM unified logging (e.g. "[warning][gc,alloc] ... GCLocker"
         # under spill pressure) defaults to STDOUT; stdout must stay
         # machine-parseable (bench.py's headline JSON line is consumed
-        # by tailing it), so route JVM warnings to stderr.
-        .config("spark.driver.extraJavaOptions", "-Xlog:all=warning:stderr")
+        # by tailing it), so route JVM warnings to stderr. The default
+        # stdout config SURVIVES a plain stderr spec (verified with
+        # jcmd VM.log list: both "stdout all=warning" and the new rule
+        # coexist), so stdout must be disabled explicitly first.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xlog:disable -Xlog:all=warning:stderr",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
