@@ -658,7 +658,7 @@ def main() -> None:
             spark,
             ["dedup_canonical_corpus", "dup_clusters", "dup_clusters_minhash",
              "incremental_dedup_batch", "corpus_curation_pipeline",
-             "winnow_near_dup"],
+             "winnow_near_dup", "dsir_importance_weights"],
             sf10_dir, 1, sf10_timings, sf10_cards, sf10_cc,
             tag="sf10 ", warmup=True,
         )
