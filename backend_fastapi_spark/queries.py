@@ -2102,6 +2102,96 @@ def q_fruit_prices_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "market_chart_bars",
+    oracle="""
+    WITH raw AS (
+      SELECT payload FROM read_json(
+        '/root/repo/data/market_payloads.jsonl',
+        format='newline_delimited',
+        columns={category: 'VARCHAR', payload: 'VARCHAR'})),
+    p AS (
+      SELECT
+        json_extract_string(payload, '$.chart.result[0].meta.symbol') AS symbol,
+        from_json(json_extract(payload, '$.chart.result[0].timestamp'),
+                  '["BIGINT"]') AS ts_arr,
+        from_json(json_extract(payload,
+                  '$.chart.result[0].indicators.quote[0].open'),
+                  '["DOUBLE"]') AS open_arr,
+        from_json(json_extract(payload,
+                  '$.chart.result[0].indicators.quote[0].high'),
+                  '["DOUBLE"]') AS high_arr,
+        from_json(json_extract(payload,
+                  '$.chart.result[0].indicators.quote[0].low'),
+                  '["DOUBLE"]') AS low_arr,
+        from_json(json_extract(payload,
+                  '$.chart.result[0].indicators.quote[0].close'),
+                  '["DOUBLE"]') AS close_arr
+      FROM raw)
+    SELECT symbol, unnest(ts_arr) AS ts_epoch, unnest(open_arr) AS open,
+           unnest(high_arr) AS high, unnest(low_arr) AS low,
+           unnest(close_arr) AS close
+    FROM p ORDER BY symbol, ts_epoch
+    """,
+)
+def q_market_chart_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 promoted to driver hash-green: the HTTP-finance payload parse
+    (sources/feeds.py::parse_chart_payload — Yahoo-chart JSON, parallel
+    arrays zipped positionally) over the committed fixture, with a
+    DuckDB twin that parses THE SAME nested JSON via json_extract +
+    parallel unnest. Timestamps compare as epoch seconds (BIGINT) so no
+    timezone/dtype surface is in play; OHLC doubles come from both
+    engines parsing identical decimal literals. The fetch itself stays
+    an external boundary (SURVEY §2.1) — this certifies the parse."""
+    from backend_fastapi_spark.sources.feeds import parse_chart_payload
+
+    payloads = spark.read.schema("category string, payload string").json(
+        "/root/repo/data/market_payloads.jsonl"
+    )
+    bars = parse_chart_payload(payloads)
+    return bars.select(
+        "symbol",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "open", "high", "low", "close",
+    ).orderBy("symbol", "ts_epoch")
+
+
+@register(
+    "catalog_tables_rowcounts",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows "
+        f"FROM {t}"
+        for t in (
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        )
+    )
+    + " ORDER BY table_name",
+)
+def q_catalog_tables_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 promoted to driver hash-green: the catalog surface (list
+    tables + scan each) exercised end to end — Catalog.list_tables()
+    enumerates, Catalog.table() routes every scan through the source
+    layer (nanos-timestamp + UTC normalization), and a per-table
+    count(*) aggregate unions into one result the oracle reproduces
+    from the same ten views. Each branch is a metadata-cheap count
+    (parquet row-group stats), so the plan is ten tiny independent
+    stages — the SHOW TABLES + row-count analog of the reference's
+    internal_db listing (src/services/internal_db_service.py:83-94)."""
+    from functools import reduce
+
+    from backend_fastapi_spark.core.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    parts = [
+        cat.table(n)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(n).alias("table_name"), "n_rows")
+        for n in cat.list_tables()
+    ]
+    return reduce(lambda a, b: a.unionAll(b), parts).orderBy("table_name")
+
+
 @register("ann_lsh_top10", oracle=None)  # approximate by construction
 def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2/V3 scale path: BucketedRandomProjectionLSH approximate top-10 for
