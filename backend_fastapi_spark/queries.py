@@ -5777,6 +5777,85 @@ def _maint_skip_oracle_sql() -> str:
     """
 
 
+_INDEX_ROOT = _os_mod.path.join(
+    _os_mod.path.dirname(_os_mod.path.dirname(_os_mod.path.abspath(__file__))),
+    ".indexdata",
+)
+
+
+def _index_audit_oracle_sql() -> str:
+    # The driver's oracle pass runs at sf0.01 — audit THE SAME partitioned
+    # parquet the Spark query just wrote there (maintenance_skipping
+    # precedent: both engines read identical files).
+    base = f"{_INDEX_ROOT}/sf0.01/vector_index"
+    return f"""
+    SELECT index_name,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(((chunk_id % 1000003) + 1000003) % 1000003) AS BIGINT)
+             AS chunk_id_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS text_chars
+    FROM read_parquet('{base}/*/*.parquet', hive_partitioning = 1)
+    GROUP BY index_name ORDER BY index_name
+    """
+
+
+@register("index_sink_audit", oracle=_index_audit_oracle_sql())
+def q_index_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11-S13 promoted to driver hash-green: the vector-index sink
+    lifecycle exercised end to end, then audited from the persisted
+    files by BOTH engines. Batch 1 ingests two indexes (idx_a = even
+    docs, idx_b = odd docs) through the full §3.2 pipeline
+    (plans/ingest.py::ingest_table — recursive chunker + embeddings)
+    and writes them partitioned by index_name (S11, dynamic partition
+    overwrite). Batch 2 rewrites ONLY idx_a (a re-chunk at size 500 of
+    the doc_id % 4 == 0 slice) — the partition-scoped overwrite the
+    per-index-directory isolation promise requires; idx_b's files
+    survive untouched. The read-back (S12) filters on the partition
+    column so only the two hive partitions are scanned, and the audit
+    aggregates (chunk counts, distinct docs, chunk_id checksum, text
+    chars) come from Spark's scan while the oracle computes THE SAME
+    numbers with DuckDB's read_parquet(hive_partitioning=1) over the
+    same directory — certifying the persisted layout and cross-engine
+    readability of the sink's output (embedding arrays ride along).
+    Overwrite-isolation SEMANTICS are asserted in tests
+    (tests/test_ingest.py, test_sources.py roundtrips); this row
+    certifies what lands on disk."""
+    import os
+
+    from backend_fastapi_spark.plans.ingest import ingest_table, write_index
+
+    base = os.path.join(
+        _INDEX_ROOT,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "vector_index",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    even = ingest_table(docs.filter(F.col("doc_id") % 2 == 0), "idx_a")
+    odd = ingest_table(docs.filter(F.col("doc_id") % 2 == 1), "idx_b")
+    write_index(even.unionByName(odd), base)
+    # partition-scoped rewrite: only idx_a's directory changes
+    redo = ingest_table(
+        docs.filter(F.col("doc_id") % 4 == 0), "idx_a", chunk_size=500
+    )
+    write_index(redo, base)
+    back = spark.read.parquet(base).filter(
+        F.col("index_name").isin("idx_a", "idx_b")
+    )
+    return (
+        back.groupBy("index_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(
+                ((F.col("chunk_id") % 1000003) + 1000003) % 1000003
+            ).alias("chunk_id_sum"),
+            F.sum(F.length("text")).alias("text_chars"),
+        )
+        .orderBy("index_name")
+    )
+
+
 @register("maintenance_skipping", oracle=_maint_skip_oracle_sql())
 def q_maintenance_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-group data-skipping audit over two layouts of the same table
