@@ -100,6 +100,9 @@ EXTRA = [
     "dup_clusters_minhash",
     "ann_ivf_trained_top10",
     "dsir_importance_weights",
+    "catalog_tables_rowcounts",
+    "market_chart_bars",
+    "index_sink_audit",
     # round 7 additions
     "semantic_dedup_union",
     "c4_quality_filter",
@@ -631,7 +634,8 @@ def main() -> None:
              "bloom_prejoin_stats", "temperature_sample_langs", "incremental_dedup_batch",
              "scd2_customer_merge", "corpus_curation_pipeline",
              "pii_scrub_stats",
-             "events_burst_60s", "funnel_conversion", "next_order_asof_forward"],
+             "events_burst_60s", "funnel_conversion", "next_order_asof_forward",
+             "dsir_importance_weights"],
             sf1_dir, 1, sf1_extra, sf1_cards, sf1_cc, tag="sf1-extra ",
         )
         context["sf1_extra_queries"] = sf1_extra
