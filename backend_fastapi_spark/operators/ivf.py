@@ -24,16 +24,56 @@ from pyspark.sql import functions as F
 from backend_fastapi_spark.operators.vector import knn_exact
 
 
+def k_clusters_for(n_vectors: int, target_list: int | None = None) -> int:
+    """The IVF scale knob — cluster count sized to the corpus, the same
+    contract LSH (``rp_size_for``) and SemDeDup (``k_clusters_for``)
+    already carry. FAISS's published guideline for IVF coarse quantizers
+    is k ≈ √n to 16·√n (faiss wiki "Guidelines to choose an index";
+    Jégou et al. 2011 use k ∝ √n): per-query scan cost is
+    ``nprobe/k · n`` rows plus a k-row centroid scan, so k ≈ √n
+    equalizes the two terms and a fixed nprobe buys a scan fraction
+    that SHRINKS as the corpus grows (nprobe/√n) instead of staying
+    constant. Measured (BENCH_CONTEXT_r08 → r09 sf10 probe, 200k
+    vectors): k=64 needed a 25% scan for recall@10 0.75; k=√n=447
+    reaches comparable recall at a few percent scan. Capped at n/39 —
+    KMeans needs ≥ ~39 training points per centroid (FAISS's training
+    warning threshold) before centroids stop being noise.
+
+    ``target_list`` overrides with an explicit per-list population
+    (k = ⌈n/target⌉) for deployments that size lists to IO granularity
+    (e.g. one parquet row-group per list)."""
+    import math
+
+    n = max(n_vectors, 1)
+    k = max(1, math.ceil(n / target_list)) if target_list else max(1, math.isqrt(n))
+    return max(1, min(k, n // 39 or 1))
+
+
 def build_ivf(
     df: DataFrame,
     k_clusters: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    train_sample_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assigned, centroids): corpus with a ``cluster`` column, and
-    the centroid table (cluster, centroid ARRAY<DOUBLE>)."""
+    the centroid table (cluster, centroid ARRAY<DOUBLE>).
+
+    ``train_sample_rows`` bounds the KMeans FIT (the quadratic-ish part:
+    O(iters·k·n_train·dim)) to a deterministic sample while the cheap
+    single-pass ASSIGNMENT still covers every vector — FAISS trains its
+    coarse quantizer the same way (39–256 points per centroid suffice).
+    None keeps the fit-on-everything behavior of the oracle-pinned
+    registered queries."""
     with_vec = df.withColumn("features", array_to_vector(F.col(vec_col)))
-    model = KMeans(k=k_clusters, seed=seed, featuresCol="features").fit(with_vec)
+    train = with_vec
+    if train_sample_rows is not None:
+        n = with_vec.count()
+        if n > train_sample_rows:
+            train = with_vec.sample(
+                fraction=min(1.0, train_sample_rows / n * 1.05), seed=seed
+            ).limit(train_sample_rows)
+    model = KMeans(k=k_clusters, seed=seed, featuresCol="features").fit(train)
     assigned = model.transform(with_vec).withColumnRenamed(
         "prediction", "cluster"
     ).drop("features")

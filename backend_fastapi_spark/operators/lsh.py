@@ -127,53 +127,27 @@ def rp_planes(dim: int, n_tables: int, n_planes: int) -> list[list[list[int]]]:
     ]
 
 
-def rp_near_dup_pairs(
-    df: DataFrame,
-    threshold_i64: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    n_tables: int = 4,
-    n_planes: int = 8,
-) -> DataFrame:
-    """Approximate near-dup pairs with fully deterministic LSH: rows
-    colliding in at least one table's bucket are verified with the exact
-    fixed-point dot; pairs at or above ``threshold_i64`` survive.
+def _quantize(vec_col: str):
+    """Fixed-point int64 quantization — the shared substrate of every
+    deterministic vector operator (same rule as vector._fx)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * FIXED_SCALE).cast("long"),
+    )
 
-    Plan shape: quantize once (narrow), all n_tables×n_planes sign
-    decisions in ONE per-Arrow-batch int64 matmul (VERDICT r05 #8's
-    "±1 matrix product via the existing batch machinery" — lambda
-    higher-order functions evaluate interpreted, so expression-level
-    dots were the constant-factor ceiling), then ONE equi-join on the
-    exploded (table, bucket) key — never all-pairs, no model fit.
-    """
+
+def _rp_signatures(base: DataFrame, H, n_tables: int, n_planes: int) -> DataFrame:
+    """(_id, t, bucket) signature rows for a quantized frame ``base``
+    (_id, _q ARRAY<LONG>): all n_tables·n_planes sign decisions in one
+    per-Arrow-batch int64 matmul against the ±1 plane matrix ``H``,
+    then bucket_t = Σ_p (dot ≥ 0) << p. Shared by the pair generator
+    (rp_near_dup_pairs) and the top-k probe (rp_topk) so both sides of
+    a query/corpus join hash with the identical rule."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    from backend_fastapi_spark.operators.util import materialize
-
-    planes = rp_planes(dim, n_tables, n_planes)
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * FIXED_SCALE).cast("long"),
-    )
-    # Materialize the quantized corpus: downstream it is read three times
-    # (projection pass + both sides of the score join), so lineage
-    # recomputation would scan+quantize the raw vectors 3× — the same
-    # signature-substrate tradeoff minhash_lsh_pairs takes.
-    base = materialize(df.select(F.col(id_col).alias("_id"), q.alias("_q")))
-
-    # All 32 hyperplane dots per row as one int64 matmul (exact: ±1
-    # entries, |q| components ≤ 1e6·scale → every dot < 2^53 ≪ 2^63),
-    # then bucket_t = Σ_p (dot ≥ 0) << p — identical sign rule to the
-    # SQL oracle. Emits the (id, t, bucket) rows directly.
-    H = np.array(
-        [planes[t][p] for t in range(n_tables) for p in range(n_planes)],
-        dtype=np.int64,
-    )  # (n_tables·n_planes, dim)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
-
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
     id_field = base.schema["_id"].dataType
     keyed_schema = T.StructType(
         [
@@ -202,13 +176,146 @@ def rp_near_dup_pairs(
                 }
             )
 
+    return base.mapInPandas(project, schema=keyed_schema)
+
+
+def rp_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 12,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Deterministic RP-LSH top-k: (q_id, vec_id, score_i64) — the
+    bucket-probed ANN SEARCH twin of rp_near_dup_pairs (that one answers
+    "all near pairs", this one "nearest k to each query"), and the
+    LSH-bucketed alternative to the IVF probe path (ivf.py) with zero
+    model fit and no driver-side centroid collect.
+
+    Plan shape: both sides quantize once and signature once (the shared
+    ±1 matmul), then ONE equi-join on (table, bucket) — the corpus never
+    self-joins and only colliding candidates are exact-scored with the
+    fixed-point dot before a per-query top-k window. Candidates per
+    query ≈ n_tables · n/2^planes, so ``rp_size_for`` keeps the probed
+    fraction flat as the corpus grows. Deterministic end to end
+    (md5-parity planes + integer dots + (score DESC, id ASC) tie-break)
+    — hash-checkable against a SQL oracle, unlike MLlib's seeded
+    ``ann_topk``. Queries missing every bucket of a true neighbor simply
+    return fewer than k rows (recall, not correctness, is the knob —
+    measured per-round in the bench's clustered-ANN stanza)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from backend_fastapi_spark.operators.util import materialize
+
+    planes = rp_planes(dim, n_tables, n_planes)
+    H = np.array(
+        [planes[t][p] for t in range(n_tables) for p in range(n_planes)],
+        dtype=np.int64,
+    )
+    corpus = materialize(
+        df.select(F.col(id_col).alias("_id"), _quantize(vec_col).alias("_q"))
+    )
+    qbase = queries.select(
+        F.col(q_id_col).alias("_id"), _quantize(q_vec_col).alias("_q")
+    )
+    corpus_sig = _rp_signatures(corpus, H, n_tables, n_planes)
+    # The query side is a handful of rows — its signature frame
+    # broadcasts, so the candidate join is shuffle-free on the corpus.
+    query_sig = F.broadcast(
+        _rp_signatures(qbase, H, n_tables, n_planes)
+        .withColumnRenamed("_id", "_qid")
+    )
+    cand = (
+        corpus_sig.join(query_sig, ["t", "bucket"])
+        .select(F.col("_qid"), F.col("_id"))
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("_qid") != F.col("_id"))
+    scored = (
+        cand.join(corpus, "_id")
+        .join(
+            F.broadcast(qbase.select(F.col("_id").alias("_qid"),
+                                     F.col("_q").alias("_qq"))),
+            "_qid",
+        )
+        .select(
+            F.col("_qid").alias(q_id_col),
+            F.col("_id").alias(id_col),
+            F.aggregate(
+                F.zip_with("_q", "_qq", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score_i64"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("score_i64").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def rp_near_dup_pairs(
+    df: DataFrame,
+    threshold_i64: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 4,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate near-dup pairs with fully deterministic LSH: rows
+    colliding in at least one table's bucket are verified with the exact
+    fixed-point dot; pairs at or above ``threshold_i64`` survive.
+
+    Plan shape: quantize once (narrow), all n_tables×n_planes sign
+    decisions in ONE per-Arrow-batch int64 matmul (VERDICT r05 #8's
+    "±1 matrix product via the existing batch machinery" — lambda
+    higher-order functions evaluate interpreted, so expression-level
+    dots were the constant-factor ceiling), then ONE equi-join on the
+    exploded (table, bucket) key — never all-pairs, no model fit.
+    """
+    import numpy as np
+
+    from backend_fastapi_spark.operators.util import materialize
+
+    planes = rp_planes(dim, n_tables, n_planes)
+    # Materialize the quantized corpus: downstream it is read three times
+    # (projection pass + both sides of the score join), so lineage
+    # recomputation would scan+quantize the raw vectors 3× — the same
+    # signature-substrate tradeoff minhash_lsh_pairs takes.
+    base = materialize(
+        df.select(F.col(id_col).alias("_id"), _quantize(vec_col).alias("_q"))
+    )
+
+    # All 32 hyperplane dots per row as one int64 matmul (exact: ±1
+    # entries, |q| components ≤ 1e6·scale → every dot < 2^53 ≪ 2^63),
+    # then bucket_t = Σ_p (dot ≥ 0) << p — identical sign rule to the
+    # SQL oracle. Emits the (id, t, bucket) rows directly.
+    H = np.array(
+        [planes[t][p] for t in range(n_tables) for p in range(n_planes)],
+        dtype=np.int64,
+    )  # (n_tables·n_planes, dim)
+
     # Collision join carries IDS ONLY: a near-identical pair collides in
     # most tables, so scoring inside the join would redo the 64-multiply
     # dot per collision and shuffle the 64-long arrays t× per row. Dedup
     # the (id_a, id_b) set first, then attach the quantized vectors once
     # per unique pair and score once. Materialized because the self-join
     # reads it twice (projection would otherwise run 2×).
-    keyed = materialize(base.mapInPandas(project, schema=keyed_schema))
+    keyed = materialize(_rp_signatures(base, H, n_tables, n_planes))
     pair_ids = (
         keyed.select(F.col("_id").alias("id_a"), "t", "bucket")
         .join(keyed.select(F.col("_id").alias("id_b"), "t", "bucket"),

@@ -523,6 +523,14 @@ def kmv_jaccard(
     (assumed small: event types, sources, languages), never over rows.
     Sketches are mergeable: union two groups' sketch rows and re-take
     bottom-k, the exact operation the pair stage performs.
+
+    EAGER: executes at call time and returns the (bounded: ≤ 32,640
+    pair rows by the 256-group contract) result as a local DataFrame —
+    the sketch cache must not outlive the call (it is unpersisted in a
+    ``finally``), so the job runs here even if the caller never
+    consumes the result, and EXPLAIN on the returned frame shows a
+    LocalTableScan, not the sketch plan (audit the plan inside this
+    function if needed).
     """
     from pyspark.sql import Window
 
@@ -898,7 +906,11 @@ def kmv_set_cardinalities(
     in DuckDB — floor() first makes them agree), so the estimates are
     hash-exact. Same shape and group-dimension contract (≤256 groups)
     as kmv_jaccard; the sketch-building lines mirror it verbatim so
-    the two queries can share driver-side evidence semantics."""
+    the two queries can share driver-side evidence semantics.
+
+    EAGER: same call-time-execution semantics as kmv_jaccard (bounded
+    collect, sketch cache released in ``finally``; the returned frame
+    is a LocalTableScan)."""
     from pyspark.sql import Window
     from pyspark.sql import types as T
 

@@ -26,11 +26,13 @@ from backend_fastapi_spark.operators import crud
 
 
 def _seeded(spark: SparkSession, n_users: int, per_user: int) -> DataFrame:
-    """(user_id, seq) grid — the deterministic seed substrate."""
-    return (
-        spark.range(1, n_users + 1)
-        .withColumnRenamed("id", "user_id")
-        .crossJoin(spark.range(per_user).withColumnRenamed("id", "seq"))
+    """(user_id, seq) grid — the deterministic seed substrate. One flat
+    ``range(n_users·per_user)`` with divmod arithmetic, not a range×range
+    crossJoin: same rows, no nested-loop join in the plan, and the flat
+    range splits evenly across executors at any n_users."""
+    return spark.range(n_users * per_user).select(
+        (F.floor(F.col("id") / per_user) + 1).cast("long").alias("user_id"),
+        (F.col("id") % per_user).alias("seq"),
     )
 
 

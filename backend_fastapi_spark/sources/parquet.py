@@ -55,3 +55,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(c, F.col(c).cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def footer_row_count(sf_dir: str, name: str) -> int | None:
+    """Total row count of ``{sf_dir}/{name}.parquet`` from the parquet
+    footer — a driver-side metadata peek, NO Spark job. Used for cheap
+    plan-shape decisions (e.g. whether a per-block matmul needs its chunk
+    decomposition) that would otherwise cost a count() stage at every
+    scale. Returns None when the path is not a plain local file/dir of
+    parquet parts (remote FS, glob sources) — callers must treat None as
+    "unknown, take the scale path".
+    """
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except (OSError, ValueError):
+        return None

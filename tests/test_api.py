@@ -61,6 +61,43 @@ def test_ivf_recall_vs_exact(spark):
     assert {r.vec_id for r in full} == exact_ids
 
 
+def test_ivf_k_clusters_for_sizing():
+    """√n sizing with the FAISS ≥39-points-per-centroid training floor,
+    and the explicit per-list override."""
+    from backend_fastapi_spark.operators.ivf import k_clusters_for
+
+    assert k_clusters_for(200_000) == 447          # isqrt(200k)
+    assert k_clusters_for(1_000_000) == 1000
+    assert k_clusters_for(100) == 2                # capped at n//39
+    assert k_clusters_for(10) == 1                 # floor never 0
+    assert k_clusters_for(0) == 1
+    assert k_clusters_for(200_000, target_list=1000) == 200
+    # the cap applies to the override too: k never exceeds n//39
+    assert k_clusters_for(1000, target_list=2) == 1000 // 39
+
+
+def test_ivf_sampled_training_still_covers_corpus(spark):
+    """train_sample_rows bounds the KMeans FIT only: the assignment must
+    still label EVERY vector, search must still work, and the sampled
+    build is deterministic (same seed => same centroids)."""
+    from backend_fastapi_spark.operators.ivf import build_ivf, ivf_search
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    n = emb.count()
+    a1, c1 = build_ivf(emb, k_clusters=8, train_sample_rows=200)
+    a2, c2 = build_ivf(emb, k_clusters=8, train_sample_rows=200)
+    assert a1.count() == n  # every vector assigned
+    cents1 = sorted(map(tuple, (r["centroid"] for r in c1.collect())))
+    cents2 = sorted(map(tuple, (r["centroid"] for r in c2.collect())))
+    assert cents1 == cents2  # deterministic under a fixed seed
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    queries = spark.createDataFrame(
+        [("q0", [float(x) for x in qrow["embedding"]])], ["q_id", "q_embedding"]
+    )
+    got = ivf_search(a1, c1, queries, k=10, nprobe=8).collect()
+    assert len(got) == 10
+
+
 def test_ivf_deterministic_degrades_to_exact_and_is_stable(spark):
     """The hash-checkable IVF twin (deterministic medoid quantizer): at
     nprobe = k_clusters it must equal exact kNN (same ids AND the same

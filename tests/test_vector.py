@@ -179,6 +179,82 @@ def test_near_dup_matmul_strip_invariance(spark):
     assert wide == narrow and len(wide) > 0
 
 
+def test_near_dup_matmul_multichunk_parity(spark):
+    """Force the chunk-pair fan-out (tiny chunk_rows => m >= 2 per block)
+    and the no-decomposition fast path (chunk_rows=None): both must emit
+    the identical pair set as the default, exercising cross-chunk
+    orientation and the single-task-per-block plan in CI (ADVICE r8: the
+    default 8192 exceeded all test data, so the fan-out path never ran)."""
+    from backend_fastapi_spark.operators.vector import near_dup_pairs_matmul
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(120)
+    t = 150_000_000_000
+    default = {
+        (r.id_a, r.id_b, r.sim_i64)
+        for r in near_dup_pairs_matmul(emb, t, block_col="label").collect()
+    }
+    fanned = {
+        (r.id_a, r.id_b, r.sim_i64)
+        for r in near_dup_pairs_matmul(
+            emb, t, block_col="label", chunk_rows=7
+        ).collect()
+    }
+    single = {
+        (r.id_a, r.id_b, r.sim_i64)
+        for r in near_dup_pairs_matmul(
+            emb, t, block_col="label", chunk_rows=None
+        ).collect()
+    }
+    assert default == fanned == single and len(default) > 0
+
+
+def test_near_dup_matmul_empty_partner_chunk(spark):
+    """A cross-chunk task whose partner residue class got zero rows must
+    contribute nothing instead of crashing np.stack([]) (ADVICE r8 low).
+    Construction: keep only ids with pmod(xxhash64(id), 3) == 0, then pick
+    chunk_rows so m=3 — tasks (0,1) and (0,2) see an empty side 1."""
+    from backend_fastapi_spark.operators.vector import near_dup_pairs_matmul
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    one_class = emb.where(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(3)) == 0
+    ).limit(30)
+    n = one_class.count()
+    assert n >= 20
+    chunk = (n + 2) // 3  # ceil(n/chunk) == 3 => three residue classes
+    t = 150_000_000_000
+    fanned = {
+        (r.id_a, r.id_b, r.sim_i64)
+        for r in near_dup_pairs_matmul(
+            one_class, t, block_col="label", chunk_rows=chunk
+        ).collect()
+    }
+    ref = {
+        (r.id_a, r.id_b, r.sim_i64)
+        for r in near_dup_pairs_matmul(
+            one_class, t, block_col="label", chunk_rows=None
+        ).collect()
+    }
+    assert fanned == ref
+
+
+def test_near_dup_matmul_block_cap_on_single_chunk_path(spark):
+    """chunk_rows=None must still enforce the max_block_rows contract."""
+    import pytest
+
+    from backend_fastapi_spark.operators.vector import near_dup_pairs_matmul
+
+    emb = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .limit(50)
+        .withColumn("label", F.lit("all-one-block"))
+    )
+    with pytest.raises(Exception, match="max_block_rows"):
+        near_dup_pairs_matmul(
+            emb, 0, block_col="label", max_block_rows=10, chunk_rows=None
+        ).collect()
+
+
 def test_rp_lsh_recall_on_planted_near_dups(spark):
     """Deterministic RP-LSH in its working regime: plant cos>=0.95
     near-dup pairs among random unit vectors; the 4x8-plane family must
@@ -213,6 +289,46 @@ def test_rp_lsh_recall_on_planted_near_dups(spark):
     assert got <= exact
     # recall in the high-similarity regime
     assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_rp_topk_planted_neighbors_and_determinism(spark):
+    """rp_topk in its working regime: each planted near-dup's twin must
+    surface in the query's top-k (the pair collides in ~every table at
+    cos~0.98), the self always ranks first, results respect k, and two
+    invocations are bit-identical (pure md5 planes, no RNG)."""
+    import numpy as np
+
+    from backend_fastapi_spark.operators.lsh import rp_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    pert = base[:20] + rng.normal(scale=0.025, size=(20, 64))
+    pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+    M = np.vstack([base, pert])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(M)],
+        ["vec_id", "embedding"],
+    )
+    # queries = the 20 perturbed twins (ids 120..139); twin of i is i-120
+    q = df.filter(F.col("vec_id") >= 120).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    rows = rp_topk(df, q, k=5, n_tables=4, n_planes=8).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {120 + i for i in range(20)}
+    found_twin = 0
+    for qid, rs in by_q.items():
+        assert len(rs) <= 5
+        top = max(rs, key=lambda r: (r.score_i64, -r.vec_id))
+        assert top.vec_id == qid  # self collides in every table
+        if any(r.vec_id == qid - 120 for r in rs):
+            found_twin += 1
+    assert found_twin >= 16  # >= 80% twin recall at cos~0.98
+    rows2 = rp_topk(df, q, k=5, n_tables=4, n_planes=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
 def test_semantic_dedup_planted_dups_and_summary_consistency(spark):
