@@ -98,6 +98,46 @@ def write_ivf_index(
     centroids.write.mode(mode).parquet(f"{path}/centroids")
 
 
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """FAISS ``index.add()`` as a Spark sink: assign NEW vectors to the
+    EXISTING persisted centroids (broadcast argmin — the centroid table
+    never re-trains and the existing inverted lists never re-shuffle or
+    rewrite) and append them to the partitioned lists. ``mode("append")``
+    + ``partitionBy`` only adds files under the cluster directories that
+    actually receive rows — an incremental index grow whose cost is
+    O(new batch), never O(index), the same contract the incremental
+    dedup gate keeps for its signature state. Reference serving role:
+    the add-documents path of the FAISS store
+    (src/services/enhanced_internal_db_service.py:602-630); compaction
+    of the accumulated small files is ``maintenance.compact_index``.
+    """
+    from backend_fastapi_spark.operators.vector import knn_exact
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assignment = knn_exact(
+        centroids.withColumnRenamed("centroid", "embedding"),
+        new_vectors.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_embedding")
+        ),
+        k=1,
+        corpus_id="cluster",
+        metric="l2",
+        exclude_self=False,
+    ).select(F.col("q_id").alias(id_col), "cluster")
+    (
+        new_vectors.join(assignment, id_col)
+        .write.partitionBy("cluster")
+        .mode("append")
+        .parquet(f"{path}/lists")
+    )
+
+
 def ivf_search_persisted(
     spark,
     path: str,

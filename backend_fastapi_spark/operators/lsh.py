@@ -179,6 +179,58 @@ def _rp_signatures(base: DataFrame, H, n_tables: int, n_planes: int) -> DataFram
     return base.mapInPandas(project, schema=keyed_schema)
 
 
+def _rp_query_probes(
+    qbase: DataFrame, H, n_tables: int, n_planes: int, multiprobe: int
+) -> DataFrame:
+    """(_id, t, bucket) probe rows for the QUERY side of rp_topk,
+    including ``multiprobe`` extra buckets per (query, table): the base
+    bucket's 1-bit flips ordered by |plane dot| ascending — the planes
+    the query sits closest to are the ones a true neighbor most likely
+    falls on the other side of (multi-probe LSH, Lv et al. 2007). Corpus
+    signatures stay single-bucket; only the tiny query side fans out, so
+    recall rises with ZERO extra corpus shuffle or signature cost."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    id_field = qbase.schema["_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", id_field),
+            T.StructField("t", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
+    n_probe = 1 + max(0, min(multiprobe, n_planes))
+
+    def probes(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+            dots = (Q @ H.T).reshape(len(Q), n_tables, n_planes)
+            base = ((dots >= 0) * weights).sum(axis=2)  # (n, tables)
+            # flip order: |dot| ascending per (row, table)
+            order = np.argsort(np.abs(dots), axis=2, kind="stable")
+            buckets = [base]
+            for j in range(n_probe - 1):
+                buckets.append(base ^ (1 << order[:, :, j]).astype(np.int64))
+            stack = np.stack(buckets, axis=2)  # (n, tables, n_probe)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy().repeat(n_tables * n_probe),
+                    "t": np.tile(
+                        np.arange(n_tables, dtype=np.int32).repeat(n_probe),
+                        len(Q),
+                    ),
+                    "bucket": stack.reshape(-1),
+                }
+            )
+
+    return qbase.mapInPandas(probes, schema=out_schema)
+
+
 def rp_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -191,6 +243,7 @@ def rp_topk(
     n_tables: int = 8,
     n_planes: int = 12,
     exclude_self: bool = False,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Deterministic RP-LSH top-k: (q_id, vec_id, score_i64) — the
     bucket-probed ANN SEARCH twin of rp_near_dup_pairs (that one answers
@@ -208,7 +261,17 @@ def rp_topk(
     — hash-checkable against a SQL oracle, unlike MLlib's seeded
     ``ann_topk``. Queries missing every bucket of a true neighbor simply
     return fewer than k rows (recall, not correctness, is the knob —
-    measured per-round in the bench's clustered-ANN stanza)."""
+    measured per-round in the bench's clustered-ANN stanza).
+
+    ``multiprobe=T`` additionally probes, per (query, table), the T
+    buckets reached by flipping the base signature's lowest-|dot| single
+    bits (multi-probe LSH, Lv et al. 2007): near-boundary planes are
+    where true neighbors land on the other side, so recall rises like
+    adding tables — but only the handful of QUERY probe rows fan out;
+    corpus signatures, shuffle volume, and index cost are unchanged.
+    The registered oracle query keeps multiprobe=0 (the SQL twin stays
+    one CTE); the recall lift is measured in the clustered-ANN stanza
+    and asserted on planted twins in tests."""
     import numpy as np
 
     from pyspark.sql import Window
@@ -229,10 +292,12 @@ def rp_topk(
     corpus_sig = _rp_signatures(corpus, H, n_tables, n_planes)
     # The query side is a handful of rows — its signature frame
     # broadcasts, so the candidate join is shuffle-free on the corpus.
-    query_sig = F.broadcast(
-        _rp_signatures(qbase, H, n_tables, n_planes)
-        .withColumnRenamed("_id", "_qid")
+    qsig = (
+        _rp_query_probes(qbase, H, n_tables, n_planes, multiprobe)
+        if multiprobe > 0
+        else _rp_signatures(qbase, H, n_tables, n_planes)
     )
+    query_sig = F.broadcast(qsig.withColumnRenamed("_id", "_qid"))
     cand = (
         corpus_sig.join(query_sig, ["t", "bucket"])
         .select(F.col("_qid"), F.col("_id"))

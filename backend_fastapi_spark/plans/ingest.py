@@ -170,7 +170,8 @@ def write_index(chunks: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def compact_index(
-    spark, path: str, index_name: str, target_files: int = 1
+    spark, path: str, index_name, target_files: int = 1,
+    partition_col: str = "index_name",
 ) -> int:
     """Small-file compaction for one index partition — the maintenance op
     continuous ingest (streaming/ingest_stream.py) makes necessary: every
@@ -179,6 +180,11 @@ def compact_index(
     overwrite — other indexes' partitions untouched, readers of them
     unaffected) into ``target_files`` files.
 
+    ``partition_col`` generalizes the op to any partition-keyed index
+    layout: the document index partitions by ``index_name``, the IVF
+    inverted lists by ``cluster`` (operators/ivf.py::ivf_append grows a
+    cluster by one file per batch — this is its compaction twin).
+
     The rows are materialized (lineage cut) BEFORE the overwrite so the
     write never reads the files it is replacing. Returns the row count of
     the compacted partition (the materialize forces it anyway, and callers
@@ -186,11 +192,11 @@ def compact_index(
     """
     from backend_fastapi_spark.operators.util import materialize
 
-    part = spark.read.parquet(path).filter(F.col("index_name") == index_name)
+    part = spark.read.parquet(path).filter(F.col(partition_col) == index_name)
     staged = materialize(part.repartition(target_files))
     n = staged.count()
     (
-        staged.write.partitionBy("index_name")
+        staged.write.partitionBy(partition_col)
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path)

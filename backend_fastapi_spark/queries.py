@@ -6060,6 +6060,74 @@ def _index_audit_oracle_sql() -> str:
     """
 
 
+def _ivf_append_audit_oracle_sql() -> str:
+    # Same both-engines-read-the-persisted-files discipline as
+    # index_sink_audit: the oracle audits the exact inverted lists the
+    # Spark query just grew in place at the driver's sf0.01.
+    base = f"{_INDEX_ROOT}/sf0.01/ivf_index/lists"
+    return f"""
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+           CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_appended,
+           CAST(SUM(vec_id % 1000003) AS BIGINT) AS id_sum
+    FROM read_parquet('{base}/*/*.parquet', hive_partitioning = 1)
+    GROUP BY cluster ORDER BY cluster
+    """
+
+
+@register("ivf_append_audit", oracle=_ivf_append_audit_oracle_sql())
+def q_ivf_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index growth promoted to driver hash-green: build
+    the index over the EVEN vec_ids (MLlib KMeans coarse quantizer,
+    seeded), persist it partitioned by cluster, then ``ivf_append`` the
+    ODD vec_ids — the FAISS ``index.add()`` serving role (reference
+    add-documents path, src/services/enhanced_internal_db_service.py:
+    602-630): new vectors argmin-assign to the EXISTING centroids and
+    land as appended files only under the clusters they hit; the base
+    lists never re-shuffle or rewrite (byte-stability asserted in
+    tests/test_api.py::test_ivf_append_grows_index_without_rewrites).
+    Both engines then audit the persisted lists — per-cluster totals,
+    base/appended split, id checksum — certifying the grown index's
+    on-disk layout and that the append lost and duplicated nothing."""
+    import os
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_append,
+        write_ivf_index,
+    )
+
+    base_dir = os.path.join(
+        _INDEX_ROOT,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "ivf_index",
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    assigned, centroids = build_ivf(base, k_clusters=8)
+    write_ivf_index(assigned, centroids, base_dir, mode="overwrite")
+    ivf_append(spark, base_dir, extra)
+    back = spark.read.parquet(f"{base_dir}/lists")
+    return (
+        back.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)
+            ).alias("n_base"),
+            F.sum(
+                F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)
+            ).alias("n_appended"),
+            F.sum(F.col("vec_id") % 1000003).alias("id_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @register("index_sink_audit", oracle=_index_audit_oracle_sql())
 def q_index_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11-S13 promoted to driver hash-green: the vector-index sink

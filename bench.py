@@ -99,6 +99,7 @@ EXTRA = [
     "ann_rp_topk",
     "sentence_segments",
     "bootstrap_personal_store",
+    "ivf_append_audit",
     # round 8 additions
     "incremental_dedup_via_state",
     "dup_clusters_minhash",
@@ -411,19 +412,22 @@ def clustered_ann_stanza(spark, n: int = 200_000, dim: int = 64,
         "rp_topk": {},
     }
     _, planes = rp_size_for(n)
-    for n_tables in (4, 8, 16):
+    for n_tables, multiprobe in ((4, 0), (8, 0), (16, 0), (8, 8)):
         t0 = time.perf_counter()
         got = rp_topk(emb, queries, k=k, n_tables=n_tables,
-                      n_planes=planes).collect()
+                      n_planes=planes, multiprobe=multiprobe).collect()
         dt = round(time.perf_counter() - t0, 3)
         hits = sum(1 for r in got if (r["q_id"], r["vec_id"]) in exact)
-        # probed fraction per query ≈ tables · n/2^planes / n
-        out["rp_topk"][f"{n_tables}x{planes}"] = {
+        # probed fraction per query ≈ tables · (1+multiprobe) · n/2^planes
+        tag_mp = f"{n_tables}x{planes}" + (f"+mp{multiprobe}"
+                                           if multiprobe else "")
+        out["rp_topk"][tag_mp] = {
             "sec": dt,
             "recall_at_10": round(hits / max(len(exact), 1), 4),
-            "expected_scan_frac": round(n_tables / (1 << planes), 4),
+            "expected_scan_frac": round(
+                n_tables * (1 + multiprobe) / (1 << planes), 4),
         }
-        print(f"# clustered-ann rp {n_tables}x{planes}: {dt:.3f}s "
+        print(f"# clustered-ann rp {tag_mp}: {dt:.3f}s "
               f"recall@10={hits / max(len(exact), 1):.3f}", file=sys.stderr)
     return out
 
@@ -851,8 +855,14 @@ def main() -> None:
         # Persisted-IVF probe curve (VERDICT r07 directive #4): recall@10
         # and probe latency vs nprobe at 100x corpus scale — sized by
         # k_clusters_for(n) ≈ √n from r9 on (VERDICT r08 directive #1).
+        # nprobe=112 ≈ the 25% scan r8's k=64/nprobe=16 point paid: the
+        # direct same-scan-fraction comparison on the worst-case
+        # near-uniform corpus (the clustered stanza below is the
+        # realistic-recall measurement).
         spark.catalog.clearCache()
-        context["sf10_ivf_probe"] = ivf_probe_stanza(spark, sf10_dir)
+        context["sf10_ivf_probe"] = ivf_probe_stanza(
+            spark, sf10_dir, nprobes=(1, 4, 8, 16, 32, 112)
+        )
 
         # ANN recall on clustered (mixture-of-Gaussians) embeddings
         # (VERDICT r08 directive #2): sized IVF vs deterministic RP-LSH.

@@ -98,6 +98,135 @@ def test_ivf_sampled_training_still_covers_corpus(spark):
     assert len(got) == 10
 
 
+def test_ivf_append_grows_index_without_rewrites(spark, tmp_path):
+    """ivf_append (FAISS index.add role): new vectors argmin-assign to
+    the EXISTING centroids and append as new files only under the
+    clusters they land in — untouched cluster partitions keep byte-
+    identical file sets, the assignment matches a fresh argmin, and a
+    probed search finds the appended vectors."""
+    import os
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_append,
+        ivf_search_persisted,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1).limit(40).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    assigned, centroids = build_ivf(base, k_clusters=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+
+    def files_per_cluster():
+        out = {}
+        lists_dir = f"{path}/lists"
+        for d in os.listdir(lists_dir):
+            if d.startswith("cluster="):
+                out[d] = sorted(os.listdir(f"{lists_dir}/{d}"))
+        return out
+
+    before = files_per_cluster()
+    n_before = spark.read.parquet(f"{path}/lists").count()
+    ivf_append(spark, path, extra)
+    after = files_per_cluster()
+
+    back = spark.read.parquet(f"{path}/lists")
+    assert back.count() == n_before + 40  # nothing lost, nothing dropped
+    appended = back.filter(F.col("vec_id") >= 1_000_000)
+    assert appended.count() == 40
+    touched = {f"cluster={r['cluster']}"
+               for r in appended.select("cluster").distinct().collect()}
+    for d, files in before.items():
+        if d not in touched:
+            assert after[d] == files  # untouched partitions byte-stable
+        else:
+            assert set(files) <= set(after[d])  # append, never rewrite
+
+    # assignment parity: appended rows sit where a fresh argmin puts them
+    from backend_fastapi_spark.operators.vector import knn_exact
+
+    fresh = knn_exact(
+        centroids.withColumnRenamed("centroid", "embedding"),
+        extra.select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_embedding")),
+        k=1, corpus_id="cluster", metric="l2", exclude_self=False,
+    ).select("q_id", "cluster")
+    got = {(r["vec_id"], r["cluster"]) for r in appended.select(
+        "vec_id", "cluster").collect()}
+    want = {(r["q_id"], r["cluster"]) for r in fresh.collect()}
+    assert got == want
+
+    # a probed search sees the appended vector (it is its own nearest)
+    one = extra.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    queries = spark.createDataFrame(one.collect(), one.schema)
+    hits = ivf_search_persisted(spark, path, queries, k=3, nprobe=2).collect()
+    qid = queries.head()["q_id"]
+    assert any(r["vec_id"] == qid for r in hits)
+
+
+def test_ivf_append_then_compact_lifecycle(spark, tmp_path):
+    """The full index-maintenance loop: grow a cluster with ivf_append
+    (one file per batch), compact it (compact_index generalized to the
+    cluster partition key) — rows identical, file count collapses to the
+    target, other clusters' files untouched, probed search unchanged."""
+    import os
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_append,
+        write_ivf_index,
+    )
+    from backend_fastapi_spark.plans.ingest import compact_index
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    assigned, centroids = build_ivf(base, k_clusters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+    lists = f"{path}/lists"
+    # three append batches -> >= 3 extra files in whichever clusters hit
+    for i in range(3):
+        batch = emb.filter(F.col("vec_id") % 2 == 1).limit(10).withColumn(
+            "vec_id", F.col("vec_id") + (i + 1) * 1_000_000
+        )
+        ivf_append(spark, path, batch)
+
+    def files(cluster_dir):
+        return sorted(
+            f for f in os.listdir(f"{lists}/{cluster_dir}")
+            if f.endswith(".parquet")
+        )
+
+    grown = spark.read.parquet(lists)
+    target = grown.groupBy("cluster").count().orderBy(
+        F.col("count").desc()).head()["cluster"]
+    before_rows = sorted(
+        (r["vec_id"], r["cluster"]) for r in grown.collect())
+    others_before = {
+        d: files(d) for d in os.listdir(lists)
+        if d.startswith("cluster=") and d != f"cluster={target}"
+    }
+    assert len(files(f"cluster={target}")) > 1  # appends really fragmented
+
+    n = compact_index(spark, lists, target, target_files=1,
+                      partition_col="cluster")
+    assert n == sum(1 for _, c in before_rows if c == target)
+    assert len(files(f"cluster={target}")) == 1  # compacted
+    for d, fs in others_before.items():
+        assert files(d) == fs  # untouched partitions byte-stable
+    after_rows = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(lists).collect())
+    assert after_rows == before_rows  # nothing lost, nothing duplicated
+
+
 def test_ivf_deterministic_degrades_to_exact_and_is_stable(spark):
     """The hash-checkable IVF twin (deterministic medoid quantizer): at
     nprobe = k_clusters it must equal exact kNN (same ids AND the same
