@@ -243,6 +243,19 @@ class Engine:
         M.cluster_write(df, dst, sort_cols, n_files)
         return M.file_stats(self.spark, dst)
 
+    def zorder_table(
+        self, df: DataFrame, dst: str, cols: list[str], n_files: int
+    ) -> dict:
+        """Multi-column skipping layout (operators/maintenance.py::
+        zorder_write): cluster ``df`` on the 2-D Z-order interleave of
+        ``cols`` so row-group envelopes stay selective for range
+        predicates on EITHER column; returns the written layout's file
+        stats."""
+        from backend_fastapi_spark.operators import maintenance as M
+
+        M.zorder_write(df, dst, cols, n_files)
+        return M.file_stats(self.spark, dst)
+
     def bucket_table(
         self, df: DataFrame, table: str, bucket_cols: list[str],
         n_buckets: int,

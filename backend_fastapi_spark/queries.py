@@ -6033,6 +6033,69 @@ def _maint_skip_oracle_sql() -> str:
     """
 
 
+_ZORDER_BOXES = {"o_custkey": (1, 150), "o_orderkey": (1, 1500)}
+
+
+def _zorder_skip_oracle_sql() -> str:
+    # Same footer-audit discipline as _maint_skip_oracle_sql: DuckDB's
+    # parquet_metadata() reads the identical row-group stats pyarrow
+    # reports to the Spark side; integer columns keep the envelopes
+    # engine-exact.
+    base = f"{_MAINT_ROOT}/sf0.01"
+    parts = []
+    for layout in ("zo_clustered", "zo_zorder"):
+        for col, (lo, hi) in _ZORDER_BOXES.items():
+            parts.append(f"""
+      SELECT '{layout.removeprefix('zo_')}' AS layout, '{col}' AS col,
+             CAST(COUNT(*) AS BIGINT) AS row_groups,
+             CAST(SUM(CASE WHEN stats_min_value IS NULL
+                           OR stats_max_value IS NULL
+                           OR NOT (CAST(stats_max_value AS BIGINT) < {lo}
+                                   OR CAST(stats_min_value AS BIGINT) > {hi})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS overlapping
+      FROM parquet_metadata('{base}/{layout}/*.parquet')
+      WHERE path_in_schema = '{col}'""")
+    return " UNION ALL ".join(parts) + " ORDER BY layout, col"
+
+
+@register("zorder_skipping", oracle=_zorder_skip_oracle_sql())
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data skipping via Z-ORDER clustering
+    (operators/maintenance.py::zorder_write — Delta's OPTIMIZE ZORDER as
+    a plain-parquet operator), audited from the footers by both engines.
+    Write orders twice: range-clustered on o_custkey alone, and
+    Z-ordered on (o_custkey, o_orderkey) — bit-interleaved space-filling
+    curve, pure codegen bitwise expressions. The single-column layout is
+    perfect on its own column and USELESS on the other (overlap 1.0);
+    the Z-order layout keeps row-group envelopes selective for ~10%
+    range predicates on EITHER column — the 100 TB layout lever when one
+    table serves two access paths and bucketing can only pick one. The
+    audit counts exactly the row groups a stats-aware scan must read
+    (the statistic Spark's parquet row-group filter consults), and both
+    engines count them from the same persisted footers."""
+    import os
+
+    from backend_fastapi_spark.operators import maintenance as M
+
+    base = os.path.join(
+        _MAINT_ROOT, os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    clustered = os.path.join(base, "zo_clustered")
+    zordered = os.path.join(base, "zo_zorder")
+    M.cluster_write(orders, clustered, ["o_custkey"], 8)
+    M.zorder_write(orders, zordered, ["o_custkey", "o_orderkey"], 8)
+    rows = [
+        (layout, col, rep["row_groups"], rep["overlapping"])
+        for layout, path in (("clustered", clustered), ("zorder", zordered))
+        for col, (lo, hi) in _ZORDER_BOXES.items()
+        for rep in (M.skipping_report(path, col, lo, hi),)
+    ]
+    return spark.createDataFrame(
+        rows, "layout string, col string, row_groups long, overlapping long"
+    ).orderBy("layout", "col")
+
+
 _INDEX_ROOT = _os_mod.path.join(
     _os_mod.path.dirname(_os_mod.path.dirname(_os_mod.path.abspath(__file__))),
     ".indexdata",

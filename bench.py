@@ -100,6 +100,7 @@ EXTRA = [
     "sentence_segments",
     "bootstrap_personal_store",
     "ivf_append_audit",
+    "zorder_skipping",
     # round 8 additions
     "incremental_dedup_via_state",
     "dup_clusters_minhash",

@@ -83,6 +83,11 @@ def test_engine_facade_compact_and_cluster(spark, tmp_path):
         eng.table("orders"), str(tmp_path / "clus"), ["o_orderdate"], 4
     )
     assert stats["n_files"] == 4
+    zstats = eng.zorder_table(
+        eng.table("orders"), str(tmp_path / "zo"),
+        ["o_custkey", "o_orderkey"], 4,
+    )
+    assert zstats["n_files"] == 4
 
 
 def test_compact_refuses_overlapping_paths(spark, tmp_path):
@@ -153,3 +158,40 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_zorder_write_skips_on_both_columns(spark, tmp_path):
+    """zorder_write: rows survive value-exact, the layout keeps footer
+    envelopes selective on BOTH interleaved columns (the single-column
+    clustered layout reads every row group for the second column), and
+    only 2-column calls are accepted."""
+    import pytest
+
+    from backend_fastapi_spark.operators import maintenance as M
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    clustered = str(tmp_path / "clustered")
+    zordered = str(tmp_path / "zorder")
+    M.cluster_write(orders, clustered, ["o_custkey"], 8)
+    M.zorder_write(orders, zordered, ["o_custkey", "o_orderkey"], 8)
+
+    # value preservation: same multiset of keys
+    a = sorted(r["o_orderkey"] for r in spark.read.parquet(zordered).collect())
+    b = sorted(r["o_orderkey"] for r in orders.collect())
+    assert a == b
+
+    # ~10% boxes on each dimension
+    hi_c = orders.agg(F.max("o_custkey")).head()[0] // 10
+    hi_o = orders.agg(F.max("o_orderkey")).head()[0] // 10
+    zc = M.skipping_report(zordered, "o_custkey", 1, hi_c)
+    zo = M.skipping_report(zordered, "o_orderkey", 1, hi_o)
+    cc = M.skipping_report(clustered, "o_custkey", 1, hi_c)
+    co = M.skipping_report(clustered, "o_orderkey", 1, hi_o)
+    assert cc["overlap_fraction"] <= 0.25     # 1-col layout: perfect on own col
+    assert co["overlap_fraction"] == 1.0      # ... and useless on the other
+    assert zc["overlap_fraction"] <= 0.5      # z-order: selective on BOTH
+    assert zo["overlap_fraction"] <= 0.75
+    assert zo["overlap_fraction"] < co["overlap_fraction"]
+
+    with pytest.raises(ValueError, match="exactly 2"):
+        M.zorder_write(orders, str(tmp_path / "bad"), ["o_custkey"], 8)
