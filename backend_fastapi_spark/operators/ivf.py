@@ -60,11 +60,17 @@ def build_ivf(
     the centroid table (cluster, centroid ARRAY<DOUBLE>).
 
     ``train_sample_rows`` bounds the KMeans FIT (the quadratic-ish part:
-    O(iters·k·n_train·dim)) to a deterministic sample while the cheap
-    single-pass ASSIGNMENT still covers every vector — FAISS trains its
-    coarse quantizer the same way (39–256 points per centroid suffice).
-    None keeps the fit-on-everything behavior of the oracle-pinned
-    registered queries."""
+    O(iters·k·n_train·dim)) to a sample while the cheap single-pass
+    ASSIGNMENT still covers every vector — FAISS trains its coarse
+    quantizer the same way (39–256 points per centroid suffice). The
+    sample is reproducible for a FIXED input layout and session config
+    (sample()+limit() pick rows by partition; a different core count or
+    maxPartitionBytes changes the scan's splits and therefore the
+    training rows) — same-run/same-host stability, which is what the
+    bench stanzas need; NOT the cross-engine determinism contract of
+    the md5-medoid path (``deterministic_medoids``). None keeps the
+    fit-on-everything behavior of the oracle-pinned registered
+    queries."""
     with_vec = df.withColumn("features", array_to_vector(F.col(vec_col)))
     train = with_vec
     if train_sample_rows is not None:
@@ -117,8 +123,6 @@ def ivf_append(
     (src/services/enhanced_internal_db_service.py:602-630); compaction
     of the accumulated small files is ``maintenance.compact_index``.
     """
-    from backend_fastapi_spark.operators.vector import knn_exact
-
     centroids = spark.read.parquet(f"{path}/centroids")
     assignment = knn_exact(
         centroids.withColumnRenamed("centroid", "embedding"),

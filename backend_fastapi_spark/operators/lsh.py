@@ -89,7 +89,7 @@ def ann_similarity_join(
 
 import hashlib as _hashlib
 
-from backend_fastapi_spark.operators.vector import FIXED_SCALE
+from backend_fastapi_spark.operators.vector import FIXED_SCALE, int_dot
 
 
 def rp_size_for(n_vectors: int, target_bucket: int = 64,
@@ -142,41 +142,10 @@ def _rp_signatures(base: DataFrame, H, n_tables: int, n_planes: int) -> DataFram
     per-Arrow-batch int64 matmul against the ±1 plane matrix ``H``,
     then bucket_t = Σ_p (dot ≥ 0) << p. Shared by the pair generator
     (rp_near_dup_pairs) and the top-k probe (rp_topk) so both sides of
-    a query/corpus join hash with the identical rule."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    weights = 1 << np.arange(n_planes, dtype=np.int64)
-    id_field = base.schema["_id"].dataType
-    keyed_schema = T.StructType(
-        [
-            T.StructField("_id", id_field),
-            T.StructField("t", T.IntegerType(), False),
-            T.StructField("bucket", T.LongType(), False),
-        ]
-    )
-
-    def project(batches):
-        for pdf in batches:
-            if pdf.empty:  # np.stack raises on zero arrays
-                continue
-            Q = np.stack(pdf["_q"].to_numpy()).astype(np.int64)  # (n, dim)
-            bits = (Q @ H.T) >= 0  # (n, tables·planes)
-            buckets = (
-                bits.reshape(len(Q), n_tables, n_planes) * weights
-            ).sum(axis=2)  # (n, tables)
-            yield pd.DataFrame(
-                {
-                    "_id": pdf["_id"].to_numpy().repeat(n_tables),
-                    "t": np.tile(
-                        np.arange(n_tables, dtype=np.int32), len(Q)
-                    ),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
-
-    return base.mapInPandas(project, schema=keyed_schema)
+    a query/corpus join hash with the identical rule. One body: this is
+    the multiprobe=0 case of ``_rp_query_probes`` — the sign rule lives
+    in exactly one place."""
+    return _rp_query_probes(base, H, n_tables, n_planes, 0)
 
 
 def _rp_query_probes(
@@ -211,11 +180,16 @@ def _rp_query_probes(
             Q = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
             dots = (Q @ H.T).reshape(len(Q), n_tables, n_planes)
             base = ((dots >= 0) * weights).sum(axis=2)  # (n, tables)
-            # flip order: |dot| ascending per (row, table)
-            order = np.argsort(np.abs(dots), axis=2, kind="stable")
             buckets = [base]
-            for j in range(n_probe - 1):
-                buckets.append(base ^ (1 << order[:, :, j]).astype(np.int64))
+            if n_probe > 1:
+                # flip order: |dot| ascending per (row, table) — skipped
+                # entirely on the plain-signature path (corpus side),
+                # where the argsort would be pure waste
+                order = np.argsort(np.abs(dots), axis=2, kind="stable")
+                for j in range(n_probe - 1):
+                    buckets.append(
+                        base ^ (1 << order[:, :, j]).astype(np.int64)
+                    )
             stack = np.stack(buckets, axis=2)  # (n, tables, n_probe)
             yield pd.DataFrame(
                 {
@@ -292,12 +266,10 @@ def rp_topk(
     corpus_sig = _rp_signatures(corpus, H, n_tables, n_planes)
     # The query side is a handful of rows — its signature frame
     # broadcasts, so the candidate join is shuffle-free on the corpus.
-    qsig = (
+    query_sig = F.broadcast(
         _rp_query_probes(qbase, H, n_tables, n_planes, multiprobe)
-        if multiprobe > 0
-        else _rp_signatures(qbase, H, n_tables, n_planes)
+        .withColumnRenamed("_id", "_qid")
     )
-    query_sig = F.broadcast(qsig.withColumnRenamed("_id", "_qid"))
     cand = (
         corpus_sig.join(query_sig, ["t", "bucket"])
         .select(F.col("_qid"), F.col("_id"))
@@ -315,11 +287,7 @@ def rp_topk(
         .select(
             F.col("_qid").alias(q_id_col),
             F.col("_id").alias(id_col),
-            F.aggregate(
-                F.zip_with("_q", "_qq", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("score_i64"),
+            int_dot(F.col("_q"), F.col("_qq")).alias("score_i64"),
         )
     )
     w = Window.partitionBy(q_id_col).orderBy(
@@ -397,11 +365,7 @@ def rp_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.aggregate(
-                F.zip_with("_qa", "_qb", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("score_i64"),
+            int_dot(F.col("_qa"), F.col("_qb")).alias("score_i64"),
         )
     )
     return scored.filter(F.col("score_i64") >= threshold_i64)

@@ -189,6 +189,11 @@ def zorder_write(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(a_col), F.max(a_col), F.min(b_col), F.max(b_col)
     ).head()
+    if lo_a is None or lo_b is None:
+        # empty input: nothing to interleave — write the empty layout
+        # (same behavior as cluster_write on an empty frame)
+        df.repartition(n_files).write.mode("overwrite").parquet(dst)
+        return
     top = (1 << bits) - 1
 
     def norm(c: str, lo, hi):

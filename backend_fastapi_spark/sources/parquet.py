@@ -75,10 +75,16 @@ def footer_row_count(sf_dir: str, name: str) -> int | None:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isdir(path):
+            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not parts:
+                # hive-partitioned / nested layout (files live in
+                # subdirs): 0 here means "didn't look", not "empty" —
+                # honoring the None contract keeps callers on the scale
+                # path instead of mistaking a 100 TB table for tiny.
+                return None
             return sum(
                 pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
+                for f in parts
             )
         return pq.ParquetFile(path).metadata.num_rows
     except (OSError, ValueError):

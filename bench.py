@@ -359,7 +359,12 @@ def clustered_ann_stanza(spark, n: int = 200_000, dim: int = 64,
     from backend_fastapi_spark.operators.lsh import rp_size_for, rp_topk
     from backend_fastapi_spark.operators.vector import knn_exact
 
-    mog_dir = f".scaledata/mog{n // 1000}k.parquet"
+    # repo-anchored like _MAINT_ROOT/_INDEX_ROOT: a bench run from
+    # another cwd must hit the same cache and stay gitignored
+    mog_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scaledata", f"mog{n // 1000}k.parquet",
+    )
     t0 = time.perf_counter()
     if not os.path.isdir(mog_dir):
         rng = np.random.default_rng(42)

@@ -195,3 +195,14 @@ def test_zorder_write_skips_on_both_columns(spark, tmp_path):
 
     with pytest.raises(ValueError, match="exactly 2"):
         M.zorder_write(orders, str(tmp_path / "bad"), ["o_custkey"], 8)
+
+
+def test_zorder_write_empty_input(spark, tmp_path):
+    """Empty input writes an empty layout (cluster_write parity) instead
+    of TypeError-ing on None min/max."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+        F.col("o_orderkey") < 0
+    )
+    dst = str(tmp_path / "empty_zo")
+    M.zorder_write(orders, dst, ["o_custkey", "o_orderkey"], 2)
+    assert spark.read.parquet(dst).count() == 0

@@ -179,3 +179,22 @@ def test_write_orc_refuses_overlapping_overwrite(spark, tmp_path):
             write_orc(df, dst)
     # disjoint path still fine
     write_orc(df, str(tmp_path / "t_orc2"))
+
+
+def test_footer_row_count_contract(spark, tmp_path):
+    """footer_row_count: exact count for plain file/dir-of-parts layouts,
+    and None — never 0 — for nested/hive layouts and missing paths (0
+    would route a 100 TB table down a small-input fast path)."""
+    from backend_fastapi_spark.sources.parquet import footer_row_count
+
+    assert footer_row_count("/root/testdata/sf0.01", "embeddings") == 500
+    # dir-of-parts
+    df = spark.range(123)
+    df.write.parquet(str(tmp_path / "flat.parquet"))
+    assert footer_row_count(str(tmp_path), "flat") == 123
+    # hive-partitioned: files live in subdirs -> unknown, not zero
+    df.withColumn("p", F.col("id") % 2).write.partitionBy("p").parquet(
+        str(tmp_path / "nested.parquet")
+    )
+    assert footer_row_count(str(tmp_path), "nested") is None
+    assert footer_row_count(str(tmp_path), "missing") is None
