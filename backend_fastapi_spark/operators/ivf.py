@@ -104,12 +104,39 @@ def write_ivf_index(
     centroids.write.mode(mode).parquet(f"{path}/centroids")
 
 
+def _subdirs(spark, dir_path: str) -> list[str]:
+    """Immediate subdirectory names (empty when absent) via the Hadoop
+    FS API — same cluster-filesystem-safe listing discipline as
+    streaming/ingest_stream.py (cold start by LISTING, read errors must
+    fail loudly, never read-and-catch)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/*")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(p)
+    if matches is None:
+        return []
+    return [m.getPath().getName() for m in matches if m.isDirectory()]
+
+
+def read_ivf_lists(spark, path: str) -> DataFrame:
+    """The index's full inverted lists: base ``lists`` plus every
+    idempotent delta segment under ``delta/`` (see ivf_append's
+    batch_token). Each frame is partition-pruned independently when a
+    cluster filter is applied — the base/delta split never widens a
+    probed scan."""
+    df = spark.read.parquet(f"{path}/lists")
+    for d in sorted(_subdirs(spark, f"{path}/delta")):
+        df = df.unionByName(spark.read.parquet(f"{path}/delta/{d}"))
+    return df
+
+
 def ivf_append(
     spark,
     path: str,
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_token=None,
 ) -> None:
     """FAISS ``index.add()`` as a Spark sink: assign NEW vectors to the
     EXISTING persisted centroids (broadcast argmin — the centroid table
@@ -121,7 +148,18 @@ def ivf_append(
     dedup gate keeps for its signature state. Reference serving role:
     the add-documents path of the FAISS store
     (src/services/enhanced_internal_db_service.py:602-630); compaction
-    of the accumulated small files is ``maintenance.compact_index``.
+    of the accumulated small files is ``plans.ingest.compact_index``
+    (partition_col="cluster").
+
+    ``batch_token`` makes the append IDEMPOTENT for at-least-once
+    callers (Structured Streaming's foreachBatch retries a failed
+    micro-batch with the SAME batch id): instead of appending files to
+    ``lists`` — where a retry would duplicate rows — the batch writes
+    its own DELTA SEGMENT ``delta/batch=<token>`` (overwrite: the retry
+    replaces exactly itself). ``read_ivf_lists``/search read base +
+    deltas, each pruned on the cluster partition; folding deltas into
+    the base is a rewrite-and-swap maintenance pass, same transaction
+    contract as ``maintenance.compact``.
     """
     centroids = spark.read.parquet(f"{path}/centroids")
     assignment = knn_exact(
@@ -134,12 +172,15 @@ def ivf_append(
         metric="l2",
         exclude_self=False,
     ).select(F.col("q_id").alias(id_col), "cluster")
-    (
-        new_vectors.join(assignment, id_col)
-        .write.partitionBy("cluster")
-        .mode("append")
-        .parquet(f"{path}/lists")
-    )
+    out = new_vectors.join(assignment, id_col)
+    if batch_token is None:
+        out.write.partitionBy("cluster").mode("append").parquet(
+            f"{path}/lists"
+        )
+    else:
+        out.write.partitionBy("cluster").mode("overwrite").parquet(
+            f"{path}/delta/batch={batch_token}"
+        )
 
 
 def ivf_search_persisted(
@@ -167,9 +208,7 @@ def ivf_search_persisted(
         exclude_self=False,
     ).select("q_id", "cluster")
     probed = [int(r["cluster"]) for r in probe.select("cluster").distinct().collect()]
-    lists = spark.read.parquet(f"{path}/lists").filter(
-        F.col("cluster").isin(probed)
-    )
+    lists = read_ivf_lists(spark, path).filter(F.col("cluster").isin(probed))
     return ivf_search_over(lists, probe, queries, k=k, corpus_id=corpus_id)
 
 

@@ -73,6 +73,46 @@ def stream_ingest(
     )
 
 
+def stream_ivf_append(
+    vectors_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Continuously GROW a persisted IVF index from a vector stream —
+    the streaming twin of ``ivf.ivf_append`` and the serving loop the
+    reference runs when documents keep arriving into its FAISS store
+    (src/services/enhanced_internal_db_service.py:602-630). Each
+    micro-batch broadcast-argmin-assigns against the EXISTING centroids
+    and lands as its own delta segment keyed by the micro-batch id
+    (``batch_token=batch_id``) — foreachBatch retries the same id on
+    failure, and the overwrite-scoped segment makes the retry replace
+    exactly itself: exactly-once index growth on top of an
+    at-least-once stream, the same commit-point discipline as the
+    curation gate's corpus dirs. Searches see new vectors as soon as
+    their batch commits (``read_ivf_lists`` unions base + deltas,
+    cluster-pruned per segment)."""
+    from backend_fastapi_spark.operators.ivf import ivf_append
+
+    def add(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_append(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            batch_token=batch_id,
+        )
+
+    return (
+        vectors_stream.writeStream.foreachBatch(add)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
 def stream_curated_ingest(
     spark: SparkSession,
     docs_stream: DataFrame,

@@ -227,6 +227,94 @@ def test_ivf_append_then_compact_lifecycle(spark, tmp_path):
     assert after_rows == before_rows  # nothing lost, nothing duplicated
 
 
+def test_ivf_append_batch_token_idempotent(spark, tmp_path):
+    """batch_token appends are delta segments scoped by the token: a
+    RETRY (same token) replaces itself instead of duplicating, a new
+    token grows the index, and search reads base + deltas with the
+    cluster pruning intact."""
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_append,
+        ivf_search_persisted,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    assigned, centroids = build_ivf(base, k_clusters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+    n_base = spark.read.parquet(f"{path}/lists").count()
+
+    batch = emb.filter(F.col("vec_id") % 2 == 1).limit(20).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    ivf_append(spark, path, batch, batch_token=7)
+    assert read_ivf_lists(spark, path).count() == n_base + 20
+    # the at-least-once retry: same token, same rows -> unchanged
+    ivf_append(spark, path, batch, batch_token=7)
+    assert read_ivf_lists(spark, path).count() == n_base + 20
+    # a different token is new data
+    batch2 = batch.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    ivf_append(spark, path, batch2, batch_token=8)
+    assert read_ivf_lists(spark, path).count() == n_base + 40
+    # search sees delta rows (the appended vector is its own nearest)
+    one = batch.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    queries = spark.createDataFrame(one.collect(), one.schema)
+    hits = ivf_search_persisted(spark, path, queries, k=3, nprobe=2).collect()
+    assert any(r["vec_id"] == queries.head()["q_id"] for r in hits)
+
+
+def test_stream_ivf_append_end_to_end(spark, tmp_path):
+    """The streaming serving loop: a file stream of vectors grows the
+    persisted IVF index through foreachBatch delta segments; after the
+    stream drains, every streamed vector is in the index exactly once
+    and probed search finds it."""
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_search_persisted,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+    from backend_fastapi_spark.streaming.ingest_stream import stream_ivf_append
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    assigned, centroids = build_ivf(base, k_clusters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+    n_base = spark.read.parquet(f"{path}/lists").count()
+
+    src = str(tmp_path / "incoming")
+    incoming = emb.filter(F.col("vec_id") % 2 == 1).limit(30).withColumn(
+        "vec_id", F.col("vec_id") + 2_000_000
+    )
+    incoming.write.parquet(src)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ivf_append(stream, path, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    grown = read_ivf_lists(spark, path)
+    assert grown.count() == n_base + 30
+    streamed = grown.filter(F.col("vec_id") >= 2_000_000)
+    assert streamed.count() == 30  # exactly once, no duplicates
+    one = incoming.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    queries = spark.createDataFrame(one.collect(), one.schema)
+    hits = ivf_search_persisted(spark, path, queries, k=3, nprobe=2).collect()
+    assert any(r["vec_id"] == queries.head()["q_id"] for r in hits)
+
+
 def test_ivf_deterministic_degrades_to_exact_and_is_stable(spark):
     """The hash-checkable IVF twin (deterministic medoid quantizer): at
     nprobe = k_clusters it must equal exact kNN (same ids AND the same
