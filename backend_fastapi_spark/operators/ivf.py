@@ -76,9 +76,14 @@ def build_ivf(
     if train_sample_rows is not None:
         n = with_vec.count()
         if n > train_sample_rows:
-            train = with_vec.sample(
+            sampled = with_vec.sample(
                 fraction=min(1.0, train_sample_rows / n * 1.05), seed=seed
             ).limit(train_sample_rows)
+            # Bernoulli sampling can under-draw; KMeans.fit raises when
+            # the training frame has fewer rows than k (ADVICE r09).
+            # Caching bounds the double pass to the small sample.
+            sampled = sampled.cache()
+            train = sampled if sampled.count() >= k_clusters else with_vec
     model = KMeans(k=k_clusters, seed=seed, featuresCol="features").fit(train)
     assigned = model.transform(with_vec).withColumnRenamed(
         "prediction", "cluster"
@@ -99,9 +104,22 @@ def write_ivf_index(
     on-disk twin of FAISS inverted lists. A search probing ``nprobe``
     clusters then PRUNES THE SCAN to those partitions (verified via
     ``PartitionFilters`` in the test): the index read shrinks by
-    ``nprobe/k_clusters`` before a single row moves."""
+    ``nprobe/k_clusters`` before a single row moves.
+
+    Overwrite mode also deletes any accumulated ``delta/`` segments
+    (ADVICE r09): deltas were assigned against the OLD centroids, so a
+    rebuild that left them in place would make ``read_ivf_lists`` union
+    duplicated vectors whose cluster ids are wrong for the new quantizer.
+    A rebuild is a new index epoch — the deltas belong to the old one."""
     assigned.write.partitionBy("cluster").mode(mode).parquet(f"{path}/lists")
     centroids.write.mode(mode).parquet(f"{path}/centroids")
+    if mode == "overwrite":
+        spark = assigned.sparkSession
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/delta")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def _subdirs(spark, dir_path: str) -> list[str]:

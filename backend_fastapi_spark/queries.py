@@ -6321,13 +6321,15 @@ _LAST_GREEN = {
     "ann_ivf_deterministic": 6,
     "ann_ivfpq_top10": 6,
     "ann_pq_adc_top10": 6,
+    "ann_rp_topk": 9,
     "ar_rollout_forecast": 8,
-    "asof_join_events_orders": 5,
-    "attribute_filter": 6,
+    "asof_join_events_orders": 9,
+    "attribute_filter": 9,
     "bloom_prejoin_stats": 6,
+    "bootstrap_personal_store": 9,
     "bottomk_monthly_merge": 7,
     "bottomk_sample_quantiles": 6,
-    "bpe_top_merges": 6,
+    "bpe_top_merges": 9,
     "brand_price_stats": 7,
     "branded_quantity_revenue": 6,
     "c4_quality_filter": 7,
@@ -6335,46 +6337,47 @@ _LAST_GREEN = {
     "catalog_tables_rowcounts": 8,
     "chunk_documents": 7,
     "cms_heavy_users_deterministic": 6,
-    "cohort_retention": 5,
+    "cohort_retention": 9,
     "corpus_curation_pipeline": 6,
     "cube_status_priority": 8,
     "customer_360": 8,
     "customer_order_distribution": 6,
     "customers_with_orders": 7,
-    "customers_without_orders": 6,
+    "customers_without_orders": 9,
     "daily_value_by_type": 7,
-    "decontaminate_test_split": 5,
-    "dedup_canonical_corpus": 5,
+    "decontaminate_test_split": 9,
+    "dedup_canonical_corpus": 9,
     "dedup_min_event": 7,
     "delete_keys_orders": 8,
-    "distinct_count_stats": 5,
+    "distinct_count_stats": 9,
     "diversified_docs": 7,
     "doc_embed_knn": 8,
     "doc_fingerprint_groups": 7,
     "doc_template_assembly": 7,
     "dsir_importance_weights": 8,
-    "dup_clusters": 5,
+    "dup_clusters": 9,
     "dup_clusters_minhash": 8,
     "dup_rate_by_source": 6,
     "embedding_near_dup": 7,
     "embedding_near_dup_rp": 8,
-    "events_burst_60s": 5,
-    "exact_dup_groups": 6,
+    "events_burst_60s": 9,
+    "exact_dup_groups": 9,
     "filtered_projection": 7,
     "forecast_revenue_change": 6,
-    "from_json_native": 5,
-    "funnel_conversion": 5,
-    "gopher_repetition_filter": 5,
+    "from_json_native": 9,
+    "funnel_conversion": 9,
+    "gopher_repetition_filter": 9,
     "grocery_best_store": 8,
-    "grouping_sets_revenue": 5,
+    "grouping_sets_revenue": 9,
     "hll_distinct_deterministic": 6,
     "hll_monthly_merge": 7,
     "html_strip": 8,
     "idle_rich_customers": 6,
-    "incremental_dedup_batch": 6,
+    "incremental_dedup_batch": 9,
     "incremental_dedup_via_state": 8,
     "index_sink_audit": 8,
-    "ingest_pipeline_chunks": 6,
+    "ingest_pipeline_chunks": 9,
+    "ivf_append_audit": 9,
     "json_extract_stats": 8,
     "keyword_or_filter": 7,
     "kmv_set_cardinalities": 7,
@@ -6393,8 +6396,8 @@ _LAST_GREEN = {
     "minhash_verified_dupes": 7,
     "minmax_rescale": 8,
     "multi_key_sort": 7,
-    "multimodal_feature_stats": 5,
-    "next_order_asof_forward": 5,
+    "multimodal_feature_stats": 9,
+    "next_order_asof_forward": 9,
     "ngram_jaccard_dupes": 7,
     "null_normalization": 7,
     "order_status_histogram": 7,
@@ -6407,37 +6410,38 @@ _LAST_GREEN = {
     "percentile_stats": 8,
     "pii_scrub_stats": 6,
     "pivot_priority_by_status": 8,
-    "pricing_summary": 6,
+    "pricing_summary": 9,
     "promo_revenue_share": 6,
     "rag_retrieval_batch": 8,
-    "rag_retrieval_pipeline": 6,
+    "rag_retrieval_pipeline": 9,
     "recursive_chunk_merge_oracle": 8,
-    "region_revenue": 6,
+    "region_revenue": 9,
     "returned_items_by_customer": 6,
     "rewrite_chain": 8,
     "rollup_region_nation": 8,
     "salted_skew_sum": 8,
     "scalar_subquery_join": 7,
-    "scd2_customer_merge": 6,
-    "semantic_dedup_pairs": 6,
-    "semantic_dedup_summary": 6,
+    "scd2_customer_merge": 9,
+    "semantic_dedup_pairs": 9,
+    "semantic_dedup_summary": 9,
     "semantic_dedup_union": 7,
+    "sentence_segments": 9,
     "session_window_native": 8,
     "sessionize_events": 8,
     "shipmode_priority_counts": 6,
-    "shipping_priority": 5,
+    "shipping_priority": 9,
     "simhash_pairs": 8,
     "sliding_window_counts": 8,
     "small_quantity_revenue": 6,
-    "stratified_sample_langs": 5,
+    "stratified_sample_langs": 9,
     "supplier_balance_by_region": 8,
     "temperature_sample_langs": 6,
-    "tfidf_top_terms": 5,
+    "tfidf_top_terms": 9,
     "token_stats": 7,
     "top_orders_recent": 7,
     "top_parts_by_region": 6,
     "top_supplier_revenue": 6,
-    "train_test_split_counts": 5,
+    "train_test_split_counts": 9,
     "ts_daily_resample": 7,
     "ts_forecast_metrics": 8,
     "ts_interpolated": 7,
@@ -6450,16 +6454,17 @@ _LAST_GREEN = {
     "union_all_counts": 7,
     "union_then_global_topn": 8,
     "upsert_orders": 8,
-    "user_context_star": 6,
-    "user_rapid_repeat_events": 5,
-    "variant_extract_stats": 6,
+    "user_context_star": 9,
+    "user_rapid_repeat_events": 9,
+    "variant_extract_stats": 9,
     "vector_search_sql": 7,
     "watermark_late_drop": 8,
     "web_curation_pipeline": 7,
     "weighted_recommend_score": 8,
-    "weighted_sample_docs": 5,
-    "winnow_fingerprint_stats": 6,
-    "winnow_near_dup": 6,
+    "weighted_sample_docs": 9,
+    "winnow_fingerprint_stats": 9,
+    "winnow_near_dup": 9,
+    "zorder_skipping": 9,
 }
 
 # Stale greens to refresh FIRST, in this order — the 12-query events family
@@ -6527,8 +6532,19 @@ def emit_order_doc() -> dict:
          and _LAST_GREEN[n] < _DATA_GEN_ROUND}
         for i, n in enumerate(_ordered_names())
     ]
+    fresh_rounds = [r["last_green_round"] for r in rows
+                    if r["last_green_round"] is not None and not r["stale"]]
     return {"data_gen_round": _DATA_GEN_ROUND,
             "n_stale_green": sum(1 for r in rows if r["stale"]),
+            # Rotation health (VERDICT r09 #7): the oldest evidence round
+            # among fresh greens. With 158 queries and ~50-slot sweeps a
+            # full rotation takes 3+ rounds; this field lets the judge see
+            # at a glance how far behind the tail of the rotation is.
+            "oldest_green_round": min(fresh_rounds) if fresh_rounds else None,
+            "n_green_by_round": {
+                str(k): sum(1 for r in fresh_rounds if r == k)
+                for k in sorted(set(fresh_rounds))
+            },
             "order": rows}
 
 

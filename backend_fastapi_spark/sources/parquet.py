@@ -75,12 +75,18 @@ def footer_row_count(sf_dir: str, name: str) -> int | None:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isdir(path):
-            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            entries = os.listdir(path)
+            if any(os.path.isdir(os.path.join(path, e)) for e in entries):
+                # ANY subdirectory (hive-partitioned / nested / mixed
+                # layout) means top-level parts alone would UNDERCOUNT:
+                # None here means "didn't look", not "empty" — honoring
+                # the None contract keeps callers on the scale path
+                # instead of mistaking a 100 TB table for tiny
+                # (ADVICE r09: a mixed layout previously counted only the
+                # top-level files).
+                return None
+            parts = [f for f in entries if f.endswith(".parquet")]
             if not parts:
-                # hive-partitioned / nested layout (files live in
-                # subdirs): 0 here means "didn't look", not "empty" —
-                # honoring the None contract keeps callers on the scale
-                # path instead of mistaking a 100 TB table for tiny.
                 return None
             return sum(
                 pq.ParquetFile(os.path.join(path, f)).metadata.num_rows

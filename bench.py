@@ -361,9 +361,14 @@ def clustered_ann_stanza(spark, n: int = 200_000, dim: int = 64,
 
     # repo-anchored like _MAINT_ROOT/_INDEX_ROOT: a bench run from
     # another cwd must hit the same cache and stay gitignored
+    # Cache key carries EVERY generation parameter (ADVICE r09): a stanza
+    # re-run with a different dim/n_centers/sigma must regenerate, never
+    # silently reuse a corpus built under other parameters.
+    sig_tag = f"{sigma:g}".replace(".", "p")
     mog_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        ".scaledata", f"mog{n // 1000}k.parquet",
+        ".scaledata",
+        f"mog{n // 1000}k_d{dim}_c{n_centers}_s{sig_tag}.parquet",
     )
     t0 = time.perf_counter()
     if not os.path.isdir(mog_dir):

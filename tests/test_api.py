@@ -268,6 +268,58 @@ def test_ivf_append_batch_token_idempotent(spark, tmp_path):
     assert any(r["vec_id"] == queries.head()["q_id"] for r in hits)
 
 
+def test_ivf_rebuild_clears_stale_deltas(spark, tmp_path):
+    """A rebuild (write_ivf_index overwrite) is a new index epoch: delta
+    segments appended against the OLD centroids must not survive it —
+    they hold duplicated vectors whose cluster ids are wrong for the new
+    quantizer (ADVICE r09 medium)."""
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_append,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    assigned, centroids = build_ivf(base, k_clusters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+    batch = emb.filter(F.col("vec_id") % 2 == 1).limit(20).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    ivf_append(spark, path, batch, batch_token=3)
+    n_grown = read_ivf_lists(spark, path).count()
+
+    # rebuild over the FULL corpus (base + the appended batch's source
+    # rows): the stale delta must vanish, not union in on top
+    full = base.unionByName(batch)
+    assigned2, centroids2 = build_ivf(full, k_clusters=8)
+    write_ivf_index(assigned2, centroids2, path)
+    after = read_ivf_lists(spark, path)
+    assert after.count() == full.count()  # no duplicated delta rows
+    assert after.count() == n_grown  # same logical corpus as the grown one
+    # every vec_id exactly once
+    assert after.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_build_ivf_underdrawn_sample_falls_back(spark):
+    """build_ivf's bounded-training sample can under-draw below k when
+    train_sample_rows is close to k_clusters; the guard falls back to the
+    full fit instead of letting KMeans.fit raise (ADVICE r09)."""
+    from backend_fastapi_spark.operators.ivf import build_ivf
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(120)
+    # train_sample_rows == k_clusters: any under-draw breaks an unguarded
+    # fit; the guard must produce a usable index regardless
+    assigned, centroids = build_ivf(
+        emb, k_clusters=16, train_sample_rows=16
+    )
+    assert centroids.count() == 16
+    assert assigned.count() == 120
+    assert assigned.select("cluster").distinct().count() <= 16
+
+
 def test_stream_ivf_append_end_to_end(spark, tmp_path):
     """The streaming serving loop: a file stream of vectors grows the
     persisted IVF index through foreachBatch delta segments; after the

@@ -198,3 +198,11 @@ def test_footer_row_count_contract(spark, tmp_path):
     )
     assert footer_row_count(str(tmp_path), "nested") is None
     assert footer_row_count(str(tmp_path), "missing") is None
+    # MIXED layout (top-level parts AND partition subdirs): counting only
+    # the top-level files would UNDERCOUNT — must be None, never a partial
+    # count (ADVICE r09).
+    df.write.parquet(str(tmp_path / "mixed.parquet"))
+    df.withColumn("p", F.col("id") % 2).write.partitionBy("p").mode(
+        "append"
+    ).parquet(str(tmp_path / "mixed.parquet"))
+    assert footer_row_count(str(tmp_path), "mixed") is None
