@@ -136,14 +136,53 @@ def _subdirs(spark, dir_path: str) -> list[str]:
     return [m.getPath().getName() for m in matches if m.isDirectory()]
 
 
+def _delta_state(spark, path: str) -> tuple[list[str], set[str]]:
+    """(live, subsumed) delta segment names. Live = every ``delta/*``
+    directory minus (a) ``_``-prefixed staging dirs (an in-progress or
+    crashed ``fold_deltas`` write — never visible) and (b) segments
+    SUBSUMED by a committed fold segment (named in the fold's
+    ``_FOLDED`` marker): they may linger until garbage collection
+    finishes — or be RE-CREATED by an at-least-once retry of a batch the
+    fold already absorbed — and reading them would double-count their
+    rows. Markers carry subsumption forward transitively (see
+    fold_deltas), so a name stays excluded even after the fold segment
+    that first absorbed it is itself folded and GC'd."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    names = [d for d in _subdirs(spark, f"{path}/delta")
+             if not d.startswith("_")]
+    subsumed: set[str] = set()
+    for d in names:
+        marker = jvm.org.apache.hadoop.fs.Path(f"{path}/delta/{d}/_FOLDED")
+        fs = marker.getFileSystem(conf)
+        if fs.exists(marker):
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(fs.open(marker), "UTF-8")
+            )
+            try:
+                while True:
+                    line = reader.readLine()
+                    if line is None:
+                        break
+                    if line:
+                        subsumed.add(line)
+            finally:
+                reader.close()
+    return sorted(n for n in names if n not in subsumed), subsumed
+
+
+def _live_delta_segments(spark, path: str) -> list[str]:
+    return _delta_state(spark, path)[0]
+
+
 def read_ivf_lists(spark, path: str) -> DataFrame:
-    """The index's full inverted lists: base ``lists`` plus every
+    """The index's full inverted lists: base ``lists`` plus every LIVE
     idempotent delta segment under ``delta/`` (see ivf_append's
-    batch_token). Each frame is partition-pruned independently when a
-    cluster filter is applied — the base/delta split never widens a
-    probed scan."""
+    batch_token and ``fold_deltas``' subsumption marker). Each frame is
+    partition-pruned independently when a cluster filter is applied —
+    the base/delta split never widens a probed scan."""
     df = spark.read.parquet(f"{path}/lists")
-    for d in sorted(_subdirs(spark, f"{path}/delta")):
+    for d in _live_delta_segments(spark, path):
         df = df.unionByName(spark.read.parquet(f"{path}/delta/{d}"))
     return df
 
@@ -199,6 +238,128 @@ def ivf_append(
         out.write.partitionBy("cluster").mode("overwrite").parquet(
             f"{path}/delta/batch={batch_token}"
         )
+
+
+# Fold policy constants (measured: bench.py ivf_delta_curve stanza).
+# Search latency over a delta'd index grows ~linearly with LIVE segment
+# count (per-segment file listing + scan setup, paid before any data IO),
+# so segments are capped regardless of byte volume; the byte ratio bound
+# keeps the one-segment fold output from repeatedly rewriting a delta
+# mass comparable to the base (at that point the right maintenance is a
+# base rebuild/compact, not another delta fold).
+DELTA_SEGMENT_CAP = 16
+DELTA_BYTES_RATIO = 0.5
+
+
+def should_compact(n_deltas: int, delta_bytes: int, base_bytes: int) -> bool:
+    """True when the accumulated delta segments should fold into one
+    (``fold_deltas``): segment COUNT breaches the cap (per-segment
+    overhead dominates search setup long before data volume does —
+    measured ~linear in segment count, bench ivf_delta_curve), or the
+    delta byte mass stops being small relative to the base (bounded
+    read amplification). The FAISS role: keeping ``index.add`` streams
+    searchable without ever paying O(index) per micro-batch."""
+    if n_deltas <= 1:
+        return False
+    return n_deltas >= DELTA_SEGMENT_CAP or (
+        base_bytes > 0 and delta_bytes >= DELTA_BYTES_RATIO * base_bytes
+    )
+
+
+def delta_stats(spark, path: str) -> tuple[int, int, int]:
+    """(n_live_delta_segments, delta_bytes, base_bytes) — the inputs to
+    ``should_compact``, from filesystem metadata only (no Spark job).
+    On an object store the size summary is a listing per segment; at the
+    DELTA_SEGMENT_CAP=16 bound that is at most ~17 listings per trigger."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def size_of(p: str) -> int:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(conf)
+        if not fs.exists(hp):
+            return 0
+        return int(fs.getContentSummary(hp).getLength())
+
+    live = _live_delta_segments(spark, path)
+    delta_bytes = sum(size_of(f"{path}/delta/{d}") for d in live)
+    return len(live), delta_bytes, size_of(f"{path}/lists")
+
+
+def fold_deltas(spark, path: str) -> int:
+    """Fold every live delta segment into ONE cluster-partitioned
+    segment — the maintenance pass that keeps streaming index growth
+    (``stream_ivf_append``: one segment per micro-batch) searchable at
+    streaming rates. Returns the number of segments folded (0 = nothing
+    to do).
+
+    Crash-safe at every point without a transaction log:
+
+    1. merged rows are written to a ``_``-prefixed STAGING dir —
+       invisible to readers (``_live_delta_segments`` skips ``_`` names)
+       and simply overwritten by a retry;
+    2. a ``_FOLDED`` marker naming the subsumed segments is written into
+       the staging dir, then the dir is RENAMED to its live name — the
+       one atomic transition: the moment the fold segment is visible,
+       its marker already excludes the segments it replaced, so a reader
+       never double-counts. The marker also CARRIES FORWARD any
+       still-on-disk names subsumed by earlier folds (an at-least-once
+       retry can re-create a segment an earlier fold absorbed AFTER that
+       fold was itself folded and GC'd — without the carry, its
+       exclusion record would vanish with the GC'd marker and the rows
+       would double-count). Names whose directories are already gone are
+       pruned, so the marker stays O(live segments), not O(history);
+    3. deleting the subsumed segment dirs is pure garbage collection —
+       a crash leaves them behind and every subsequent read (and the
+       next fold) still excludes them via the marker.
+
+    Folding into the BASE (lists) is deliberately NOT done here: that is
+    a full O(index) rewrite (``plans.ingest.compact_index`` /
+    ``write_ivf_index`` rebuild territory), while this pass is O(delta
+    bytes) — the LSM-style small-merge that runs inline with the stream.
+    """
+    live, subsumed = _delta_state(spark, path)
+    if len(live) <= 1:
+        return 0
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = hpath(path).getFileSystem(conf)
+    # monotone fold sequence: one past the highest existing fold seq
+    seq = 1 + max(
+        (int(d.split("fold-")[1]) for d in live
+         if d.startswith("batch=fold-")),
+        default=0,
+    )
+    staging = f"{path}/delta/_fold_staging"
+    final = f"{path}/delta/batch=fold-{seq}"
+
+    df = spark.read.parquet(f"{path}/delta/{live[0]}")
+    for d in live[1:]:
+        df = df.unionByName(spark.read.parquet(f"{path}/delta/{d}"))
+    df.write.partitionBy("cluster").mode("overwrite").parquet(staging)
+
+    # carry forward still-on-disk subsumed names (retry-resurrection
+    # guard); prune the ones GC already removed
+    carried = sorted(
+        s for s in subsumed if fs.exists(hpath(f"{path}/delta/{s}"))
+    )
+    out = fs.create(hpath(f"{staging}/_FOLDED"), True)
+    try:
+        out.write(bytearray("\n".join(live + carried).encode("utf-8")))
+    finally:
+        out.close()
+    final_p = hpath(final)
+    if fs.exists(final_p):  # crashed prior fold that never GC'd
+        fs.delete(final_p, True)
+    if not fs.rename(hpath(staging), final_p):
+        raise IOError(f"fold commit rename failed: {staging} -> {final}")
+    for d in live + carried:  # GC — correctness never depends on these
+        fs.delete(hpath(f"{path}/delta/{d}"), True)
+    return len(live)
 
 
 def ivf_search_persisted(

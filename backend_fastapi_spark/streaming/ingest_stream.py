@@ -79,6 +79,7 @@ def stream_ivf_append(
     checkpoint_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_fold: bool = True,
 ) -> StreamingQuery:
     """Continuously GROW a persisted IVF index from a vector stream —
     the streaming twin of ``ivf.ivf_append`` and the serving loop the
@@ -92,8 +93,24 @@ def stream_ivf_append(
     at-least-once stream, the same commit-point discipline as the
     curation gate's corpus dirs. Searches see new vectors as soon as
     their batch commits (``read_ivf_lists`` unions base + deltas,
-    cluster-pruned per segment)."""
-    from backend_fastapi_spark.operators.ivf import ivf_append
+    cluster-pruned per segment).
+
+    ``auto_fold`` keeps unbounded growth searchable: after each append
+    the delta stats (filesystem metadata only) feed ``should_compact``,
+    and past the segment cap (or byte ratio) the live segments FOLD into
+    one (``ivf.fold_deltas`` — crash-safe via the subsumption marker, so
+    a retried trigger can interleave with a crashed fold at any point).
+    Search latency over the index is thereby bounded at
+    ~DELTA_SEGMENT_CAP segments of setup overhead regardless of how long
+    the stream runs — the measured alternative is ~linear decay
+    (bench.py ivf_delta_curve). foreachBatch triggers run serially, so
+    the fold never races the appends."""
+    from backend_fastapi_spark.operators.ivf import (
+        delta_stats,
+        fold_deltas,
+        ivf_append,
+        should_compact,
+    )
 
     def add(batch_df: DataFrame, batch_id: int) -> None:
         ivf_append(
@@ -104,6 +121,11 @@ def stream_ivf_append(
             vec_col=vec_col,
             batch_token=batch_id,
         )
+        if auto_fold:
+            spark = batch_df.sparkSession
+            n, dbytes, bbytes = delta_stats(spark, index_path)
+            if should_compact(n, dbytes, bbytes):
+                fold_deltas(spark, index_path)
 
     return (
         vectors_stream.writeStream.foreachBatch(add)

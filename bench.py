@@ -340,6 +340,127 @@ def ivf_probe_stanza(spark, sf_dir: str, k_clusters: int | None = None,
     return out
 
 
+def ivf_delta_curve_stanza(spark, sf_dir: str,
+                           checkpoints: tuple = (1, 8, 64, 256),
+                           batch_rows: int = 64, nprobe: int = 8,
+                           n_queries: int = 8, k: int = 10) -> dict:
+    """Delta-segment accumulation cost curve + fold recovery (VERDICT r09
+    directive #2): ``stream_ivf_append`` lands one delta segment per
+    micro-batch, and ``read_ivf_lists`` unions every live segment — at
+    streaming rates that is thousands of segments between maintenance
+    passes, and per-segment file listing / scan setup dominates search
+    long before data volume does. This stanza MEASURES that decay
+    (probed search seconds at 1/8/64/256 accumulated segments, auto-fold
+    disabled by driving ``ivf_append`` directly), then runs
+    ``fold_deltas`` and records the post-fold recovery — the numbers
+    behind ``should_compact``'s DELTA_SEGMENT_CAP.
+
+    Append batches are pre-staged once as a seg-partitioned parquet dir
+    so the grow loop reads each 64-row batch distributed (no driver
+    literal of 16k vectors); per-append seconds are recorded per
+    checkpoint interval — flat append cost (O(batch), never O(index)) is
+    part of the claim."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf, delta_stats, fold_deltas, ivf_search_persisted,
+        k_clusters_for, should_compact, write_ivf_index)
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    n_vec = emb.count()
+    k_clusters = k_clusters_for(n_vec)
+    q = emb.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    queries = spark.createDataFrame(q.collect(), q.schema)
+
+    t0 = time.perf_counter()
+    assigned, centroids = build_ivf(
+        emb, k_clusters=k_clusters, train_sample_rows=64 * k_clusters
+    )
+    path = tempfile.mkdtemp(prefix="bench_ivf_delta_")
+    write_ivf_index(assigned, centroids, path)
+    build_s = round(time.perf_counter() - t0, 3)
+
+    # stage the append batches: seg-partitioned slices of the corpus with
+    # shifted ids (distinct from the base index's)
+    n_batches = max(checkpoints)
+    src = tempfile.mkdtemp(prefix="bench_ivf_src_")
+    w = Window.orderBy("vec_id")
+    (
+        emb.limit(batch_rows * n_batches)
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            "embedding",
+            (F.col("_rn") % n_batches).alias("seg"),
+        )
+        .write.partitionBy("seg").mode("overwrite").parquet(src)
+    )
+
+    def timed_search() -> tuple[float, float]:
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ivf_search_persisted(
+                spark, path, queries, k=k, nprobe=nprobe
+            ).collect()
+            times.append(round(time.perf_counter() - t0, 3))
+        return times[0], times[1]  # (cold-ish, warm)
+
+    from backend_fastapi_spark.operators.ivf import ivf_append
+
+    out: dict = {"n_vectors": n_vec, "k_clusters": k_clusters,
+                 "nprobe": nprobe, "batch_rows": batch_rows,
+                 "build_and_write_s": build_s, "curve": {}}
+    s0_cold, s0_warm = timed_search()
+    out["curve"]["0"] = {"search_cold_s": s0_cold, "search_warm_s": s0_warm}
+    done = 0
+    for ckpt in sorted(checkpoints):
+        t0 = time.perf_counter()
+        for i in range(done, ckpt):
+            ivf_append(
+                spark, path, spark.read.parquet(f"{src}/seg={i}"),
+                batch_token=i,
+            )
+        append_s = round(time.perf_counter() - t0, 3)
+        n_appended = ckpt - done
+        done = ckpt
+        n_d, d_bytes, b_bytes = delta_stats(spark, path)
+        cold, warm = timed_search()
+        out["curve"][str(ckpt)] = {
+            "search_cold_s": cold, "search_warm_s": warm,
+            "append_s_per_batch": round(append_s / max(n_appended, 1), 3),
+            "n_live_segments": n_d, "delta_bytes": d_bytes,
+            "base_bytes": b_bytes,
+            "should_compact": should_compact(n_d, d_bytes, b_bytes),
+        }
+        print(f"# ivf-delta n={ckpt}: search {warm:.3f}s warm "
+              f"(append {append_s / max(n_appended, 1):.3f}s/batch)",
+              file=sys.stderr)
+    t0 = time.perf_counter()
+    n_folded = fold_deltas(spark, path)
+    fold_s = round(time.perf_counter() - t0, 3)
+    cold, warm = timed_search()
+    n_d, d_bytes, b_bytes = delta_stats(spark, path)
+    out["fold"] = {
+        "n_folded": n_folded, "fold_s": fold_s,
+        "search_cold_s": cold, "search_warm_s": warm,
+        "n_live_segments": n_d,
+    }
+    print(f"# ivf-delta fold: {n_folded} segments in {fold_s:.3f}s, "
+          f"search back to {warm:.3f}s", file=sys.stderr)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
 def clustered_ann_stanza(spark, n: int = 200_000, dim: int = 64,
                          n_centers: int = 256, sigma: float = 0.09,
                          n_queries: int = 16, k: int = 10) -> dict:
@@ -873,6 +994,14 @@ def main() -> None:
         spark.catalog.clearCache()
         context["sf10_ivf_probe"] = ivf_probe_stanza(
             spark, sf10_dir, nprobes=(1, 4, 8, 16, 32, 112)
+        )
+
+        # Delta-segment decay + fold recovery on the sized sf10 index
+        # (VERDICT r09 directive #2) — the measurement behind
+        # should_compact's DELTA_SEGMENT_CAP.
+        spark.catalog.clearCache()
+        context["sf10_ivf_delta_curve"] = ivf_delta_curve_stanza(
+            spark, sf10_dir
         )
 
         # ANN recall on clustered (mixture-of-Gaussians) embeddings

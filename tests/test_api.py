@@ -367,6 +367,143 @@ def test_stream_ivf_append_end_to_end(spark, tmp_path):
     assert any(r["vec_id"] == queries.head()["q_id"] for r in hits)
 
 
+def test_ivf_fold_deltas_exactly_once(spark, tmp_path):
+    """fold_deltas merges every live delta segment into one, rows exactly
+    once, and the subsumption-marker commit protocol tolerates a crash at
+    every window: staging dirs are invisible, a committed fold excludes
+    its subsumed segments even when GC never ran, and a retried
+    micro-batch that re-creates a subsumed segment stays excluded."""
+    import os
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        delta_stats,
+        fold_deltas,
+        ivf_append,
+        read_ivf_lists,
+        should_compact,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    assigned, centroids = build_ivf(base, k_clusters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+    n_base = spark.read.parquet(f"{path}/lists").count()
+
+    for i in range(4):
+        batch = emb.filter(F.col("vec_id") % 2 == 1).limit(10).withColumn(
+            "vec_id", F.col("vec_id") + (i + 1) * 1_000_000
+        )
+        ivf_append(spark, path, batch, batch_token=i)
+    rows_before = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in read_ivf_lists(spark, path).collect()
+    )
+    assert len(rows_before) == n_base + 40
+    n, dbytes, bbytes = delta_stats(spark, path)
+    assert n == 4 and dbytes > 0 and bbytes > 0
+
+    assert fold_deltas(spark, path) == 4
+    delta_dirs = [d for d in os.listdir(f"{path}/delta")]
+    assert delta_dirs == ["batch=fold-1"]  # staging gone, segments GC'd
+    rows_after = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in read_ivf_lists(spark, path).collect()
+    )
+    assert rows_after == rows_before  # nothing lost, nothing duplicated
+    assert fold_deltas(spark, path) == 0  # single live segment: no-op
+
+    # crash window (a): a leftover staging dir is invisible to readers
+    os.makedirs(f"{path}/delta/_fold_staging/cluster=0", exist_ok=True)
+    assert sorted(
+        (r["vec_id"], r["cluster"])
+        for r in read_ivf_lists(spark, path).collect()
+    ) == rows_before
+
+    # crash window (b): an at-least-once RETRY re-creates a segment the
+    # fold already subsumed — the marker must keep excluding it
+    retry = emb.filter(F.col("vec_id") % 2 == 1).limit(10).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    ivf_append(spark, path, retry, batch_token=0)
+    # recreate the marker state: fold-1's marker lists batch=0
+    assert sorted(
+        (r["vec_id"], r["cluster"])
+        for r in read_ivf_lists(spark, path).collect()
+    ) == rows_before
+
+    # a fresh (non-subsumed) batch is live alongside the fold segment,
+    # and a second fold folds fold-1 + the new batch into fold-2
+    fresh = emb.filter(F.col("vec_id") % 2 == 1).limit(5).withColumn(
+        "vec_id", F.col("vec_id") + 9_000_000
+    )
+    ivf_append(spark, path, fresh, batch_token=77)
+    assert read_ivf_lists(spark, path).count() == n_base + 45
+    assert fold_deltas(spark, path) == 2
+    assert read_ivf_lists(spark, path).count() == n_base + 45
+    live = [d for d in os.listdir(f"{path}/delta")
+            if not d.startswith("_") and d != "batch=0"]
+    assert live == ["batch=fold-2"]
+
+    # policy shape
+    assert not should_compact(1, 10**9, 10)      # one segment never folds
+    assert should_compact(16, 1, 10**12)         # count cap
+    assert should_compact(2, 600, 1000)          # byte-ratio bound
+    assert not should_compact(2, 10, 10**6)      # small + few: leave it
+
+
+def test_stream_ivf_append_auto_fold_bounds_segments(spark, tmp_path):
+    """The streaming maintenance loop: with auto_fold on (default), a
+    long stream of 1-file triggers keeps the live segment count bounded
+    by the cap while every vector still lands exactly once."""
+    import os
+
+    from backend_fastapi_spark.operators.ivf import (
+        _live_delta_segments,
+        build_ivf,
+        write_ivf_index,
+        read_ivf_lists,
+        DELTA_SEGMENT_CAP,
+    )
+    from backend_fastapi_spark.streaming.ingest_stream import stream_ivf_append
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    assigned, centroids = build_ivf(base, k_clusters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+    n_base = spark.read.parquet(f"{path}/lists").count()
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    odd = emb.filter(F.col("vec_id") % 2 == 1).limit(40).collect()
+    for i in range(20):  # 20 files -> 20 triggers > DELTA_SEGMENT_CAP
+        two = spark.createDataFrame(
+            odd[2 * i: 2 * i + 2], emb.schema
+        ).withColumn("vec_id", F.col("vec_id") + 2_000_000)
+        two.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ivf_append(stream, path, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    grown = read_ivf_lists(spark, path)
+    assert grown.count() == n_base + 40
+    assert grown.filter(F.col("vec_id") >= 2_000_000).count() == 40
+    assert (
+        grown.filter(F.col("vec_id") >= 2_000_000)
+        .groupBy("vec_id").count().filter("count > 1").count() == 0
+    )
+    assert len(_live_delta_segments(spark, path)) <= DELTA_SEGMENT_CAP
+
+
 def test_ivf_deterministic_degrades_to_exact_and_is_stable(spark):
     """The hash-checkable IVF twin (deterministic medoid quantizer): at
     nprobe = k_clusters it must equal exact kNN (same ids AND the same
