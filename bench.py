@@ -475,11 +475,6 @@ def clustered_ann_stanza(spark, n: int = 200_000, dim: int = 64,
     by side against the exact top-10."""
     import numpy as np
 
-    from pyspark.sql import functions as F
-
-    from backend_fastapi_spark.operators.lsh import rp_size_for, rp_topk
-    from backend_fastapi_spark.operators.vector import knn_exact
-
     # repo-anchored like _MAINT_ROOT/_INDEX_ROOT: a bench run from
     # another cwd must hit the same cache and stay gitignored
     # Cache key carries EVERY generation parameter (ADVICE r09): a stanza
@@ -527,6 +522,29 @@ def clustered_ann_stanza(spark, n: int = 200_000, dim: int = 64,
     gen_s = round(time.perf_counter() - t0, 3)
 
     emb = spark.read.parquet(mog_dir)
+    out = {
+        "corpus": {"n": n, "dim": dim, "n_centers": n_centers,
+                   "sigma": sigma, "gen_s": gen_s},
+        **ann_recall_curves(spark, emb, n_queries=n_queries, k=k,
+                            tag="clustered-ann"),
+    }
+    return out
+
+
+def ann_recall_curves(spark, emb, n_queries: int = 16, k: int = 10,
+                      tag: str = "ann") -> dict:
+    """Shared recall measurement over any (vec_id, embedding) corpus:
+    the sized-IVF persisted probe curve and the deterministic RP-LSH
+    top-k recalls, both against the exact fixed-point top-k. Used by the
+    mixture-of-Gaussians ceiling (clustered_ann), the near-uniform floor
+    (sf10_ivf_probe on the testdata embeddings), and the text-derived
+    mid-envelope point (text_ann)."""
+    from pyspark.sql import functions as F
+
+    from backend_fastapi_spark.operators.lsh import rp_size_for, rp_topk
+    from backend_fastapi_spark.operators.vector import knn_exact
+
+    n = emb.count()
     q = emb.orderBy("vec_id").limit(n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
@@ -537,8 +555,6 @@ def clustered_ann_stanza(spark, n: int = 200_000, dim: int = 64,
     }
 
     out = {
-        "corpus": {"n": n, "dim": dim, "n_centers": n_centers,
-                   "sigma": sigma, "gen_s": gen_s},
         "ivf": ivf_probe_stanza(spark, "", emb=emb, k=k,
                                 n_queries=n_queries),
         "rp_topk": {},
@@ -559,8 +575,121 @@ def clustered_ann_stanza(spark, n: int = 200_000, dim: int = 64,
             "expected_scan_frac": round(
                 n_tables * (1 + multiprobe) / (1 << planes), 4),
         }
-        print(f"# clustered-ann rp {tag_mp}: {dt:.3f}s "
+        print(f"# {tag} rp {tag_mp}: {dt:.3f}s "
               f"recall@10={hits / max(len(exact), 1):.3f}", file=sys.stderr)
+    return out
+
+
+def text_ann_stanza(spark, sf_dir: str, dim: int = 64) -> dict:
+    """The MIDDLE of the ANN recall envelope (VERDICT r09 directive #4):
+    embeddings derived deterministically from the documents TEXT (the
+    seeded md5 feature-hash projection — functions/embedder.py, the same
+    surrogate the correctness oracles certify), so the corpus carries
+    whatever cluster structure the text actually has — between the
+    near-uniform testdata floor (recall ≈ scan fraction) and the
+    mixture-of-Gaussians ceiling (recall 1.0 at a 1% scan). Cached under
+    .scaledata keyed by corpus+dim; regenerated when absent."""
+    from pyspark.sql import functions as F
+
+    from backend_fastapi_spark.functions.embedder import hashing_embedder
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    corpus_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scaledata", f"textemb_{corpus_tag}_d{dim}.parquet",
+    )
+    t0 = time.perf_counter()
+    if not os.path.isdir(cache):
+        embed = hashing_embedder(dim=dim)
+        (
+            read_table(spark, sf_dir, "documents")
+            .select(
+                F.col("doc_id").alias("vec_id"),
+                embed(F.regexp_replace("text", "[^ -~]", " "))
+                .alias("embedding"),
+            )
+            .write.mode("overwrite").parquet(cache)
+        )
+    gen_s = round(time.perf_counter() - t0, 3)
+    emb = spark.read.parquet(cache)
+    return {
+        "corpus": {"source": f"{corpus_tag}/documents", "dim": dim,
+                   "n": emb.count(), "embedder": "md5 feature hash",
+                   "gen_s": gen_s},
+        **ann_recall_curves(spark, emb, tag="text-ann"),
+    }
+
+
+def zorder_scale_stanza(spark, sf_dir: str, n_files: int = 128) -> dict:
+    """Z-order skipping at realistic row-group counts (VERDICT r09
+    directive #3): the hash-green ``zorder_skipping`` audit runs at
+    sf0.01 where orders spans 8 row groups — directionally right,
+    statistically thin. Here orders is rewritten into ``n_files`` files
+    (one+ row group each) range-clustered on o_custkey alone vs
+    Z-ordered on (o_custkey, o_orderkey), and for a ~10% value-range
+    predicate on EACH column the stanza records (a) the footer-level
+    skip fraction (the IO a stats-aware scan must pay) and (b) measured
+    warm seconds for the filtered aggregate on each layout. The claim
+    being tested: single-column clustering is perfect on its own column
+    and useless on the other; Z-order stays selective on both — the
+    two-access-path layout lever at 100 TB."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from backend_fastapi_spark.operators import maintenance as M
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max("o_custkey").alias("ck"), F.max("o_orderkey").alias("ok")
+    ).head()
+    # ~10% value ranges anchored mid-domain (not at the edge, where even
+    # a random layout skips well)
+    boxes = {
+        "o_custkey": (int(mx["ck"] * 0.45), int(mx["ck"] * 0.55)),
+        "o_orderkey": (int(mx["ok"] * 0.45), int(mx["ok"] * 0.55)),
+    }
+    root = tempfile.mkdtemp(prefix="bench_zorder_")
+    out: dict = {"n_files": n_files, "boxes": boxes, "layouts": {}}
+    try:
+        t0 = time.perf_counter()
+        M.cluster_write(orders, f"{root}/clustered", ["o_custkey"], n_files)
+        clustered_write_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        M.zorder_write(
+            orders, f"{root}/zorder", ["o_custkey", "o_orderkey"], n_files
+        )
+        zorder_write_s = round(time.perf_counter() - t0, 3)
+        for layout, write_s in (("clustered", clustered_write_s),
+                                ("zorder", zorder_write_s)):
+            entry: dict = {"write_s": write_s, "cols": {}}
+            for col, (lo, hi) in boxes.items():
+                rep = M.skipping_report(f"{root}/{layout}", col, lo, hi)
+                times = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    (
+                        spark.read.parquet(f"{root}/{layout}")
+                        .filter(F.col(col).between(lo, hi))
+                        .agg(F.sum("o_totalprice"))
+                        .collect()
+                    )
+                    times.append(round(time.perf_counter() - t0, 3))
+                entry["cols"][col] = {
+                    "row_groups": rep["row_groups"],
+                    "overlapping": rep["overlapping"],
+                    "overlap_fraction": rep["overlap_fraction"],
+                    "scan_warm_s": times[1],
+                }
+                print(f"# zorder {layout}/{col}: read "
+                      f"{rep['overlapping']}/{rep['row_groups']} groups, "
+                      f"{times[1]:.3f}s warm", file=sys.stderr)
+            out["layouts"][layout] = entry
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 
@@ -996,6 +1125,13 @@ def main() -> None:
             spark, sf10_dir, nprobes=(1, 4, 8, 16, 32, 112)
         )
 
+        # Z-order skipping at sf10 row-group counts (VERDICT r09
+        # directive #3, "sf10 if budget allows").
+        spark.catalog.clearCache()
+        context["sf10_zorder"] = zorder_scale_stanza(
+            spark, sf10_dir, n_files=256
+        )
+
         # Delta-segment decay + fold recovery on the sized sf10 index
         # (VERDICT r09 directive #2) — the measurement behind
         # should_compact's DELTA_SEGMENT_CAP.
@@ -1008,6 +1144,12 @@ def main() -> None:
         # (VERDICT r08 directive #2): sized IVF vs deterministic RP-LSH.
         spark.catalog.clearCache()
         context["clustered_ann"] = clustered_ann_stanza(spark)
+
+        # The envelope's MIDDLE: text-derived embeddings (VERDICT r09
+        # directive #4) — where a real corpus lands between the
+        # near-uniform floor and the MoG ceiling.
+        spark.catalog.clearCache()
+        context["text_ann"] = text_ann_stanza(spark, sf10_dir)
 
         # Distributed CC on >100k real edges (VERDICT r07 directive #2).
         spark.catalog.clearCache()
@@ -1041,6 +1183,10 @@ def main() -> None:
         # Bucketed-join saving measured (VERDICT r07 directive #6).
         spark.catalog.clearCache()
         context["sf1_bucketed_join"] = bucketed_stanza(spark, sf1_dir)
+        # Z-order two-access-path skipping at 100+ row groups (VERDICT
+        # r09 directive #3) — does the sf0.01 2/8+4/8 result hold?
+        spark.catalog.clearCache()
+        context["sf1_zorder"] = zorder_scale_stanza(spark, sf1_dir)
 
     context["cardinalities"] = cards
     context["cc_stats"] = cc_stats
