@@ -478,3 +478,157 @@ def near_dup_pairs(
         .filter(F.col("sim_i64") >= threshold_i64)
         .select("id_a", "id_b", "sim_i64")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (round 10) — FAISS IndexScalarQuantizer(QT_8bit)
+# as a Spark layout + two-pass search.
+#
+# At 100 TB the exact scan's cost is IO: 64 float32 dims = 256 B/vector
+# (512 B as float64 parquet). Symmetric per-vector int8 codes + one int64
+# scale are ~72 B — a ~4x scan-byte reduction for the candidate pass. The
+# search reads ONLY the code table (narrow scan), ranks by an exact-int64
+# approximate dot, keeps rerank·k candidates per query, and re-reads full
+# vectors for just those rows (a broadcast-sized join) to re-rank exactly.
+# Every step is integer/IEEE arithmetic both engines reproduce, so unlike
+# FAISS's trained quantizers this path is hash-checkable end to end
+# (registered query ann_sq8_rerank).
+# ---------------------------------------------------------------------------
+
+
+def sq8_codes(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, scale_fx, code): deterministic symmetric int8 quantization.
+    scale_fx = max|fx(v)| (int64 fixed-point, the established _fx
+    rounding); code_i = round(fx(v_i)·127/scale_fx) ∈ [-127, 127]. The
+    zero vector quantizes to all-zero codes (scale 0 guard). Pure
+    codegen — transform/array_max/round, no UDF."""
+    fxv = F.transform(F.col(vec_col), _fx)
+    with_fx = df.select(F.col(id_col), fxv.alias("_fxv"))
+    s = F.array_max(F.transform(F.col("_fxv"), F.abs))
+    code = F.when(
+        s == 0, F.transform(F.col("_fxv"), lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(
+            F.col("_fxv"),
+            lambda x: F.round(
+                x.cast("double") * 127.0 / s.cast("double"), 0
+            ).cast("int"),
+        )
+    )
+    return with_fx.select(
+        F.col(id_col), s.alias("scale_fx"), code.alias("code")
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 4,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Two-pass SQ8 search: approximate int8 scan → exact re-rank.
+
+    Pass 1 scans the CODE table only (``codes`` when the caller has it
+    persisted — the 4x-smaller layout — else derived from ``corpus``),
+    scoring every (vector, query) pair with the exact-int64 approximate
+    dot Σ(c_v·c_q)·s_v·s_q (bounded: 64·127²·1e12 < 2^63) and keeping
+    the ``rerank``·k best per query. The query side is driver-small by
+    contract (same MAX guard as knn_exact) and enters the plan as an
+    exploded LITERAL array — a Generate node, no join, no shuffle on the
+    corpus side. Pass 2 joins the surviving candidates (broadcast-sized:
+    rerank·k per query) back to the full vectors and re-ranks with the
+    exact fixed-point dot. Returns (q_id, <corpus_id>, approx_i64,
+    score_i64) ranked best-first per query; ties broken by id at both
+    passes, so the result is a total order any engine reproduces.
+
+    Recall contract: pass 1 misses a true top-k member only when int8
+    rounding reorders it below rerank·k candidates — tests assert
+    recall@10 = 1.0 at rerank=4 on the testdata embeddings and plant an
+    adversarial near-tie to show the re-rank (not the approx order)
+    decides the final ranking."""
+    MAX_QUERY_ROWS = 100_000
+    qcodes = sq8_codes(queries, id_col="q_id", vec_col="q_embedding")
+    qrows = (
+        qcodes.join(queries.select("q_id", "q_embedding"), "q_id")
+        .limit(MAX_QUERY_ROWS + 1)
+        .collect()
+    )
+    if len(qrows) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"sq8_topk queries side exceeds {MAX_QUERY_ROWS} rows — it "
+            "must be broadcast-sized"
+        )
+    if codes is None:
+        codes = sq8_codes(corpus, id_col=corpus_id, vec_col=vec_col)
+    if not qrows:
+        return (
+            codes.select(
+                F.lit(None).cast("string").alias("q_id"),
+                F.col(corpus_id),
+                F.lit(0).cast("long").alias("approx_i64"),
+                F.lit(0).cast("long").alias("score_i64"),
+            ).filter(F.lit(False))
+        )
+
+    q_structs = [
+        F.struct(
+            F.lit(r["q_id"]).alias("q_id"),
+            F.lit(int(r["scale_fx"])).cast("long").alias("q_scale"),
+            F.array(*[F.lit(int(c)) for c in r["code"]]).alias("q_code"),
+        )
+        for r in qrows
+    ]
+    scored = codes.select(
+        F.col(corpus_id),
+        "scale_fx",
+        "code",
+        F.explode(F.array(*q_structs)).alias("_q"),
+    ).select(
+        F.col("_q")["q_id"].alias("q_id"),
+        F.col(corpus_id),
+        (
+            F.aggregate(
+                F.zip_with(
+                    "code",
+                    F.col("_q")["q_code"],
+                    lambda x, y: (x * y).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            * F.col("scale_fx")
+            * F.col("_q")["q_scale"]
+        ).alias("approx_i64"),
+    )
+    w1 = Window.partitionBy("q_id").orderBy(
+        F.col("approx_i64").desc(), F.col(corpus_id).asc()
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= rerank * k)
+        .drop("_rn")
+    )
+    qvecs = corpus.sparkSession.createDataFrame(
+        [(r["q_id"], [float(x) for x in r["q_embedding"]]) for r in qrows],
+        "q_id " + dict(queries.dtypes)["q_id"] + ", q_embedding array<double>",
+    )
+    rer = (
+        cand.join(corpus.select(F.col(corpus_id), vec_col), corpus_id)
+        .join(F.broadcast(qvecs), "q_id")
+        .withColumn(
+            "score_i64", fixed_dot(F.col(vec_col), F.col("q_embedding"))
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("score_i64").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        rer.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", corpus_id, "approx_i64", "score_i64")
+    )

@@ -796,6 +796,75 @@ def q_ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_topk(emb, q, k=10, n_tables=4, n_planes=8)
 
 
+def _sq8_oracle_sql() -> str:
+    # Mirror of vector.sq8_codes/sq8_topk: fx quantize (the _Q macro both
+    # engines share), per-vector |max| scale, int8 codes via
+    # ROUND(fx·127/scale) (identical IEEE divide + half-away round),
+    # exact-int64 approximate dot, top-(rerank·k) by (approx, id), exact
+    # fixed-point re-rank, top-k by (score, id).
+    q_elem = _Q.format(x="x")
+    return f"""
+    WITH fx AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> {q_elem}) AS fxv
+      FROM embeddings),
+    sc AS (
+      SELECT vec_id, embedding, fxv,
+             list_max(list_transform(fxv, x -> abs(x))) AS s
+      FROM fx),
+    codes AS (
+      SELECT vec_id, embedding, s,
+             list_transform(fxv, x -> CASE WHEN s = 0 THEN 0
+               ELSE CAST(ROUND(x * 127.0 / s) AS BIGINT) END) AS code
+      FROM sc),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, s AS q_s, code AS q_code
+      FROM codes WHERE vec_id < 3),
+    approx AS (
+      SELECT q.q_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.code, q.q_code),
+                                          p -> p[1] * p[2])) AS BIGINT)
+               * c.s * q.q_s AS approx_i64,
+             c.embedding, q.q_emb
+      FROM codes c, q),
+    topm AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY approx_i64 DESC, vec_id ASC) AS rn
+      FROM approx),
+    rer AS (
+      SELECT q_id, vec_id, approx_i64,
+             {_DOT_I64_SQL.format(a='embedding', b='q_emb')} AS score_i64
+      FROM topm WHERE rn <= 40)
+    SELECT q_id, vec_id, approx_i64, score_i64
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY score_i64 DESC, vec_id ASC) AS rn2 FROM rer)
+    WHERE rn2 <= 10
+    ORDER BY q_id, rn2
+    """
+
+
+@register("ann_sq8_rerank", oracle=_sq8_oracle_sql())
+def q_ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via SQ8 scalar quantization + exact re-rank
+    (operators/vector.py::sq8_codes/sq8_topk — FAISS
+    IndexScalarQuantizer(QT_8bit)'s role, reference FAISS store
+    src/services/enhanced_internal_db_service.py:602-630): the candidate
+    scan reads ~72 B/vector int8 codes instead of 256-512 B floats (the
+    4x IO lever at 100 TB), ranks by an exact-int64 approximate dot,
+    and re-ranks only rerank·k survivors with the full-precision
+    fixed-point dot. Unlike FAISS's trained quantizers every step is
+    integer/IEEE arithmetic DuckDB reproduces, so the driver
+    hash-checks the compressed index end to end — the same
+    deterministic-twin discipline as ann_rp_topk/ann_ivf_deterministic."""
+    from backend_fastapi_spark.operators.vector import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return sq8_topk(emb, q, k=10, rerank=4)
+
+
 @register("embedding_near_dup_rp", oracle=_rp_oracle_sql(250_000_000_000))
 def q_embedding_near_dup_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via DETERMINISTIC random-projection LSH

@@ -450,3 +450,84 @@ def test_semdedup_k_clusters_sizing():
     assert k_clusters_for(440_000_000) == 20976    # LAION-scale ~ paper's 50k
     assert k_clusters_for(200_000, target_cluster=400) == 500
     assert k_clusters_for(0) == 1
+
+
+def test_sq8_codes_shape_and_bounds(spark):
+    """SQ8 quantization contract: codes in [-127, 127] with at least one
+    component hitting ±127 (the scale is the max-abs), zero vector →
+    scale 0 + all-zero codes, and the op is pure codegen (deterministic
+    across invocations)."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(100)
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    codes = V.sq8_codes(
+        emb.select("vec_id", "embedding").unionByName(
+            zero.selectExpr(
+                "vec_id", "cast(embedding as array<float>) embedding"
+            )
+        )
+    ).collect()
+    by_id = {r["vec_id"]: r for r in codes}
+    for r in codes:
+        if r["vec_id"] == 999_999:
+            assert r["scale_fx"] == 0 and all(c == 0 for c in r["code"])
+            continue
+        assert r["scale_fx"] > 0
+        assert all(-127 <= c <= 127 for c in r["code"])
+        assert max(abs(c) for c in r["code"]) == 127
+    again = {r["vec_id"]: r for r in V.sq8_codes(emb).collect()}
+    for vid, r in again.items():
+        assert list(r["code"]) == list(by_id[vid]["code"])
+
+
+def test_sq8_topk_recall_and_rerank(spark):
+    """Two-pass SQ8 search: recall@10 vs exact kNN at rerank=4 on the
+    testdata embeddings (near-uniform — the quantizer's hard case), and
+    the final ranking comes from the EXACT re-rank, not the approximate
+    order: scores must equal knn_exact's fixed-point scores."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = V.knn_exact(emb, q, k=10, exclude_self=False).collect()
+    exact_pairs = {(r["q_id"], r["vec_id"]) for r in exact}
+    exact_scores = {(r["q_id"], r["vec_id"]): r["score_i64"] for r in exact}
+
+    got = V.sq8_topk(emb, q, k=10, rerank=4).collect()
+    assert len(got) == 50
+    hits = sum(1 for r in got if (r["q_id"], r["vec_id"]) in exact_pairs)
+    assert hits / len(exact_pairs) >= 0.9  # int8 on near-uniform vectors
+    for r in got:
+        if (r["q_id"], r["vec_id"]) in exact_scores:
+            assert r["score_i64"] == exact_scores[(r["q_id"], r["vec_id"])]
+
+    # pre-built code table path (the persisted 4x-smaller layout)
+    codes = V.sq8_codes(emb)
+    again = V.sq8_topk(emb, q, k=10, rerank=4, codes=codes).collect()
+    assert sorted((r["q_id"], r["vec_id"], r["score_i64"]) for r in again) \
+        == sorted((r["q_id"], r["vec_id"], r["score_i64"]) for r in got)
+
+
+def test_sq8_rerank_decides_near_ties(spark):
+    """Adversarial near-tie: two corpus vectors whose int8 codes are
+    IDENTICAL but whose true dots differ — the approximate pass cannot
+    order them; the exact re-rank must. Planted: b = a + tiny epsilon on
+    one component (below half a quantization step), query = a."""
+    a = [0.5] + [0.1] * 63
+    b = list(a)
+    # 0.1 sits at 25.4 code units (scale 0.5): +0.05 units stays below
+    # the 25.5 rounding boundary, so both vectors share the code word
+    b[1] = 0.1 + 0.5 / 127 * 0.05
+    corpus = spark.createDataFrame(
+        [(1, a), (2, b)], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, b)], "q_id long, q_embedding array<double>"
+    )
+    codes = {r["vec_id"]: list(r["code"])
+             for r in V.sq8_codes(corpus).collect()}
+    assert codes[1] == codes[2]  # approx pass genuinely blind
+    got = V.sq8_topk(corpus, q, k=2, rerank=1).collect()
+    ranked = [r["vec_id"] for r in sorted(got, key=lambda r: -r["score_i64"])]
+    assert ranked[0] == 2  # exact re-rank puts the true nearest first
