@@ -642,15 +642,25 @@ def zorder_scale_stanza(spark, sf_dir: str, n_files: int = 128) -> dict:
     from backend_fastapi_spark.operators import maintenance as M
     from backend_fastapi_spark.sources.parquet import read_table
 
-    orders = read_table(spark, sf_dir, "orders")
-    mx = orders.agg(
-        F.max("o_custkey").alias("ck"), F.max("o_orderkey").alias("ok")
+    # Second dimension is o_totalprice (as integer cents, materialized so
+    # footer stats exist on it), NOT o_orderkey: the sf1/sf10 generator
+    # derives o_custkey from the row id, so custkey↔orderkey are corr=1.0
+    # there and a (custkey, orderkey) Z-order would measure nothing —
+    # clustering on one IS clustering on the other. custkey↔price is
+    # corr≈0 at every sf, and a price-range scan is a real second access
+    # path. Predicate boxes come from quantiles (45th-55th percentile:
+    # a ~10% mid-domain band), not 0.45·max — the generated custkey
+    # domain is sparse enough that value-fraction boxes can be empty.
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    qs = orders.agg(
+        F.percentile_approx("o_custkey", [0.45, 0.55], 10_000).alias("ck"),
+        F.percentile_approx("o_price_cents", [0.45, 0.55], 10_000).alias("pc"),
     ).head()
-    # ~10% value ranges anchored mid-domain (not at the edge, where even
-    # a random layout skips well)
     boxes = {
-        "o_custkey": (int(mx["ck"] * 0.45), int(mx["ck"] * 0.55)),
-        "o_orderkey": (int(mx["ok"] * 0.45), int(mx["ok"] * 0.55)),
+        "o_custkey": (int(qs["ck"][0]), int(qs["ck"][1])),
+        "o_price_cents": (int(qs["pc"][0]), int(qs["pc"][1])),
     }
     root = tempfile.mkdtemp(prefix="bench_zorder_")
     out: dict = {"n_files": n_files, "boxes": boxes, "layouts": {}}
@@ -660,7 +670,8 @@ def zorder_scale_stanza(spark, sf_dir: str, n_files: int = 128) -> dict:
         clustered_write_s = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         M.zorder_write(
-            orders, f"{root}/zorder", ["o_custkey", "o_orderkey"], n_files
+            orders, f"{root}/zorder", ["o_custkey", "o_price_cents"],
+            n_files,
         )
         zorder_write_s = round(time.perf_counter() - t0, 3)
         for layout, write_s in (("clustered", clustered_write_s),
