@@ -704,3 +704,132 @@ def ivf_search(
         .filter(F.col("_rn") <= k)
         .select("q_id", corpus_id, "cluster", "score_i64")
     )
+
+
+def ivf_sq8_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_clusters: int = 16,
+    nprobe: int = 2,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    med: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """FAISS IndexIVFScalarQuantizer as a composition of the engine's two
+    deterministic ANN layers: the medoid coarse quantizer prunes the
+    corpus to ``nprobe`` clusters per query (ivf_deterministic_topk's
+    assign/probe machinery — Arrow int64 matmul assignment, interpreted
+    argmin probe), and WITHIN the probed lists the candidate scoring
+    reads SQ8 int8 codes (vector.sq8_codes — ~72 B/vector instead of
+    256-512 B: at 100 TB the probed partitions' IO drops ~4x again on
+    top of the nprobe/k pruning), ranking ``rerank``·k survivors per
+    query before the exact fixed-point re-rank. Every step is
+    integer/IEEE arithmetic, so the WHOLE composed index — coarse
+    assignment, probe, compressed candidate scan, re-rank — is
+    hash-checkable (registered query ann_ivf_sq8_top10), which the
+    trained FAISS composition never is.
+
+    Returns (q_id, <id_col>, cluster, approx_i64, score_i64) ranked
+    best-first per query; ties broken by id at both ranking steps.
+
+    Plan note: here the code table derives from ``df`` and joins the
+    pruned candidates by id; a persisted deployment stores codes AS
+    COLUMNS of the partitioned inverted lists (write_ivf_index over
+    sq8_codes output joined to the assignment), making the candidate
+    scan a narrow projection of the probed partitions with no join."""
+    from pyspark.sql import Window
+
+    from backend_fastapi_spark.operators.vector import fixed_dot, sq8_codes
+
+    if med is None:
+        med = deterministic_medoids(df, k_clusters, id_col, vec_col)
+
+    base = df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_qv"))
+    assigned = _assign_arrow(base, med, id_col).drop("_qv")
+
+    def argmin_struct(qv):
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _l2_i64_lit(qv, cv).alias("d"),
+                        F.lit(c).cast("int").alias("cluster"),
+                    )
+                    for c, cv in med
+                ]
+            )
+        )
+
+    probe = (
+        queries.select(
+            F.col("q_id"), _quantize(F.col("q_embedding")).alias("_pq")
+        )
+        .select(
+            "q_id",
+            F.explode(
+                F.slice(argmin_struct(F.col("_pq")), 1, nprobe)
+            ).alias("_probe"),
+        )
+        .select("q_id", F.col("_probe")["cluster"].alias("cluster"))
+    )
+
+    cand = assigned.join(F.broadcast(probe), "cluster").filter(
+        ~F.col(id_col).cast("string").eqNullSafe(F.col("q_id").cast("string"))
+    )
+
+    codes = sq8_codes(df, id_col=id_col, vec_col=vec_col)
+    qcodes = sq8_codes(queries, id_col="q_id", vec_col="q_embedding").select(
+        "q_id",
+        F.col("scale_fx").alias("_qscale"),
+        F.col("code").alias("_qcode"),
+    )
+    approx = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(qcodes), "q_id")
+        .select(
+            "q_id",
+            id_col,
+            "cluster",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "code", "_qcode", lambda x, y: (x * y).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                * F.col("scale_fx")
+                * F.col("_qscale")
+            ).alias("approx_i64"),
+        )
+    )
+    w1 = Window.partitionBy("q_id").orderBy(
+        F.col("approx_i64").desc(), F.col(id_col).asc()
+    )
+    short = (
+        approx.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= rerank * k)
+        .drop("_rn")
+    )
+    rer = (
+        short.join(df.select(F.col(id_col), vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select("q_id", "q_embedding")
+            ),
+            "q_id",
+        )
+        .withColumn(
+            "score_i64", fixed_dot(F.col(vec_col), F.col("q_embedding"))
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("score_i64").desc(), F.col(id_col).asc()
+    )
+    return (
+        rer.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col, "cluster", "approx_i64", "score_i64")
+    )

@@ -5734,6 +5734,101 @@ def q_ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_sq8_oracle_sql(
+    n_queries: int = 3, k: int = 10, k_clusters: int = 16, nprobe: int = 2,
+    rerank: int = 4,
+) -> str:
+    """DuckDB twin of ivf_sq8_topk: the _ivf_det_oracle_sql CTE chain
+    (medoid quantizer, int64 assign/probe) composed with the SQ8 CTEs
+    (per-vector |max| scale, int8 codes, exact-int64 approximate dot) —
+    shortlist by (approx, id), exact fixed-point re-rank, top-k."""
+    from backend_fastapi_spark.operators.vector import FIXED_SCALE
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE)*{FIXED_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings),
+    med AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INTEGER) AS cluster,
+             qv AS cv
+      FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k_clusters}),
+    dist AS (
+      SELECT a.vec_id, m.cluster,
+             CAST(list_sum(list_transform(list_zip(a.qv, m.cv),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS d
+      FROM q a, med m),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist) WHERE rn = 1),
+    probe AS (
+      SELECT q_id, cluster FROM (
+        SELECT vec_id AS q_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}),
+    codes AS (
+      SELECT vec_id,
+             list_max(list_transform(qv, x -> abs(x))) AS s,
+             list_transform(qv, x ->
+               CASE WHEN list_max(list_transform(qv, y -> abs(y))) = 0 THEN 0
+                    ELSE CAST(ROUND(x * 127.0 /
+                      list_max(list_transform(qv, y -> abs(y)))) AS BIGINT)
+               END) AS code
+      FROM q),
+    approx AS (
+      SELECT p.q_id, a.vec_id, a.cluster,
+             CAST(list_sum(list_transform(list_zip(cc.code, qc.code),
+               x -> x[1]*x[2])) AS BIGINT) * cc.s * qc.s AS approx_i64
+      FROM assign a
+      JOIN probe p USING (cluster)
+      JOIN codes cc ON cc.vec_id = a.vec_id
+      JOIN codes qc ON qc.vec_id = p.q_id
+      WHERE a.vec_id <> p.q_id),
+    short AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY approx_i64 DESC, vec_id) AS rn
+        FROM approx) WHERE rn <= {rerank * k}),
+    rer AS (
+      SELECT s.q_id, s.vec_id, s.cluster, s.approx_i64,
+             CAST(list_sum(list_transform(list_zip(vv.qv, qq.qv),
+               x -> x[1]*x[2])) AS BIGINT) AS score_i64
+      FROM short s
+      JOIN q vv ON vv.vec_id = s.vec_id
+      JOIN q qq ON qq.vec_id = s.q_id)
+    SELECT q_id, vec_id, cluster, approx_i64, score_i64 FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score_i64 DESC, vec_id) AS rn
+      FROM rer) WHERE rn <= {k}
+    """
+
+
+@register("ann_ivf_sq8_top10", oracle=_ivf_sq8_oracle_sql())
+def q_ann_ivf_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/V3 composed: IVF pruning × SQ8 compression in one search
+    (operators/ivf.py::ivf_sq8_topk — FAISS IndexIVFScalarQuantizer's
+    role, the standard billion-scale FAISS factory string "IVFx,SQ8").
+    The coarse quantizer prunes the scan to nprobe/k_clusters of the
+    corpus, the candidate pass inside probed lists reads ~72 B/vector
+    int8 codes (another ~4x on the probed partitions' IO), and only
+    rerank·k survivors per query pay full-precision scoring. Medoid
+    quantizer + integer arithmetic end to end, so the ENTIRE composed
+    index is hash-checked — assignment, probe, compressed shortlist
+    (approx_i64 in the output), and exact re-rank (score_i64)."""
+    from backend_fastapi_spark.operators.ivf import ivf_sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_sq8_topk(
+        emb, _query_vectors(spark, sf_dir, 3), k=10, k_clusters=16,
+        nprobe=2, rerank=4,
+    )
+
+
 @register("ann_ivf_trained_top10", oracle=None)  # MLlib KMeans centroids: JVM float math, rows-only like ann_pq_trained_top10
 def q_ann_ivf_trained_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search with KMEANS-TRAINED coarse centroids — the

@@ -684,3 +684,54 @@ def test_engine_bucket_table_roundtrip(spark):
         assert "Num Buckets 4" in txt
     finally:
         spark.sql("DROP TABLE IF EXISTS api_b_cust")
+
+
+def test_ivf_sq8_composes_layers_consistently(spark):
+    """IVF×SQ8 (IndexIVFScalarQuantizer role): at nprobe=k_clusters and a
+    rerank window covering every candidate it must equal exact kNN (ids
+    AND fixed-point scores); at nprobe=2/rerank=4 the exact re-rank
+    scores must still match knn_exact's for every returned pair, and the
+    shortlist must respect the probed clusters of the medoid quantizer."""
+    from backend_fastapi_spark.operators.ivf import (
+        ivf_deterministic_topk,
+        ivf_sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = V.knn_exact(emb, queries, k=10).collect()
+    exact_ids: dict = {}
+    exact_scores = {}
+    for r in exact:
+        exact_ids.setdefault(r.q_id, set()).add(r.vec_id)
+        exact_scores[(r.q_id, r.vec_id)] = r.score_i64
+
+    # degenerate config -> exact
+    n = emb.count()
+    full = ivf_sq8_topk(
+        emb, queries, k=10, k_clusters=8, nprobe=8, rerank=(n // 10) + 1
+    ).collect()
+    got_ids: dict = {}
+    for r in full:
+        got_ids.setdefault(r.q_id, set()).add(r.vec_id)
+        assert r.score_i64 == exact_scores[(r.q_id, r.vec_id)]
+    assert got_ids == exact_ids
+
+    # pruned config: scores still exact; clusters come from the same
+    # deterministic probe ivf_deterministic_topk uses
+    pruned = ivf_sq8_topk(emb, queries, k=10, k_clusters=16, nprobe=2,
+                          rerank=4).collect()
+    det = ivf_deterministic_topk(emb, queries, k=10, k_clusters=16,
+                                 nprobe=2).collect()
+    det_clusters = {}
+    for r in det:
+        det_clusters.setdefault(r.q_id, set()).add(r.cluster)
+    exact_all = {
+        (r.q_id, r.vec_id): r.score_i64
+        for r in V.knn_exact(emb, queries, k=n, exclude_self=True).collect()
+    }
+    for r in pruned:
+        assert r.cluster in det_clusters[r.q_id]
+        assert r.score_i64 == exact_all[(r.q_id, r.vec_id)]
