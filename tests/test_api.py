@@ -735,3 +735,73 @@ def test_ivf_sq8_composes_layers_consistently(spark):
     for r in pruned:
         assert r.cluster in det_clusters[r.q_id]
         assert r.score_i64 == exact_all[(r.q_id, r.vec_id)]
+
+
+def test_ivf_sq8_persisted_layout_prunes_columns_and_partitions(spark, tmp_path):
+    """The persisted IVFx,SQ8 layout: the candidate pass's file scan must
+    be BOTH partition-pruned (PartitionFilters on cluster) and
+    column-pruned (ReadSchema carries scale_fx/code but NOT embedding —
+    the 4-7x byte win), the re-rank scores must equal knn_exact's
+    fixed-point scores, and appends through ivf_append keep the layout
+    searchable when they carry the code columns."""
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_sq8_search_persisted,
+        write_ivf_sq8_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    assigned, centroids = build_ivf(emb, k_clusters=8)
+    path = str(tmp_path / "ivfsq8")
+    write_ivf_sq8_index(assigned, centroids, path)
+    cols = set(spark.read.parquet(f"{path}/lists").columns)
+    assert {"vec_id", "embedding", "scale_fx", "code", "cluster"} <= cols
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    queries = spark.createDataFrame(q.collect(), q.schema)
+    out = ivf_sq8_search_persisted(spark, path, queries, k=5, nprobe=3,
+                                   rerank=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # candidate scan: a file scan that reads the code columns without the
+    # embedding column, partition-filtered on cluster
+    scans = [seg for seg in plan.split("FileScan") if "scale_fx" in seg]
+    assert scans, plan
+    assert any("embedding" not in seg.split("ReadSchema")[1][:300]
+               for seg in scans if "ReadSchema" in seg), plan
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    rows = out.collect()
+    assert len(rows) == 15
+    exact = {
+        (r.q_id, r.vec_id): r.score_i64
+        for r in V.knn_exact(emb, queries, k=emb.count(),
+                              exclude_self=False).collect()
+    }
+    for r in rows:
+        assert r.score_i64 == exact[(r.q_id, r.vec_id)]
+    # recall vs the exact top-5 within a 3/8 probe on near-uniform data:
+    # sane, not perfect — assert the planted self-neighbor case instead
+    top = V.knn_exact(emb, queries, k=5, exclude_self=False).collect()
+    top_pairs = {(r.q_id, r.vec_id) for r in top}
+    hits = sum(1 for r in rows if (r.q_id, r.vec_id) in top_pairs)
+    assert hits / len(top_pairs) >= 0.4
+
+    # growth: a plain (id, embedding) batch appended into the SQ8 layout
+    # derives its code columns, and a probed search finds the appendee
+    # through the column-pruned candidate pass (it is its own nearest)
+    from backend_fastapi_spark.operators.ivf import ivf_append
+
+    extra = emb.limit(1).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_append(spark, path, extra, batch_token=1)
+    qx = extra.select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_embedding"))
+    qx = spark.createDataFrame(qx.collect(), qx.schema)
+    got = ivf_sq8_search_persisted(spark, path, qx, k=3, nprobe=2,
+                                   rerank=4).collect()
+    assert any(r.vec_id == qx.head().q_id for r in got)
