@@ -805,3 +805,39 @@ def test_ivf_sq8_persisted_layout_prunes_columns_and_partitions(spark, tmp_path)
     got = ivf_sq8_search_persisted(spark, path, qx, k=3, nprobe=2,
                                    rerank=4).collect()
     assert any(r.vec_id == qx.head().q_id for r in got)
+
+
+def test_ivf_sq8_layout_byte_ratio(spark, tmp_path):
+    """The SQ8 claim in bytes, from the persisted footers: the candidate
+    pass's columns (scale_fx + code) must cost well under half the
+    embedding column's compressed bytes (measured ~0.30 on the testdata
+    embeddings) — the IO the column-pruned probed scan actually saves."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        write_ivf_sq8_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    assigned, cents = build_ivf(emb, k_clusters=8)
+    path = str(tmp_path / "ivfsq8")
+    write_ivf_sq8_index(assigned, cents, path)
+    tot: dict = {}
+    for d, _, files in os.walk(f"{path}/lists"):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema.split(".")[0]
+                    tot[name] = tot.get(name, 0) + col.total_compressed_size
+    assert tot.get("embedding", 0) > 0 and tot.get("code", 0) > 0
+    ratio = (tot["code"] + tot.get("scale_fx", 0)) / tot["embedding"]
+    assert ratio < 0.4, f"SQ8 columns not small enough: {ratio:.3f}"
