@@ -6665,6 +6665,74 @@ def q_ivf_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_sq8_audit_oracle_sql() -> str:
+    # Both-engines-read-the-persisted-files discipline (index_sink_audit /
+    # ivf_append_audit): audit the SQ8-carrying inverted lists the Spark
+    # query just wrote at the driver's sf0.01 — per-cluster counts, the
+    # scale column mass, and an order-independent code checksum proving
+    # the int8 codes landed next to the vectors they quantize.
+    base = f"{_INDEX_ROOT}/sf0.01/ivf_sq8"
+    return f"""
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(scale_fx) AS BIGINT) AS scale_sum,
+           CAST(SUM(list_sum(list_transform(code, x -> abs(x)))) AS BIGINT)
+             AS code_abs_sum,
+           CAST(SUM(vec_id % 1000003) AS BIGINT) AS id_sum
+    FROM read_parquet('{base}/lists/*/*.parquet', hive_partitioning = 1)
+    GROUP BY cluster ORDER BY cluster
+    """
+
+
+@register("ivf_sq8_index_audit", oracle=_ivf_sq8_audit_oracle_sql())
+def q_ivf_sq8_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVFx,SQ8 LAYOUT promoted to driver hash-green
+    (operators/ivf.py::write_ivf_sq8_index): inverted lists carrying the
+    int8 code columns beside the full vectors, so the candidate pass of
+    ``ivf_sq8_search_persisted`` scans a column-pruned projection of the
+    probed partitions (ReadSchema without the embedding column — plan
+    test) and the re-rank re-reads vectors for the shortlist only. Both
+    engines audit the same persisted files: per-cluster counts, the
+    scale column, an order-independent |code| checksum, and the id sum —
+    certifying the codes landed correctly quantized next to their
+    vectors. Search semantics are separately hash-checked by
+    ``ann_ivf_sq8_top10``; byte economics by
+    tests/test_api.py::test_ivf_sq8_layout_byte_ratio (~30% of the
+    embedding column's compressed bytes)."""
+    import os
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        write_ivf_sq8_index,
+    )
+
+    base_dir = os.path.join(
+        _INDEX_ROOT,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "ivf_sq8",
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, centroids = build_ivf(emb, k_clusters=8)
+    write_ivf_sq8_index(assigned, centroids, base_dir, mode="overwrite")
+    back = spark.read.parquet(f"{base_dir}/lists")
+    return (
+        back.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("scale_fx").alias("scale_sum"),
+            F.sum(
+                F.aggregate(
+                    F.transform("code", lambda x: F.abs(x).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("code_abs_sum"),
+            F.sum(F.col("vec_id") % 1000003).alias("id_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @register("index_sink_audit", oracle=_index_audit_oracle_sql())
 def q_index_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11-S13 promoted to driver hash-green: the vector-index sink

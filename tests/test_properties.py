@@ -509,3 +509,66 @@ def test_c4_span_dedup_accounting(spark, docs_lines):
         assert all(any(k == x for x in it) for k in kept)
     if total_dups == 0:  # all-distinct corpus is untouched
         assert all(out[i].clean_text == rows[i][1] for i, _ in rows)
+
+
+def _sq8_model(vec):
+    """Pure-python model of vector.sq8_codes: half-away-from-zero rounds
+    (Spark/DuckDB ROUND), 1e6 fixed-point, per-vector |max| scale."""
+    import math
+
+    def rnd(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    fx = [rnd(float(v) * 1_000_000) for v in vec]
+    s = max((abs(x) for x in fx), default=0)
+    if s == 0:
+        return 0, [0] * len(fx)
+    return s, [rnd(x * 127.0 / s) for x in fx]
+
+
+@given(st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=32))
+def test_sq8_model_invariants(vec):
+    """Quantization invariants: codes bounded by ±127, at least one code
+    hits the bound (scale = max |fx|), and per-component reconstruction
+    error is at most half a quantization step (s/254 in fx units)."""
+    s, codes = _sq8_model(vec)
+    assert all(-127 <= c <= 127 for c in codes)
+    import math
+
+    fx = [int(math.floor(float(v) * 1e6 + 0.5)) if v >= 0
+          else -int(math.floor(-float(v) * 1e6 + 0.5)) for v in vec]
+    if s == 0:
+        assert codes == [0] * len(vec)
+        return
+    assert max(abs(c) for c in codes) == 127
+    for x, c in zip(fx, codes):
+        assert abs(x - c * s / 127.0) <= s / 254.0 + 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                                   allow_nan=False, allow_infinity=False,
+                                   width=32),
+                         min_size=8, max_size=8),
+                min_size=1, max_size=5))
+def test_sq8_codes_match_python_model(spark, vecs):
+    """Spark's codegen sq8_codes agrees with the pure-python model on
+    arbitrary float32 vectors — the same engine-neutral-arithmetic
+    contract the DuckDB oracle relies on."""
+    from backend_fastapi_spark.operators.vector import sq8_codes
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: (int(r["scale_fx"]), [int(c) for c in r["code"]])
+           for r in sq8_codes(df).collect()}
+    import numpy as np
+
+    for i, v in enumerate(vecs):
+        # the engine quantizes the FLOAT32 value cast to double — mirror
+        # that in the model input
+        v32 = [float(np.float32(x)) for x in v]
+        assert got[i] == _sq8_model(v32)
