@@ -73,18 +73,22 @@ def build_ivf(
     queries."""
     with_vec = df.withColumn("features", array_to_vector(F.col(vec_col)))
     train = with_vec
+    sampled = None
     if train_sample_rows is not None:
         n = with_vec.count()
         if n > train_sample_rows:
             sampled = with_vec.sample(
                 fraction=min(1.0, train_sample_rows / n * 1.05), seed=seed
-            ).limit(train_sample_rows)
+            ).limit(train_sample_rows).cache()
             # Bernoulli sampling can under-draw; KMeans.fit raises when
             # the training frame has fewer rows than k (ADVICE r09).
             # Caching bounds the double pass to the small sample.
-            sampled = sampled.cache()
             train = sampled if sampled.count() >= k_clusters else with_vec
     model = KMeans(k=k_clusters, seed=seed, featuresCol="features").fit(train)
+    if sampled is not None:
+        # release the pinned sample: repeated builds in one session
+        # (bench stanzas) must not accumulate executor storage
+        sampled.unpersist()
     assigned = model.transform(with_vec).withColumnRenamed(
         "prediction", "cluster"
     ).drop("features")
@@ -110,9 +114,10 @@ def write_ivf_index(
     (ADVICE r09): deltas were assigned against the OLD centroids, so a
     rebuild that left them in place would make ``read_ivf_lists`` union
     duplicated vectors whose cluster ids are wrong for the new quantizer.
-    A rebuild is a new index epoch — the deltas belong to the old one."""
-    assigned.write.partitionBy("cluster").mode(mode).parquet(f"{path}/lists")
-    centroids.write.mode(mode).parquet(f"{path}/centroids")
+    A rebuild is a new index epoch — the deltas belong to the old one.
+    The delete runs FIRST: a crash mid-rebuild then leaves an obviously
+    incomplete index a re-run repairs, never a complete-LOOKING one that
+    silently unions old-epoch deltas (review r10)."""
     if mode == "overwrite":
         spark = assigned.sparkSession
         jvm = spark._jvm
@@ -120,6 +125,13 @@ def write_ivf_index(
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(p):
             fs.delete(p, True)
+        # a plain rebuild also clears a previous SQ8 layout's marker
+        # (write_ivf_sq8_index re-creates it after this call)
+        m = jvm.org.apache.hadoop.fs.Path(f"{path}/_SQ8")
+        if fs.exists(m):
+            fs.delete(m, False)
+    assigned.write.partitionBy("cluster").mode(mode).parquet(f"{path}/lists")
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
 
 
 def _subdirs(spark, dir_path: str) -> list[str]:
@@ -235,8 +247,14 @@ def ivf_append(
         metric="l2",
         exclude_self=False,
     ).select(F.col("q_id").alias(id_col), "cluster")
-    base_cols = set(spark.read.parquet(f"{path}/lists").columns)
-    if {"scale_fx", "code"} <= base_cols and "code" not in new_vectors.columns:
+    jvm = spark._jvm
+    sq8_marker = jvm.org.apache.hadoop.fs.Path(f"{path}/_SQ8")
+    sq8_fs = sq8_marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if sq8_fs.exists(sq8_marker) and "code" not in new_vectors.columns:
+        # one FS existence check per trigger, not a parquet schema
+        # inference (review r10); the marker is written/cleared by the
+        # index writers, and a layout's SQ8-ness is immutable between
+        # rebuilds
         from backend_fastapi_spark.operators.vector import sq8_codes
 
         new_vectors = new_vectors.join(
@@ -264,19 +282,43 @@ DELTA_SEGMENT_CAP = 16
 DELTA_BYTES_RATIO = 0.5
 
 
+def maintenance_action(
+    n_deltas: int, delta_bytes: int, base_bytes: int
+) -> str:
+    """Which maintenance the index needs: ``"fold"`` when the live
+    segment COUNT breaches the cap (per-segment overhead dominates
+    search setup long before data volume does — measured ~linear in
+    segment count, bench ivf_delta_curve); ``"rebuild"`` when delta
+    bytes reach half the base while the count is still under the cap.
+
+    Arm ordering matters (review r10, both directions): byte-arm-first
+    with fold as its action made auto_fold rewrite the WHOLE delta mass
+    on every trigger once bytes breached at n=2 (O(batch) appends
+    silently became O(index) per micro-batch); byte-arm-first with
+    rebuild as its action disabled folding entirely below the operator's
+    response time and let the segment count grow unbounded. Count-first
+    keeps both bounds: a fold runs at most once per cap-many triggers
+    (worst-case amortized fold cost delta_bytes/cap per trigger), and
+    the rebuild signal stands between folds until the operator acts. A
+    rebuild (``build_ivf`` + ``write_ivf_index`` overwrite — new
+    centroids, new epoch, deltas cleared) is an offline op the stream
+    only signals. ``"none"`` otherwise."""
+    if n_deltas >= DELTA_SEGMENT_CAP:
+        return "fold"
+    if base_bytes > 0 and delta_bytes >= DELTA_BYTES_RATIO * base_bytes:
+        return "rebuild"
+    return "none"
+
+
 def should_compact(n_deltas: int, delta_bytes: int, base_bytes: int) -> bool:
-    """True when the accumulated delta segments should fold into one
-    (``fold_deltas``): segment COUNT breaches the cap (per-segment
-    overhead dominates search setup long before data volume does —
-    measured ~linear in segment count, bench ivf_delta_curve), or the
-    delta byte mass stops being small relative to the base (bounded
-    read amplification). The FAISS role: keeping ``index.add`` streams
-    searchable without ever paying O(index) per micro-batch."""
+    """True when the accumulated delta segments need ANY maintenance
+    (``maintenance_action`` != "none") — the policy knob VERDICT r09 #2
+    asked for. Callers that act should dispatch on
+    ``maintenance_action`` instead: fold and rebuild have very different
+    costs and the stream must never fold a rebuild-sized delta mass."""
     if n_deltas <= 1:
         return False
-    return n_deltas >= DELTA_SEGMENT_CAP or (
-        base_bytes > 0 and delta_bytes >= DELTA_BYTES_RATIO * base_bytes
-    )
+    return maintenance_action(n_deltas, delta_bytes, base_bytes) != "none"
 
 
 def delta_stats(spark, path: str) -> tuple[int, int, int]:
@@ -315,16 +357,22 @@ def fold_deltas(spark, path: str) -> int:
        the staging dir, then the dir is RENAMED to its live name — the
        one atomic transition: the moment the fold segment is visible,
        its marker already excludes the segments it replaced, so a reader
-       never double-counts. The marker also CARRIES FORWARD any
-       still-on-disk names subsumed by earlier folds (an at-least-once
-       retry can re-create a segment an earlier fold absorbed AFTER that
-       fold was itself folded and GC'd — without the carry, its
-       exclusion record would vanish with the GC'd marker and the rows
-       would double-count). Names whose directories are already gone are
-       pruned, so the marker stays O(live segments), not O(history);
-    3. deleting the subsumed segment dirs is pure garbage collection —
-       a crash leaves them behind and every subsequent read (and the
-       next fold) still excludes them via the marker.
+       never double-counts. The marker CARRIES FORWARD the ENTIRE
+       subsumption history (an at-least-once retry can re-create a
+       segment an earlier fold absorbed at ANY later time — even after
+       the fold that absorbed it was itself folded and GC'd — so no name
+       is ever dropped from the record; a review pass showed pruning
+       "already GC'd" names reopens exactly that double-count). The
+       marker grows with total folded batches (~15 B/name — KBs per
+       million batches) and resets at every index rebuild
+       (``write_ivf_index`` overwrite clears ``delta/``);
+    3. GC is DEFERRED one fold generation: this fold deletes only the
+       directories subsumed by EARLIER folds; the segments it folds
+       itself stay on disk (excluded by the new marker) until the next
+       fold. An in-flight search that listed them as live before this
+       fold committed can therefore still read them — no
+       read-after-delete failure window for scans shorter than a fold
+       interval. Correctness never depends on any delete.
 
     Folding into the BASE (lists) is deliberately NOT done here: that is
     a full O(index) rewrite (``plans.ingest.compact_index`` /
@@ -355,11 +403,9 @@ def fold_deltas(spark, path: str) -> int:
         df = df.unionByName(spark.read.parquet(f"{path}/delta/{d}"))
     df.write.partitionBy("cluster").mode("overwrite").parquet(staging)
 
-    # carry forward still-on-disk subsumed names (retry-resurrection
-    # guard); prune the ones GC already removed
-    carried = sorted(
-        s for s in subsumed if fs.exists(hpath(f"{path}/delta/{s}"))
-    )
+    # carry forward the FULL subsumption history (retry-resurrection
+    # guard — never pruned; see docstring point 2)
+    carried = sorted(subsumed)
     out = fs.create(hpath(f"{staging}/_FOLDED"), True)
     try:
         out.write(bytearray("\n".join(live + carried).encode("utf-8")))
@@ -370,7 +416,10 @@ def fold_deltas(spark, path: str) -> int:
         fs.delete(final_p, True)
     if not fs.rename(hpath(staging), final_p):
         raise IOError(f"fold commit rename failed: {staging} -> {final}")
-    for d in live + carried:  # GC — correctness never depends on these
+    # deferred GC: only segments EARLIER folds subsumed are deleted now;
+    # the just-folded `live` dirs stay one more generation so in-flight
+    # scans that listed them keep reading successfully
+    for d in carried:
         fs.delete(hpath(f"{path}/delta/{d}"), True)
     return len(live)
 
@@ -579,6 +628,45 @@ def _assign_arrow(base: DataFrame, med: list[tuple[int, list[int]]],
     return base.mapInPandas(assign, schema=out_schema)
 
 
+def _medoid_probe(queries: DataFrame, med, nprobe: int) -> DataFrame:
+    """(q_id, _pq, cluster): the nprobe nearest medoid clusters per query
+    — THE probe definition shared by ivf_deterministic_topk and
+    ivf_sq8_topk (their oracles mirror it from one CTE), so a tie-break
+    change can only happen in one place (review r10). array_sort on
+    array<struct<d,cluster>> orders lexicographically; (distance,
+    cluster) is unique, so the order is total. Lambda higher-order
+    functions evaluate INTERPRETED (no codegen) — this form is reserved
+    for the |Q|-row probe side; corpus assignment goes through the Arrow
+    matmul (_assign_arrow)."""
+
+    def argmin_struct(qv):
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _l2_i64_lit(qv, cv).alias("d"),
+                        F.lit(c).cast("int").alias("cluster"),
+                    )
+                    for c, cv in med
+                ]
+            )
+        )
+
+    return (
+        queries.select(
+            F.col("q_id"), _quantize(F.col("q_embedding")).alias("_pq")
+        )
+        .select(
+            "q_id",
+            "_pq",
+            F.explode(
+                F.slice(argmin_struct(F.col("_pq")), 1, nprobe)
+            ).alias("_probe"),
+        )
+        .select("q_id", "_pq", F.col("_probe")["cluster"].alias("cluster"))
+    )
+
+
 def ivf_deterministic_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -614,42 +702,11 @@ def ivf_deterministic_topk(
     if med is None:
         med = deterministic_medoids(df, k_clusters, id_col, vec_col)
 
-    def argmin_struct(qv):
-        # array_sort on array<struct<d,cluster>> orders lexicographically —
-        # (distance, cluster) is unique, so the order is total. Lambda
-        # higher-order functions evaluate INTERPRETED (no codegen), so
-        # this form is reserved for the |Q|-row probe side; the corpus
-        # assignment goes through the Arrow matmul below.
-        return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        _l2_i64_lit(qv, cv).alias("d"),
-                        F.lit(c).cast("int").alias("cluster"),
-                    )
-                    for c, cv in med
-                ]
-            )
-        )
-
     base = df.select(
         F.col(id_col), _quantize(F.col(vec_col)).alias("_qv")
     )
     assigned = _assign_arrow(base, med, id_col)
-
-    probe = (
-        queries.select(
-            F.col("q_id"), _quantize(F.col("q_embedding")).alias("_pq")
-        )
-        .select(
-            "q_id",
-            "_pq",
-            F.explode(
-                F.slice(argmin_struct(F.col("_pq")), 1, nprobe)
-            ).alias("_probe"),
-        )
-        .select("q_id", "_pq", F.col("_probe")["cluster"].alias("cluster"))
-    )
+    probe = _medoid_probe(queries, med, nprobe)
 
     # self-exclusion compares the STRING forms: with mixed id types
     # (string query ids vs int corpus ids — the case knn_exact also
@@ -754,39 +811,18 @@ def ivf_sq8_topk(
     scan a narrow projection of the probed partitions with no join."""
     from pyspark.sql import Window
 
-    from backend_fastapi_spark.operators.vector import fixed_dot, sq8_codes
+    from backend_fastapi_spark.operators.vector import (
+        fixed_dot,
+        sq8_approx_dot,
+        sq8_codes,
+    )
 
     if med is None:
         med = deterministic_medoids(df, k_clusters, id_col, vec_col)
 
     base = df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_qv"))
     assigned = _assign_arrow(base, med, id_col).drop("_qv")
-
-    def argmin_struct(qv):
-        return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        _l2_i64_lit(qv, cv).alias("d"),
-                        F.lit(c).cast("int").alias("cluster"),
-                    )
-                    for c, cv in med
-                ]
-            )
-        )
-
-    probe = (
-        queries.select(
-            F.col("q_id"), _quantize(F.col("q_embedding")).alias("_pq")
-        )
-        .select(
-            "q_id",
-            F.explode(
-                F.slice(argmin_struct(F.col("_pq")), 1, nprobe)
-            ).alias("_probe"),
-        )
-        .select("q_id", F.col("_probe")["cluster"].alias("cluster"))
-    )
+    probe = _medoid_probe(queries, med, nprobe).select("q_id", "cluster")
 
     cand = assigned.join(F.broadcast(probe), "cluster").filter(
         ~F.col(id_col).cast("string").eqNullSafe(F.col("q_id").cast("string"))
@@ -805,16 +841,9 @@ def ivf_sq8_topk(
             "q_id",
             id_col,
             "cluster",
-            (
-                F.aggregate(
-                    F.zip_with(
-                        "code", "_qcode", lambda x, y: (x * y).cast("long")
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                * F.col("scale_fx")
-                * F.col("_qscale")
+            sq8_approx_dot(
+                F.col("code"), F.col("_qcode"),
+                F.col("scale_fx"), F.col("_qscale"),
             ).alias("approx_i64"),
         )
     )
@@ -863,11 +892,20 @@ def write_ivf_sq8_index(
     parquet reader never touches the full-precision embedding pages
     (~4-7x fewer bytes per probed partition); the re-rank re-reads the
     embedding column for just the shortlist. Same delta/epoch discipline
-    as write_ivf_index (overwrite clears stale deltas)."""
+    as write_ivf_index (overwrite clears stale deltas). A tiny ``_SQ8``
+    marker file records the layout's SQ8-ness so ivf_append can detect
+    it with one FS call instead of a per-micro-batch parquet schema
+    inference (review r10); a plain write_ivf_index rebuild at the same
+    path removes the marker."""
     from backend_fastapi_spark.operators.vector import sq8_codes
 
     codes = sq8_codes(assigned, id_col=id_col, vec_col=vec_col)
     write_ivf_index(assigned.join(codes, id_col), centroids, path, mode=mode)
+    spark = assigned.sparkSession
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/_SQ8")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(marker, True).close()
 
 
 def ivf_sq8_search_persisted(
@@ -878,6 +916,7 @@ def ivf_sq8_search_persisted(
     nprobe: int = 2,
     rerank: int = 4,
     corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Search a ``write_ivf_sq8_index`` layout with BOTH prunings active:
     partition pruning to the nprobe probed clusters (PartitionFilters —
@@ -891,6 +930,7 @@ def ivf_sq8_search_persisted(
     from backend_fastapi_spark.operators.vector import (
         fixed_dot,
         knn_exact,
+        sq8_approx_dot,
         sq8_codes,
     )
 
@@ -921,16 +961,9 @@ def ivf_sq8_search_persisted(
             "q_id",
             corpus_id,
             "cluster",
-            (
-                F.aggregate(
-                    F.zip_with(
-                        "code", "_qcode", lambda x, y: (x * y).cast("long")
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                * F.col("scale_fx")
-                * F.col("_qscale")
+            sq8_approx_dot(
+                F.col("code"), F.col("_qcode"),
+                F.col("scale_fx"), F.col("_qscale"),
             ).alias("approx_i64"),
         )
     )
@@ -944,11 +977,11 @@ def ivf_sq8_search_persisted(
     )
     rer = (
         short.join(
-            lists.select(corpus_id, "embedding"), corpus_id
+            lists.select(corpus_id, vec_col), corpus_id
         )
         .join(F.broadcast(queries.select("q_id", "q_embedding")), "q_id")
         .withColumn(
-            "score_i64", fixed_dot(F.col("embedding"), F.col("q_embedding"))
+            "score_i64", fixed_dot(F.col(vec_col), F.col("q_embedding"))
         )
     )
     w2 = Window.partitionBy("q_id").orderBy(

@@ -503,10 +503,39 @@ def sq8_codes(
     scale_fx = max|fx(v)| (int64 fixed-point, the established _fx
     rounding); code_i = round(fx(v_i)·127/scale_fx) ∈ [-127, 127]. The
     zero vector quantizes to all-zero codes (scale 0 guard). Pure
-    codegen — transform/array_max/round, no UDF."""
+    codegen — transform/array_max/round, no UDF.
+
+    Overflow precondition, ENFORCED per row: the downstream approximate
+    dot is Σ(c_v·c_q)·s_v·s_q ≤ dim·127²·s², which must stay below 2^63
+    — true for any corpus with components ≲ |9| at 64 dims (unit-norm
+    embeddings sit at s ≤ 1e6, 4 orders inside the bound), but an
+    unguarded pathological input would WRAP the int64 score and silently
+    corrupt the ranking (review r10). assert_true fails the job loudly
+    instead; the check is folded into the scale expression so the
+    optimizer cannot prune it."""
     fxv = F.transform(F.col(vec_col), _fx)
     with_fx = df.select(F.col(id_col), fxv.alias("_fxv"))
-    s = F.array_max(F.transform(F.col("_fxv"), F.abs))
+    s_raw = F.array_max(F.transform(F.col("_fxv"), F.abs))
+    bound_ok = (
+        s_raw.cast("double") * s_raw.cast("double")
+        * F.size(F.col("_fxv")).cast("double") * F.lit(127.0 * 127.0)
+    ) < F.lit(float(2**63))
+    # assert_true returns NULL on success; folding it into the live
+    # expression keeps it in the plan
+    s = F.when(
+        F.assert_true(
+            bound_ok,
+            F.concat(
+                F.lit("sq8: |component| too large for exact int64 "
+                      "scoring (scale_fx="),
+                s_raw.cast("string"),
+                F.lit(", dim="),
+                F.size(F.col("_fxv")).cast("string"),
+                F.lit(") — normalize the embeddings"),
+            ),
+        ).isNull(),
+        s_raw,
+    )
     code = F.when(
         s == 0, F.transform(F.col("_fxv"), lambda x: F.lit(0).cast("int"))
     ).otherwise(
@@ -519,6 +548,25 @@ def sq8_codes(
     )
     return with_fx.select(
         F.col(id_col), s.alias("scale_fx"), code.alias("code")
+    )
+
+
+def sq8_approx_dot(code_col, qcode_col, scale_col, qscale_col) -> Column:
+    """The SQ8 approximate dot Σ(c_v·c_q)·s_v·s_q as one exact-int64
+    codegen expression — THE scoring definition shared by sq8_topk,
+    ivf.ivf_sq8_topk, and ivf.ivf_sq8_search_persisted (and mirrored by
+    their DuckDB oracles): a tie-break or arithmetic change here is the
+    only place it can happen, so the hash-checked twins cannot silently
+    diverge (review r10). Exactness precondition enforced at
+    quantization time (sq8_codes)."""
+    return (
+        F.aggregate(
+            F.zip_with(code_col, qcode_col, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        * scale_col
+        * qscale_col
     )
 
 
@@ -566,9 +614,13 @@ def sq8_topk(
     if codes is None:
         codes = sq8_codes(corpus, id_col=corpus_id, vec_col=vec_col)
     if not qrows:
+        # schema-faithful empty result: q_id keeps the queries frame's
+        # type so unionByName/parquet appends across batches never see a
+        # type flip on the empty-input run (review r10)
+        q_id_type = queries.schema["q_id"].dataType
         return (
             codes.select(
-                F.lit(None).cast("string").alias("q_id"),
+                F.lit(None).cast(q_id_type).alias("q_id"),
                 F.col(corpus_id),
                 F.lit(0).cast("long").alias("approx_i64"),
                 F.lit(0).cast("long").alias("score_i64"),
@@ -591,18 +643,9 @@ def sq8_topk(
     ).select(
         F.col("_q")["q_id"].alias("q_id"),
         F.col(corpus_id),
-        (
-            F.aggregate(
-                F.zip_with(
-                    "code",
-                    F.col("_q")["q_code"],
-                    lambda x, y: (x * y).cast("long"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            * F.col("scale_fx")
-            * F.col("_q")["q_scale"]
+        sq8_approx_dot(
+            F.col("code"), F.col("_q")["q_code"],
+            F.col("scale_fx"), F.col("_q")["q_scale"],
         ).alias("approx_i64"),
     )
     w1 = Window.partitionBy("q_id").orderBy(

@@ -96,20 +96,27 @@ def stream_ivf_append(
     cluster-pruned per segment).
 
     ``auto_fold`` keeps unbounded growth searchable: after each append
-    the delta stats (filesystem metadata only) feed ``should_compact``,
-    and past the segment cap (or byte ratio) the live segments FOLD into
-    one (``ivf.fold_deltas`` — crash-safe via the subsumption marker, so
-    a retried trigger can interleave with a crashed fold at any point).
+    the delta stats (filesystem metadata only) feed
+    ``ivf.maintenance_action``; on ``"fold"`` (segment-count cap, delta
+    mass still small) the live segments FOLD into one
+    (``ivf.fold_deltas`` — crash-safe via the subsumption marker, so a
+    retried trigger can interleave with a crashed fold at any point).
     Search latency over the index is thereby bounded at
     ~DELTA_SEGMENT_CAP segments of setup overhead regardless of how long
     the stream runs — the measured alternative is ~linear decay
-    (bench.py ivf_delta_curve). foreachBatch triggers run serially, so
-    the fold never races the appends."""
+    (bench.py ivf_delta_curve). On ``"rebuild"`` (delta bytes ≥ half the
+    base) the stream only WARNS: folding there would rewrite a
+    base-sized byte mass on every later trigger (the fold never shrinks
+    the delta), and a rebuild retrains centroids — an offline op the
+    operator schedules, not a per-trigger one. foreachBatch triggers run
+    serially, so the fold never races the appends."""
+    import warnings
+
     from backend_fastapi_spark.operators.ivf import (
         delta_stats,
         fold_deltas,
         ivf_append,
-        should_compact,
+        maintenance_action,
     )
 
     def add(batch_df: DataFrame, batch_id: int) -> None:
@@ -124,8 +131,17 @@ def stream_ivf_append(
         if auto_fold:
             spark = batch_df.sparkSession
             n, dbytes, bbytes = delta_stats(spark, index_path)
-            if should_compact(n, dbytes, bbytes):
+            action = maintenance_action(n, dbytes, bbytes)
+            if action == "fold" and n > 1:
                 fold_deltas(spark, index_path)
+            elif action == "rebuild":
+                warnings.warn(
+                    f"IVF index at {index_path}: delta bytes ({dbytes}) "
+                    f">= {bbytes} * ratio — schedule a rebuild "
+                    "(build_ivf + write_ivf_index overwrite); per-trigger "
+                    "folding is disabled for this state",
+                    stacklevel=2,
+                )
 
     return (
         vectors_stream.writeStream.foreachBatch(add)

@@ -406,8 +406,13 @@ def test_ivf_fold_deltas_exactly_once(spark, tmp_path):
     assert n == 4 and dbytes > 0 and bbytes > 0
 
     assert fold_deltas(spark, path) == 4
-    delta_dirs = [d for d in os.listdir(f"{path}/delta")]
-    assert delta_dirs == ["batch=fold-1"]  # staging gone, segments GC'd
+    # deferred GC: the just-folded segments stay ON DISK one generation
+    # (in-flight readers keep succeeding) but are excluded from the live
+    # view by the fold's marker
+    from backend_fastapi_spark.operators.ivf import _live_delta_segments
+
+    assert _live_delta_segments(spark, path) == ["batch=fold-1"]
+    assert "_fold_staging" not in os.listdir(f"{path}/delta")
     rows_after = sorted(
         (r["vec_id"], r["cluster"])
         for r in read_ivf_lists(spark, path).collect()
@@ -443,15 +448,43 @@ def test_ivf_fold_deltas_exactly_once(spark, tmp_path):
     assert read_ivf_lists(spark, path).count() == n_base + 45
     assert fold_deltas(spark, path) == 2
     assert read_ivf_lists(spark, path).count() == n_base + 45
-    live = [d for d in os.listdir(f"{path}/delta")
-            if not d.startswith("_") and d != "batch=0"]
-    assert live == ["batch=fold-2"]
+    assert _live_delta_segments(spark, path) == ["batch=fold-2"]
+    # deferred GC deleted the PRIOR generation's subsumed dirs (batch=0
+    # from the retry, batch=1..3 from before fold-1)
+    on_disk = [d for d in os.listdir(f"{path}/delta") if not d.startswith("_")]
+    assert sorted(on_disk) == ["batch=77", "batch=fold-1", "batch=fold-2"]
+
+    # the LATE-retry resurrection the carry-forward exists for: fold-1
+    # (the only fold that directly absorbed batch=2) is now subsumed
+    # itself; once a third fold GCs it, batch=2's exclusion must survive
+    # via the carried history in fold-3's marker
+    more = emb.filter(F.col("vec_id") % 2 == 1).limit(3).withColumn(
+        "vec_id", F.col("vec_id") + 20_000_000
+    )
+    ivf_append(spark, path, more, batch_token=88)
+    assert fold_deltas(spark, path) == 2  # fold-2 + batch=88 -> fold-3
+    assert read_ivf_lists(spark, path).count() == n_base + 48
+    late_retry = emb.filter(F.col("vec_id") % 2 == 1).limit(10).withColumn(
+        "vec_id", F.col("vec_id") + 3 * 1_000_000  # batch_token=2's rows
+    )
+    ivf_append(spark, path, late_retry, batch_token=2)  # resurrects batch=2
+    assert read_ivf_lists(spark, path).count() == n_base + 48  # excluded
 
     # policy shape
+    from backend_fastapi_spark.operators.ivf import maintenance_action
+
     assert not should_compact(1, 10**9, 10)      # one segment never folds
     assert should_compact(16, 1, 10**12)         # count cap
     assert should_compact(2, 600, 1000)          # byte-ratio bound
     assert not should_compact(2, 10, 10**6)      # small + few: leave it
+    assert maintenance_action(16, 1, 10**12) == "fold"
+    # delta mass at half the base BELOW the cap: folding would rewrite
+    # O(base) bytes per trigger — signal a rebuild instead
+    assert maintenance_action(2, 600, 1000) == "rebuild"
+    # AT the cap the fold runs regardless (liveness: at most one fold
+    # per cap-many triggers, amortized delta/cap per trigger)
+    assert maintenance_action(20, 600, 1000) == "fold"
+    assert maintenance_action(3, 10, 10**6) == "none"
 
 
 def test_stream_ivf_append_auto_fold_bounds_segments(spark, tmp_path):
