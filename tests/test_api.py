@@ -874,3 +874,70 @@ def test_ivf_sq8_layout_byte_ratio(spark, tmp_path):
     assert tot.get("embedding", 0) > 0 and tot.get("code", 0) > 0
     ratio = (tot["code"] + tot.get("scale_fx", 0)) / tot["embedding"]
     assert ratio < 0.4, f"SQ8 columns not small enough: {ratio:.3f}"
+
+
+def test_fold_protocol_random_interleavings(spark, tmp_path):
+    """Model-based check of the delta-fold protocol: a seeded random
+    sequence of {append new batch, fold, at-least-once RETRY of a past
+    batch, crashed-staging litter} ops against a real index, asserting
+    after EVERY op that read_ivf_lists equals the model (base + one copy
+    of each appended batch's rows — retries and folds never add, lose,
+    or duplicate anything)."""
+    import random
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        fold_deltas,
+        ivf_append,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    assigned, centroids = build_ivf(base, k_clusters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+    n_base = spark.read.parquet(f"{path}/lists").count()
+    pool = emb.filter(F.col("vec_id") % 4 != 0).limit(60).collect()
+
+    def batch_df(token):
+        rows = pool[3 * token: 3 * token + 3]
+        return spark.createDataFrame(rows, emb.schema).withColumn(
+            "vec_id", F.col("vec_id") + (token + 1) * 1_000_000
+        )
+
+    rng = random.Random(7)
+    appended: list[int] = []
+    next_token = 0
+    for _ in range(14):
+        ops = ["append", "append", "fold"]
+        if appended:
+            ops += ["retry", "litter"]
+        op = rng.choice(ops)
+        if op == "append":
+            ivf_append(spark, path, batch_df(next_token),
+                       batch_token=next_token)
+            appended.append(next_token)
+            next_token += 1
+        elif op == "retry":  # at-least-once: replay a past batch verbatim
+            t = rng.choice(appended)
+            ivf_append(spark, path, batch_df(t), batch_token=t)
+        elif op == "litter":  # crashed fold: stale staging dir on disk
+            import os
+
+            os.makedirs(f"{path}/delta/_fold_staging/cluster=0",
+                        exist_ok=True)
+        else:
+            fold_deltas(spark, path)
+        got = sorted(
+            r["vec_id"] for r in read_ivf_lists(spark, path).collect()
+        )
+        want_extra = sorted(
+            int(r["vec_id"]) + (t + 1) * 1_000_000
+            for t in appended for r in pool[3 * t: 3 * t + 3]
+        )
+        assert len(got) == n_base + len(want_extra)
+        assert [v for v in got if v >= 1_000_000] == want_extra
