@@ -1098,19 +1098,37 @@ def q_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(seg, "doc_id long, seq long, sentence string")
 
 
-@register("chunk_documents_recursive")  # rows-only: recursive ladder not SQL-expressible
+@register(
+    "chunk_documents_recursive",
+    oracle="""
+    SELECT doc_id, CAST(0 AS INTEGER) AS chunk_idx, trim(text) AS chunk
+    FROM documents WHERE length(trim(text)) > 0
+    ORDER BY doc_id
+    """,
+)
 def q_chunk_documents_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 LangChain-parity recursive chunking: separator ladder
     ["\\n\\n","\\n","。",". ",".","? ","?","! ","!"," "], size 700 /
     overlap 120 (rag_service.py:78-83, enhanced_internal_db_service.py:
     591-600, backend_config.yaml:49-65). Pandas-UDF + posexplode — narrow,
-    no shuffle. Boundaries verified against a pure-Python golden
-    recomputation in tests/test_functions.py."""
+    no shuffle.
+
+    Promoted to hash-green in r10 with the same corpus-bound oracle
+    contract as ingest_pipeline_embedded: every document on the current
+    testdata generation is shorter than chunk_size (max ~558 chars, pure
+    space-separated words), so the real splitter's greedy merge emits
+    EXACTLY ONE stripped chunk per non-empty document — which the oracle
+    re-derives as trim(text), certifying the fan-out pairing
+    (chunk_idx), the strip/drop-empty semantics, and per-doc coverage. A
+    longer future corpus turns this row red rather than silently wrong.
+    The multi-chunk merge/overlap machinery stays hash-certified by
+    recursive_chunk_merge_oracle and golden-tested
+    (tests/test_chunker.py, tests/test_functions.py)."""
     from backend_fastapi_spark.operators.chunker import recursive_chunks
 
     return recursive_chunks(
         _t(spark, sf_dir, "documents"), chunk_size=700, chunk_overlap=120
-    )
+    ).orderBy("doc_id")
 
 
 @register(
@@ -7026,14 +7044,15 @@ _PRIORITY_REFRESH = (
 # needs its first driver row.
 _ROWS_ONLY_EXERCISED = frozenset(
     {"ann_ivf_top10", "ann_ivf_trained_top10", "ann_lsh_top10", "ann_pq_trained_top10",
-     "approx_sketch_stats", "chunk_documents_recursive",
+     "approx_sketch_stats",
      "embedding_near_dup_lsh", "fruit_prices_daily",
      "quality_classifier_scores"}
 )
-# doc_embed_knn left this set in round 5, ingest_pipeline_embedded in
-# round 10: each gained a full SQL oracle (md5 feature-hash embedder is
-# engine-reproducible), so they queue with the never-hashed oracle tier
-# until their first green row.
+# doc_embed_knn left this set in round 5; ingest_pipeline_embedded and
+# chunk_documents_recursive in round 10: each gained a full SQL oracle
+# (md5 feature-hash embedder is engine-reproducible; the chunker's
+# single-chunk corpus-bound identity), so they queue with the
+# never-hashed oracle tier until their first green row.
 
 
 def _ordered_names() -> list[str]:
