@@ -6878,33 +6878,36 @@ _DATA_GEN_ROUND = 4
 # name -> round of most recent driver green-hash row (CORRECTNESS_r0N.json).
 _LAST_GREEN = {
     "anchor_extraction": 8,
-    "ann_ivf_deterministic": 6,
-    "ann_ivfpq_top10": 6,
-    "ann_pq_adc_top10": 6,
+    "ann_ivf_deterministic": 10,
+    "ann_ivf_sq8_top10": 10,
+    "ann_ivfpq_top10": 10,
+    "ann_pq_adc_top10": 10,
     "ann_rp_topk": 9,
+    "ann_sq8_rerank": 10,
     "ar_rollout_forecast": 8,
     "asof_join_events_orders": 9,
     "attribute_filter": 9,
-    "bloom_prejoin_stats": 6,
+    "bloom_prejoin_stats": 10,
     "bootstrap_personal_store": 9,
     "bottomk_monthly_merge": 7,
-    "bottomk_sample_quantiles": 6,
+    "bottomk_sample_quantiles": 10,
     "bpe_top_merges": 9,
-    "brand_price_stats": 7,
-    "branded_quantity_revenue": 6,
+    "brand_price_stats": 10,
+    "branded_quantity_revenue": 10,
     "c4_quality_filter": 7,
     "c4_span_dedup": 7,
     "catalog_tables_rowcounts": 8,
     "chunk_documents": 7,
-    "cms_heavy_users_deterministic": 6,
+    "chunk_documents_recursive": 10,
+    "cms_heavy_users_deterministic": 10,
     "cohort_retention": 9,
-    "corpus_curation_pipeline": 6,
+    "corpus_curation_pipeline": 10,
     "cube_status_priority": 8,
     "customer_360": 8,
-    "customer_order_distribution": 6,
+    "customer_order_distribution": 10,
     "customers_with_orders": 7,
     "customers_without_orders": 9,
-    "daily_value_by_type": 7,
+    "daily_value_by_type": 10,
     "decontaminate_test_split": 9,
     "dedup_canonical_corpus": 9,
     "dedup_min_event": 7,
@@ -6917,39 +6920,41 @@ _LAST_GREEN = {
     "dsir_importance_weights": 8,
     "dup_clusters": 9,
     "dup_clusters_minhash": 8,
-    "dup_rate_by_source": 6,
+    "dup_rate_by_source": 10,
     "embedding_near_dup": 7,
     "embedding_near_dup_rp": 8,
     "events_burst_60s": 9,
     "exact_dup_groups": 9,
-    "filtered_projection": 7,
-    "forecast_revenue_change": 6,
+    "filtered_projection": 10,
+    "forecast_revenue_change": 10,
     "from_json_native": 9,
     "funnel_conversion": 9,
     "gopher_repetition_filter": 9,
     "grocery_best_store": 8,
     "grouping_sets_revenue": 9,
-    "hll_distinct_deterministic": 6,
+    "hll_distinct_deterministic": 10,
     "hll_monthly_merge": 7,
     "html_strip": 8,
-    "idle_rich_customers": 6,
+    "idle_rich_customers": 10,
     "incremental_dedup_batch": 9,
     "incremental_dedup_via_state": 8,
     "index_sink_audit": 8,
     "ingest_pipeline_chunks": 9,
+    "ingest_pipeline_embedded": 10,
     "ivf_append_audit": 9,
+    "ivf_sq8_index_audit": 10,
     "json_extract_stats": 8,
-    "keyword_or_filter": 7,
+    "keyword_or_filter": 10,
     "kmv_set_cardinalities": 7,
-    "kmv_set_similarity": 6,
+    "kmv_set_similarity": 10,
     "knn_batch_top5": 7,
     "knn_margin_topk": 7,
     "knn_top10_dot": 7,
     "knn_top10_l2": 7,
-    "lang_id_confusion": 6,
+    "lang_id_confusion": 10,
     "lang_quality_score": 7,
-    "large_volume_customers": 6,
-    "late_shipment_priority": 6,
+    "large_volume_customers": 10,
+    "late_shipment_priority": 10,
     "maintenance_skipping": 7,
     "market_chart_bars": 8,
     "minhash_lsh_candidates": 7,
@@ -6959,28 +6964,29 @@ _LAST_GREEN = {
     "multimodal_feature_stats": 9,
     "next_order_asof_forward": 9,
     "ngram_jaccard_dupes": 7,
-    "null_normalization": 7,
-    "order_status_histogram": 7,
-    "orders_growth_mom": 6,
+    "null_normalization": 10,
+    "order_status_histogram": 10,
+    "orders_growth_mom": 10,
     "pack_docs_budget": 7,
-    "pack_pretrain_sequences": 6,
+    "pack_pretrain_sequences": 10,
     "paginated_orders": 8,
     "pct_change_daily": 8,
     "per_customer_top3_orders": 7,
     "percentile_stats": 8,
-    "pii_scrub_stats": 6,
+    "pii_scrub_stats": 10,
     "pivot_priority_by_status": 8,
     "pricing_summary": 9,
-    "promo_revenue_share": 6,
+    "promo_revenue_share": 10,
     "rag_retrieval_batch": 8,
     "rag_retrieval_pipeline": 9,
     "recursive_chunk_merge_oracle": 8,
     "region_revenue": 9,
-    "returned_items_by_customer": 6,
+    "returned_items_by_customer": 10,
     "rewrite_chain": 8,
     "rollup_region_nation": 8,
+    "rss_items_parsed": 10,
     "salted_skew_sum": 8,
-    "scalar_subquery_join": 7,
+    "scalar_subquery_join": 10,
     "scd2_customer_merge": 9,
     "semantic_dedup_pairs": 9,
     "semantic_dedup_summary": 9,
@@ -6988,19 +6994,20 @@ _LAST_GREEN = {
     "sentence_segments": 9,
     "session_window_native": 8,
     "sessionize_events": 8,
-    "shipmode_priority_counts": 6,
+    "shipmode_priority_counts": 10,
     "shipping_priority": 9,
     "simhash_pairs": 8,
     "sliding_window_counts": 8,
-    "small_quantity_revenue": 6,
+    "small_quantity_revenue": 10,
     "stratified_sample_langs": 9,
     "supplier_balance_by_region": 8,
-    "temperature_sample_langs": 6,
+    "temperature_sample_langs": 10,
     "tfidf_top_terms": 9,
     "token_stats": 7,
+    "tool_call_episode": 10,
     "top_orders_recent": 7,
-    "top_parts_by_region": 6,
-    "top_supplier_revenue": 6,
+    "top_parts_by_region": 10,
+    "top_supplier_revenue": 10,
     "train_test_split_counts": 9,
     "ts_daily_resample": 7,
     "ts_forecast_metrics": 8,
@@ -7011,7 +7018,7 @@ _LAST_GREEN = {
     "ts_seasonal_features": 7,
     "ts_sliding_windows": 8,
     "tumbling_hourly_counts": 8,
-    "union_all_counts": 7,
+    "union_all_counts": 10,
     "union_then_global_topn": 8,
     "upsert_orders": 8,
     "user_context_star": 9,
