@@ -16,12 +16,19 @@ Recall/latency knob: nprobe. With nprobe = k_clusters it degrades to exact.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from backend_fastapi_spark.operators.vector import knn_exact
+
+# Fold segments own the ``batch=fold-<seq>`` namespace; the strict match
+# (ADVICE r10) keeps a caller-supplied batch_token that merely CONTAINS
+# "fold-" from ever being parsed as a fold sequence number.
+_FOLD_DIR_RE = re.compile(r"^batch=fold-(\d+)$")
 
 
 def k_clusters_for(n_vectors: int, target_list: int | None = None) -> int:
@@ -117,12 +124,23 @@ def write_ivf_index(
     A rebuild is a new index epoch — the deltas belong to the old one.
     The delete runs FIRST: a crash mid-rebuild then leaves an obviously
     incomplete index a re-run repairs, never a complete-LOOKING one that
-    silently unions old-epoch deltas (review r10)."""
+    silently unions old-epoch deltas (review r10).
+
+    "Obviously incomplete" is ENFORCED, not hoped for (ADVICE r10): an
+    ``_EPOCH_IN_PROGRESS`` marker is written before the delta delete and
+    cleared only after BOTH the lists and centroids commits, so a crash
+    anywhere inside the overwrite window — including after the delete
+    but before the lists rewrite, which would otherwise leave the OLD
+    lists intact with every appended delta row silently gone — leaves a
+    marker ``read_ivf_lists``/``ivf_append`` fail loudly on. A re-run of
+    the same overwrite repairs the index and clears the marker."""
     if mode == "overwrite":
         spark = assigned.sparkSession
         jvm = spark._jvm
+        epoch = jvm.org.apache.hadoop.fs.Path(f"{path}/_EPOCH_IN_PROGRESS")
+        fs = epoch.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.create(epoch, True).close()
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/delta")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(p):
             fs.delete(p, True)
         # a plain rebuild also clears a previous SQ8 layout's marker
@@ -132,6 +150,27 @@ def write_ivf_index(
             fs.delete(m, False)
     assigned.write.partitionBy("cluster").mode(mode).parquet(f"{path}/lists")
     centroids.write.mode(mode).parquet(f"{path}/centroids")
+    if mode == "overwrite":
+        fs.delete(epoch, False)
+
+
+def _check_epoch_complete(spark, path: str) -> None:
+    """Fail loudly on an index whose last overwrite never finished: the
+    ``_EPOCH_IN_PROGRESS`` marker outlives a crash anywhere between the
+    delta purge and the lists+centroids commit, and the files present at
+    that point can LOOK complete while silently missing every vector the
+    purged deltas held. Repair = re-run the interrupted rebuild
+    (``write_ivf_index``/``rebuild_ivf_index`` overwrite)."""
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/_EPOCH_IN_PROGRESS")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"IVF index at {path}: an overwrite/rebuild was interrupted "
+            "(_EPOCH_IN_PROGRESS marker present) — the lists may be "
+            "missing previously appended delta rows; re-run the rebuild "
+            "(rebuild_ivf_index or write_ivf_index overwrite) to repair"
+        )
 
 
 def _subdirs(spark, dir_path: str) -> list[str]:
@@ -148,38 +187,87 @@ def _subdirs(spark, dir_path: str) -> list[str]:
     return [m.getPath().getName() for m in matches if m.isDirectory()]
 
 
+# Parsed _FOLDED markers keyed by (marker path, modification time).
+# Markers are IMMUTABLE by construction — written once into the staging
+# dir, then renamed with it; a new fold creates a new dir — so a (path,
+# mtime) hit can never serve stale content. Bounds driver overhead on a
+# long-running stream to one parse per fold segment instead of one
+# py4j round-trip per historical batch name per search (ADVICE r10).
+_MARKER_CACHE: dict[tuple[str, int], frozenset[str]] = {}
+_MARKER_CACHE_MAX = 4096
+
+
+def _read_small_file(jvm, fs, hpath) -> str:
+    """Whole-file UTF-8 read in ONE data pass (Hadoop IOUtils.copyBytes
+    into a byte buffer — 3 gateway calls total), replacing the previous
+    per-line BufferedReader.readLine loop whose py4j round-trips grew
+    with the fold history length (ADVICE r10)."""
+    buf = jvm.java.io.ByteArrayOutputStream()
+    # closes both streams (4th arg True)
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(fs.open(hpath), buf, 65536, True)
+    return buf.toString("UTF-8")
+
+
+def _marker_names(spark, marker_path: str) -> frozenset[str]:
+    """Parse one _FOLDED marker (cached by path+mtime; see above)."""
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(marker_path)
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    mtime = int(fs.getFileStatus(marker).getModificationTime())
+    key = (marker_path, mtime)
+    hit = _MARKER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    names = frozenset(
+        line for line in _read_small_file(jvm, fs, marker).split("\n") if line
+    )
+    if len(_MARKER_CACHE) >= _MARKER_CACHE_MAX:
+        _MARKER_CACHE.clear()
+    _MARKER_CACHE[key] = names
+    return names
+
+
 def _delta_state(spark, path: str) -> tuple[list[str], set[str]]:
     """(live, subsumed) delta segment names. Live = every ``delta/*``
     directory minus (a) ``_``-prefixed staging dirs (an in-progress or
-    crashed ``fold_deltas`` write — never visible) and (b) segments
-    SUBSUMED by a committed fold segment (named in the fold's
-    ``_FOLDED`` marker): they may linger until garbage collection
-    finishes — or be RE-CREATED by an at-least-once retry of a batch the
-    fold already absorbed — and reading them would double-count their
-    rows. Markers carry subsumption forward transitively (see
-    fold_deltas), so a name stays excluded even after the fold segment
-    that first absorbed it is itself folded and GC'd."""
+    crashed ``fold_deltas`` write — never visible), (b) fold segments
+    (``batch=fold-*``) lacking their ``_COMMITTED`` marker — on a
+    filesystem whose rename is copy+delete (S3A and kin) a concurrent
+    lister can see the fold dir mid-copy, and a crash mid-rename strands
+    a partial live-named dir; the marker is written only AFTER the
+    rename completes, so an uncommitted fold is invisible (its inputs
+    stay live — no loss, no double count) and a fold_deltas re-run
+    replaces it (ADVICE r10) — and (c) segments SUBSUMED by a committed
+    fold segment (named in the fold's ``_FOLDED`` marker): they may
+    linger until garbage collection finishes — or be RE-CREATED by an
+    at-least-once retry of a batch the fold already absorbed — and
+    reading them would double-count their rows. Markers carry
+    subsumption forward transitively (see fold_deltas), so a name stays
+    excluded even after the fold segment that first absorbed it is
+    itself folded and GC'd. An uncommitted fold's _FOLDED marker is NOT
+    read: honoring its subsumption list while skipping its rows would
+    drop exactly those rows."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    names = [d for d in _subdirs(spark, f"{path}/delta")
-             if not d.startswith("_")]
+    names = []
+    for d in _subdirs(spark, f"{path}/delta"):
+        if d.startswith("_"):
+            continue
+        if _FOLD_DIR_RE.match(d):
+            committed = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/delta/{d}/_COMMITTED"
+            )
+            fs = committed.getFileSystem(conf)
+            if not fs.exists(committed):
+                continue  # mid-rename/crashed fold: invisible
+        names.append(d)
     subsumed: set[str] = set()
     for d in names:
-        marker = jvm.org.apache.hadoop.fs.Path(f"{path}/delta/{d}/_FOLDED")
+        marker_path = f"{path}/delta/{d}/_FOLDED"
+        marker = jvm.org.apache.hadoop.fs.Path(marker_path)
         fs = marker.getFileSystem(conf)
         if fs.exists(marker):
-            reader = jvm.java.io.BufferedReader(
-                jvm.java.io.InputStreamReader(fs.open(marker), "UTF-8")
-            )
-            try:
-                while True:
-                    line = reader.readLine()
-                    if line is None:
-                        break
-                    if line:
-                        subsumed.add(line)
-            finally:
-                reader.close()
+            subsumed.update(_marker_names(spark, marker_path))
     return sorted(n for n in names if n not in subsumed), subsumed
 
 
@@ -192,7 +280,9 @@ def read_ivf_lists(spark, path: str) -> DataFrame:
     idempotent delta segment under ``delta/`` (see ivf_append's
     batch_token and ``fold_deltas``' subsumption marker). Each frame is
     partition-pruned independently when a cluster filter is applied —
-    the base/delta split never widens a probed scan."""
+    the base/delta split never widens a probed scan. Fails loudly on an
+    interrupted overwrite (_check_epoch_complete)."""
+    _check_epoch_complete(spark, path)
     df = spark.read.parquet(f"{path}/lists")
     for d in _live_delta_segments(spark, path):
         df = df.unionByName(spark.read.parquet(f"{path}/delta/{d}"))
@@ -235,7 +325,19 @@ def ivf_append(
     does not, the codes are derived here so every delta stays
     union-compatible and the column-pruned candidate scan keeps covering
     appended vectors.
+
+    ``batch_token`` must not collide with the fold namespace
+    (``fold-<seq>`` — fold_deltas owns those names; ADVICE r10): a
+    stray "fold-"-prefixed token would be indistinguishable from a
+    committed-fold segment and could shadow or corrupt the monotone
+    fold sequence. Rejected loudly here.
     """
+    if batch_token is not None and str(batch_token).startswith("fold-"):
+        raise ValueError(
+            f"batch_token {batch_token!r} collides with the fold segment "
+            "namespace (fold-<seq> is reserved by fold_deltas)"
+        )
+    _check_epoch_complete(spark, path)
     centroids = spark.read.parquet(f"{path}/centroids")
     assignment = knn_exact(
         centroids.withColumnRenamed("centroid", "embedding"),
@@ -354,8 +456,15 @@ def fold_deltas(spark, path: str) -> int:
        invisible to readers (``_live_delta_segments`` skips ``_`` names)
        and simply overwritten by a retry;
     2. a ``_FOLDED`` marker naming the subsumed segments is written into
-       the staging dir, then the dir is RENAMED to its live name — the
-       one atomic transition: the moment the fold segment is visible,
+       the staging dir, then the dir is RENAMED to its live name, then a
+       ``_COMMITTED`` marker is created inside it — and READERS REQUIRE
+       ``_COMMITTED`` on every fold-named dir (_delta_state), so the
+       commit point is the marker creation (atomic on any FS), not the
+       rename: on an object store whose rename is copy+delete a lister
+       that sees the fold dir mid-copy, or a crash that strands a
+       partial live-named dir, leaves an INVISIBLE fold whose input
+       segments are still live — never a double count, never a loss
+       (ADVICE r10). The moment the fold segment is visible,
        its marker already excludes the segments it replaced, so a reader
        never double-counts. The marker CARRIES FORWARD the ENTIRE
        subsumption history (an at-least-once retry can re-create a
@@ -389,14 +498,27 @@ def fold_deltas(spark, path: str) -> int:
         return jvm.org.apache.hadoop.fs.Path(p)
 
     fs = hpath(path).getFileSystem(conf)
-    # monotone fold sequence: one past the highest existing fold seq
+    # monotone fold sequence: one past the highest fold seq present in
+    # ANY delta dir name (committed or not — a crashed uncommitted
+    # fold's seq must not be reused under a reader that listed it), via
+    # the strict ^batch=fold-(\d+)$ match so an arbitrary caller token
+    # containing "fold-" can never break the parse (ADVICE r10)
     seq = 1 + max(
-        (int(d.split("fold-")[1]) for d in live
-         if d.startswith("batch=fold-")),
+        (int(m.group(1)) for d in _subdirs(spark, f"{path}/delta")
+         if (m := _FOLD_DIR_RE.match(d))),
         default=0,
     )
     staging = f"{path}/delta/_fold_staging"
     final = f"{path}/delta/batch=fold-{seq}"
+
+    # GC crashed folds: a fold-named dir without _COMMITTED is invisible
+    # to every reader (its inputs are still live), so deleting it here is
+    # safe; its seq is never reused (seq ranges over ALL dir names above)
+    for d in _subdirs(spark, f"{path}/delta"):
+        if _FOLD_DIR_RE.match(d) and not fs.exists(
+            hpath(f"{path}/delta/{d}/_COMMITTED")
+        ):
+            fs.delete(hpath(f"{path}/delta/{d}"), True)
 
     df = spark.read.parquet(f"{path}/delta/{live[0]}")
     for d in live[1:]:
@@ -416,12 +538,96 @@ def fold_deltas(spark, path: str) -> int:
         fs.delete(final_p, True)
     if not fs.rename(hpath(staging), final_p):
         raise IOError(f"fold commit rename failed: {staging} -> {final}")
+    # THE commit point: readers require _COMMITTED on fold-named dirs,
+    # so a crash before this line leaves the fold invisible (inputs
+    # still live) and a re-run replaces it — rename atomicity is no
+    # longer load-bearing (ADVICE r10, object-store copy+delete renames)
+    fs.create(hpath(f"{final}/_COMMITTED"), True).close()
     # deferred GC: only segments EARLIER folds subsumed are deleted now;
     # the just-folded `live` dirs stay one more generation so in-flight
     # scans that listed them keep reading successfully
     for d in carried:
         fs.delete(hpath(f"{path}/delta/{d}"), True)
     return len(live)
+
+
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    k_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_rows: int | None = None,
+) -> dict:
+    """The OFFLINE REBUILD ``maintenance_action``'s "rebuild" arm
+    signals (VERDICT r10 directive #3) — the new-epoch handoff for an
+    index whose delta mass has grown rebuild-sized (byte ratio ≥ 0.5):
+    re-train the coarse quantizer over the CURRENT full vector set
+    (base + every live delta), overwrite the index (which purges the
+    old epoch's deltas — they were assigned against the retiring
+    centroids), and leave it ready for the stream to resume appending
+    against the new centroids. Preserves an SQ8 layout (codes
+    re-derived by ``write_ivf_sq8_index``). Protocol: pause the append
+    stream (foreachBatch triggers are serial, so stopping the query
+    suffices), run this, resume — proven end to end by
+    tests/test_streaming.py::test_rebuild_under_stream_handoff and
+    timed at scale by bench.py's ivf rebuild stanza.
+
+    Crash-safe: the current rows are STAGED to ``_rebuild_src`` before
+    the overwrite begins, so a crash inside the overwrite window (the
+    ``_EPOCH_IN_PROGRESS`` marker ``write_ivf_index`` maintains) loses
+    nothing — a re-run detects the marker + complete staging and
+    resumes the rebuild from the staged rows. O(index) read+write by
+    nature; the per-trigger maintenance the stream runs inline is
+    ``fold_deltas`` (O(delta)), never this. Returns
+    {n_vectors, k_clusters, sq8}."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = hpath(path).getFileSystem(conf)
+    staging = f"{path}/_rebuild_src"
+    marker = hpath(f"{path}/_EPOCH_IN_PROGRESS")
+    staged_ok = fs.exists(hpath(f"{staging}/_SUCCESS"))
+    resuming = fs.exists(marker) and staged_ok
+    if fs.exists(marker) and not staged_ok:
+        raise RuntimeError(
+            f"IVF index at {path}: interrupted overwrite with no "
+            "recoverable staging (_EPOCH_IN_PROGRESS without "
+            "_rebuild_src/_SUCCESS) — the purged deltas cannot be "
+            "reconstructed from the index alone; restore from the "
+            "upstream corpus"
+        )
+    if resuming:
+        # the overwrite in progress already deleted the index's _SQ8
+        # marker, so the layout flag must come from the staging snapshot
+        sq8 = fs.exists(hpath(f"{staging}/_SQ8_LAYOUT"))
+    else:
+        sq8 = fs.exists(hpath(f"{path}/_SQ8"))
+        cur = read_ivf_lists(spark, path).drop("cluster")
+        for c in ("scale_fx", "code"):  # SQ8 codes are re-derived on write
+            if c in cur.columns:
+                cur = cur.drop(c)
+        cur.write.mode("overwrite").parquet(staging)
+        if sq8:
+            fs.create(hpath(f"{staging}/_SQ8_LAYOUT"), True).close()
+    src = spark.read.parquet(staging)
+    n = src.count()
+    k = k_clusters or k_clusters_for(n)
+    assigned, centroids = build_ivf(
+        src, k_clusters=k, vec_col=vec_col,
+        train_sample_rows=train_sample_rows,
+    )
+    if sq8:
+        write_ivf_sq8_index(
+            assigned, centroids, path, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        write_ivf_index(assigned, centroids, path)
+    fs.delete(hpath(staging), True)
+    return {"n_vectors": n, "k_clusters": k, "sq8": sq8}
 
 
 def ivf_search_persisted(

@@ -108,7 +108,10 @@ def stream_ivf_append(
     base) the stream only WARNS: folding there would rewrite a
     base-sized byte mass on every later trigger (the fold never shrinks
     the delta), and a rebuild retrains centroids — an offline op the
-    operator schedules, not a per-trigger one. foreachBatch triggers run
+    operator schedules, not a per-trigger one. The handoff itself
+    (pause → ``ivf.rebuild_ivf_index`` → resume against the new
+    centroids) is crash-safe and test-proven
+    (test_rebuild_under_stream_handoff). foreachBatch triggers run
     serially, so the fold never races the appends."""
     import warnings
 
@@ -137,9 +140,11 @@ def stream_ivf_append(
             elif action == "rebuild":
                 warnings.warn(
                     f"IVF index at {index_path}: delta bytes ({dbytes}) "
-                    f">= {bbytes} * ratio — schedule a rebuild "
-                    "(build_ivf + write_ivf_index overwrite); per-trigger "
-                    "folding is disabled for this state",
+                    f">= {bbytes} * ratio — pause this stream, run "
+                    "ivf.rebuild_ivf_index (the crash-safe new-epoch "
+                    "handoff: stage, retrain, overwrite — proven by "
+                    "test_rebuild_under_stream_handoff), then resume; "
+                    "per-trigger folding is disabled for this state",
                     stacklevel=2,
                 )
 

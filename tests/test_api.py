@@ -941,3 +941,119 @@ def test_fold_protocol_random_interleavings(spark, tmp_path):
         )
         assert len(got) == n_base + len(want_extra)
         assert [v for v in got if v >= 1_000_000] == want_extra
+
+
+def test_fold_commit_marker_and_namespace_guard(spark, tmp_path):
+    """ADVICE r10: (a) the fold commit point is the _COMMITTED marker,
+    not directory rename — a fold dir stranded without its marker (a
+    crash mid-rename, or a mid-copy listing on an object store whose
+    rename is copy+delete) is INVISIBLE while its input segments stay
+    live, so readers never double-count and never lose rows; a
+    fold_deltas re-run GCs the stranded dir and commits a fresh fold
+    under a NEVER-REUSED sequence number. (b) batch tokens colliding
+    with the fold-<seq> namespace are rejected loudly."""
+    import os
+
+    import pytest
+
+    from backend_fastapi_spark.operators.ivf import (
+        _live_delta_segments,
+        build_ivf,
+        fold_deltas,
+        ivf_append,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    assigned, centroids = build_ivf(base, k_clusters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+
+    def batch(i):
+        return emb.filter(F.col("vec_id") % 2 == 1).limit(5).withColumn(
+            "vec_id", F.col("vec_id") + (i + 1) * 1_000_000
+        )
+
+    # (b) namespace guard: a caller token in the fold namespace is an
+    # error, not a latent ValueError inside a later fold's seq parse
+    with pytest.raises(ValueError, match="fold segment namespace"):
+        ivf_append(spark, path, batch(0), batch_token="fold-9")
+
+    for i in range(3):
+        ivf_append(spark, path, batch(i), batch_token=i)
+    rows = sorted(r["vec_id"] for r in read_ivf_lists(spark, path).collect())
+
+    assert fold_deltas(spark, path) == 3
+    assert os.path.exists(f"{path}/delta/batch=fold-1/_COMMITTED")
+    assert _live_delta_segments(spark, path) == ["batch=fold-1"]
+
+    # (a) strand a fold mid-commit: append two more, fold them with
+    # fold-1 into fold-2, then delete fold-2's _COMMITTED — exactly the
+    # state a crash between rename and marker creation leaves behind
+    for i in range(3, 5):
+        ivf_append(spark, path, batch(i), batch_token=i)
+    rows5 = sorted(r["vec_id"] for r in read_ivf_lists(spark, path).collect())
+    assert fold_deltas(spark, path) == 3  # fold-1 + batch=3 + batch=4
+    os.remove(f"{path}/delta/batch=fold-2/_COMMITTED")
+    # the uncommitted fold is invisible AND its _FOLDED marker is not
+    # honored: inputs (fold-1, batch=3, batch=4) are still live
+    assert sorted(_live_delta_segments(spark, path)) == [
+        "batch=3", "batch=4", "batch=fold-1"
+    ]
+    assert sorted(
+        r["vec_id"] for r in read_ivf_lists(spark, path).collect()
+    ) == rows5
+
+    # re-run heals: stranded fold-2 is GC'd, fresh fold commits as
+    # fold-3 (seq never reused), rows unchanged
+    assert fold_deltas(spark, path) == 3
+    assert _live_delta_segments(spark, path) == ["batch=fold-3"]
+    assert not os.path.isdir(f"{path}/delta/batch=fold-2")
+    assert sorted(
+        r["vec_id"] for r in read_ivf_lists(spark, path).collect()
+    ) == rows5
+    assert set(rows) <= set(rows5)  # earlier batches retained throughout
+
+
+def test_epoch_marker_detects_interrupted_overwrite(spark, tmp_path):
+    """ADVICE r10: a crash inside write_ivf_index's overwrite window —
+    after the delta purge, before the lists rewrite — leaves the OLD
+    lists intact with every appended delta row gone, a complete-LOOKING
+    index. The _EPOCH_IN_PROGRESS marker makes readers and appenders
+    fail loudly on that state, and re-running the overwrite repairs it."""
+    import os
+
+    import pytest
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_append,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    assigned, centroids = build_ivf(base, k_clusters=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+    assert not os.path.exists(f"{path}/_EPOCH_IN_PROGRESS")
+    extra = emb.filter(F.col("vec_id") % 2 == 1).limit(5)
+    ivf_append(spark, path, extra, batch_token=0)
+
+    # simulate the crash: marker written, deltas purged, lists untouched
+    import shutil
+
+    open(f"{path}/_EPOCH_IN_PROGRESS", "w").close()
+    shutil.rmtree(f"{path}/delta")
+    with pytest.raises(RuntimeError, match="interrupted"):
+        read_ivf_lists(spark, path).count()
+    with pytest.raises(RuntimeError, match="interrupted"):
+        ivf_append(spark, path, extra, batch_token=1)
+
+    # repair = re-run the overwrite; the marker clears and reads resume
+    write_ivf_index(assigned, centroids, path)
+    assert not os.path.exists(f"{path}/_EPOCH_IN_PROGRESS")
+    assert read_ivf_lists(spark, path).count() == base.count()
