@@ -133,7 +133,15 @@ def write_ivf_index(
     but before the lists rewrite, which would otherwise leave the OLD
     lists intact with every appended delta row silently gone — leaves a
     marker ``read_ivf_lists``/``ivf_append`` fail loudly on. A re-run of
-    the same overwrite repairs the index and clears the marker."""
+    the same overwrite repairs the index and clears the marker.
+
+    File layout: the rows are repartitioned BY CLUSTER before the
+    partitioned write, so each inverted-list directory holds files from
+    ONE task (review r11). Without it, ``partitionBy`` emits one file
+    per (task x cluster-it-happens-to-see) -- at k ~ sqrt(n) clusters and
+    hundreds of tasks that is a tasks x k small-file explosion whose
+    per-file footer/page overhead dominated the candidate-scan byte
+    audit and whose listing cost taxes every probed search."""
     if mode == "overwrite":
         spark = assigned.sparkSession
         jvm = spark._jvm
@@ -148,7 +156,9 @@ def write_ivf_index(
         m = jvm.org.apache.hadoop.fs.Path(f"{path}/_SQ8")
         if fs.exists(m):
             fs.delete(m, False)
-    assigned.write.partitionBy("cluster").mode(mode).parquet(f"{path}/lists")
+    assigned.repartition("cluster").write.partitionBy("cluster").mode(
+        mode
+    ).parquet(f"{path}/lists")
     centroids.write.mode(mode).parquet(f"{path}/centroids")
     if mode == "overwrite":
         fs.delete(epoch, False)
@@ -362,7 +372,10 @@ def ivf_append(
         new_vectors = new_vectors.join(
             sq8_codes(new_vectors, id_col=id_col, vec_col=vec_col), id_col
         )
-    out = new_vectors.join(assignment, id_col)
+    # one writing task per cluster (repartition before partitionBy) so a
+    # batch adds at most one file per touched cluster dir, not one per
+    # (task x cluster) -- same small-file discipline as write_ivf_index
+    out = new_vectors.join(assignment, id_col).repartition("cluster")
     if batch_token is None:
         out.write.partitionBy("cluster").mode("append").parquet(
             f"{path}/lists"
@@ -523,7 +536,9 @@ def fold_deltas(spark, path: str) -> int:
     df = spark.read.parquet(f"{path}/delta/{live[0]}")
     for d in live[1:]:
         df = df.unionByName(spark.read.parquet(f"{path}/delta/{d}"))
-    df.write.partitionBy("cluster").mode("overwrite").parquet(staging)
+    df.repartition("cluster").write.partitionBy("cluster").mode(
+        "overwrite"
+    ).parquet(staging)
 
     # carry forward the FULL subsumption history (retry-resurrection
     # guard — never pruned; see docstring point 2)

@@ -786,6 +786,11 @@ def ivf_rebuild_stanza(spark, sf_dir: str) -> dict:
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
+    # id shifts derive from the ACTUAL max id: the generated scale
+    # corpora have sparse id domains (see scaledata notes), so a fixed
+    # +1e8 shift can collide with real ids and break the
+    # disjoint-range assertions below
+    off = int(emb.agg(F.max("vec_id")).head()[0]) + 1
     base = emb.filter(F.col("vec_id") % 4 == 0)
     n_base = base.count()
     k_clusters = k_clusters_for(n_base)
@@ -820,7 +825,7 @@ def ivf_rebuild_stanza(spark, sf_dir: str) -> dict:
         token = 0
         for m in (1, 2):
             batch = emb.filter(F.col("vec_id") % 4 == m).withColumn(
-                "vec_id", F.col("vec_id") + 100_000_000
+                "vec_id", F.col("vec_id") + off
             )
             t0 = time.perf_counter()
             ivf_append(spark, path, batch, batch_token=token)
@@ -847,14 +852,14 @@ def ivf_rebuild_stanza(spark, sf_dir: str) -> dict:
 
         # resume: one post-epoch append against the NEW centroids
         resume = emb.filter(F.col("vec_id") % 4 == 3).limit(1000).withColumn(
-            "vec_id", F.col("vec_id") + 200_000_000
+            "vec_id", F.col("vec_id") + 2 * off
         )
         t0 = time.perf_counter()
         ivf_append(spark, path, resume, batch_token=0)
         out["resume_append_s"] = round(time.perf_counter() - t0, 3)
         out["resume_rows_visible"] = bool(
             read_ivf_lists(spark, path)
-            .filter(F.col("vec_id") >= 200_000_000).count() == 1000
+            .filter(F.col("vec_id") >= 2 * off).count() == 1000
         )
         print(f"# ivf-rebuild: ratio {out['delta_byte_ratio']} -> "
               f"{out['action']}, rebuild {out['rebuild_s']:.1f}s, search "
