@@ -1,0 +1,336 @@
+"""Lexical + hybrid retrieval: BM25 scoring, reciprocal-rank fusion, MMR.
+
+The reference exposes keyword search (tools/tool_definitions.py:12's
+``keyword`` parameter, utils/helpers.py:46-60's category keyword routing)
+NEXT TO vector retrieval (rag_service.py, enhanced_internal_db_service.py's
+FAISS search) — the classic vector-DB hybrid surface. This module provides
+the Spark-native forms a corpus-scale engine needs:
+
+- :func:`bm25_topk` — Okapi BM25 over an exploded posting list; one
+  shuffle to build postings, a broadcast of the (tiny) per-term df table,
+  a per-term window for top-k.
+- :func:`bm25_pairs` — query-documents-vs-corpus BM25 via the
+  inverted-index equi-join (postings ⋈ postings on term): the scale path
+  for "find docs lexically similar to these" — never all-pairs, the join
+  key is the term.
+- :func:`rrf_fuse` — reciprocal-rank fusion (Cormack & Clarke, SIGIR'09)
+  of any number of ranked lists; rank-based, so the fusion is immune to
+  score-scale mismatch between lexical and vector retrievers.
+- :func:`mmr_topk` — Maximal Marginal Relevance (Carbonell & Goldstein,
+  SIGIR'98) greedy diversified rerank over a kNN shortlist. The greedy
+  loop runs per query over a FIXED-SIZE shortlist (applyInPandas groups
+  of ``shortlist`` rows), so cost is O(|Q|·shortlist²·dim) — linear in
+  queries, constant per query, corpus never shuffles (shortlist comes
+  from knn_exact's in-place scan).
+
+Determinism: lexical scores are computed in IEEE double with per-term
+scores decimal-accumulated (order-independent sum) and rounded to 1e-6
+before any ranking, so the DuckDB oracle hash-matches; vector scores and
+the MMR argmax run entirely in the package-wide fixed-point int64 domain
+(operators/vector.py::FIXED_SCALE) — exact, no float ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from backend_fastapi_spark.operators.text import words
+from backend_fastapi_spark.operators.vector import _fx
+
+BM25_K1 = 1.2
+# (k1 + 1) as its OWN double literal: Python's 1.2 + 1.0 need not equal
+# the literal 2.2 bit-for-bit, and the oracle SQL spells 2.2
+BM25_K1P1 = 2.2
+BM25_B = 0.75
+RRF_K = 60
+
+
+def _round6(x: Column) -> Column:
+    """ROUND(x·1e6)/1e6 — the registry's proven cross-engine score
+    rounding (tfidf_top_terms precedent); scores are rounded BEFORE any
+    ranking so sub-1e-6 float gaps collapse to the id tie-break
+    identically in both engines."""
+    return F.round(x * F.lit(1e6), 0) / F.lit(1e6)
+
+
+def postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, term, tf, dlen) posting rows from whitespace-lowercase tokens.
+
+    One explode + one groupBy — the single shuffle of the lexical path.
+    At 100 TB this is the materialize-once inverted index; every BM25
+    query below joins it on ``term`` (never a corpus self-join).
+    """
+    toks = docs.select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
+    ).withColumn("dlen", F.size("_w"))
+    return (
+        toks.select(id_col, "dlen", F.explode("_w").alias("term"))
+        .groupBy(id_col, "term", "dlen")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def _corpus_stats(post: DataFrame, id_col: str) -> DataFrame:
+    """1-row (n_docs, avglen). Exact integer sum / count → one double
+    division (IEEE, deterministic)."""
+    per_doc = post.select(id_col, "dlen").groupBy(id_col).agg(
+        F.first("dlen").alias("dlen")
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum("dlen").cast("double") / F.count("*")
+        ).alias("avglen"),
+    )
+
+
+def _bm25_term_score(tf: Column, df: Column, dlen: Column,
+                     n_docs: Column, avglen: Column) -> Column:
+    """Okapi BM25 with the Lucene non-negative idf:
+    ln(1 + (N - df + .5)/(df + .5)) · tf·(k1+1) / (tf + k1·(1-b+b·len/avg)).
+
+    Evaluated in double with one fixed operation order (mirrored verbatim
+    in the oracle SQL) — cross-engine drift is the ~1-ulp ln difference,
+    orders of magnitude under the 1e-6 ranking round.
+    """
+    idf = F.log(
+        F.lit(1.0)
+        + (n_docs.cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5))
+    )
+    # literals 2.2 / 1.2 / 0.25 / 0.75 and the operation order are spelled
+    # IDENTICALLY in the oracle SQL — cross-engine parity by construction
+    return idf * (tf * F.lit(BM25_K1P1)) / (
+        tf + F.lit(BM25_K1) * (F.lit(0.25) + F.lit(BM25_B) * dlen / avglen)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per query term by BM25 → (term, doc_id, bm25).
+
+    Plan: postings shuffle, then the term filter cuts to the queried
+    terms' posting lists, the 1-row stats frame and the ≤|terms|-row df
+    frame broadcast, and a per-term window ranks. The window partitions
+    on ``term`` — fine for interactive term counts; a thousand-term batch
+    would use the per-partition-topk-then-merge form instead.
+    """
+    post = postings(docs, text_col, id_col)
+    stats = _corpus_stats(post, id_col)
+    hits = post.filter(F.col("term").isin(terms))
+    df_tbl = hits.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.col(id_col),
+            _round6(
+                _bm25_term_score(
+                    F.col("tf").cast("double"),
+                    F.col("df").cast("double"),
+                    F.col("dlen").cast("double"),
+                    F.col("n_docs"),
+                    F.col("avglen"),
+                )
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bm25_pairs(
+    docs: DataFrame,
+    query_ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 of every corpus doc against each query DOCUMENT's distinct
+    terms → (q_id, doc_id, kw). The inverted-index join: query terms ⋈
+    postings on ``term``, then a per-(q, doc) decimal-accumulated sum of
+    per-term scores (order-independent — both engines add exact decimals).
+    Self-pairs excluded. Candidates are docs sharing ≥1 term — at corpus
+    scale the df-capped posting join, never |Q|×|corpus|.
+    """
+    post = postings(docs, text_col, id_col)
+    stats = _corpus_stats(post, id_col)
+    df_tbl = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    qterms = (
+        post.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("q_id"), "term")
+    )
+    term_score = _bm25_term_score(
+        F.col("tf").cast("double"),
+        F.col("df").cast("double"),
+        F.col("dlen").cast("double"),
+        F.col("n_docs"),
+        F.col("avglen"),
+    )
+    return (
+        post.join(F.broadcast(qterms), "term")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", term_score.cast("decimal(30,12)"))
+        .groupBy("q_id", id_col)
+        .agg(_round6(F.sum("_s").cast("double")).alias("kw"))
+    )
+
+
+def rank_topn(
+    scored: DataFrame,
+    score_col: str,
+    n: int,
+    group_col: str = "q_id",
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """(group, id, r) — dense 1-based ranks of the top-n by score with the
+    registry-wide total tie-break (score, id asc)."""
+    order = [
+        F.col(score_col).desc() if descending else F.col(score_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n)
+        .select(group_col, id_col, "r")
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = RRF_K,
+    group_col: str = "q_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion: Σ over lists of 1/(k + rank), docs absent
+    from a list contribute 0 from it (the standard RRF convention).
+    Inputs are (group, id, r) frames from :func:`rank_topn`. Rank lists
+    are top-n bounded, so every frame here is |Q|·n rows — the fusion
+    is a union + one tiny groupBy, independent of corpus size.
+    """
+    contrib = [
+        d.select(
+            group_col,
+            id_col,
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("r"))).alias("_c"),
+        )
+        for d in ranked
+    ]
+    allc = contrib[0]
+    for d in contrib[1:]:
+        allc = allc.unionByName(d)
+    return allc.groupBy(group_col, id_col).agg(
+        _round6(
+            F.sum(F.col("_c").cast("decimal(30,12)")).cast("double")
+        ).alias("rrf")
+    )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: int = 20,
+    select: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_embedding",
+) -> DataFrame:
+    """MMR diversified top-``select`` over a ``shortlist``-size exact-kNN
+    shortlist → (q_id, mmr_rank, vec_id, rel_i64), λ = 0.5.
+
+    With λ = 0.5 the greedy objective  λ·rel − (1−λ)·max-sim-to-selected
+    ranks identically to  rel_i64 − max_sim_i64  — pure int64 fixed-point
+    arithmetic end to end (quantization happens IN SPARK via the
+    package-wide ``_fx``, the knn_exact pattern, so no Python rounding
+    can diverge from the oracle's CAST(ROUND(x·1e6)) twin).
+
+    Scale shape: knn_exact scans the corpus in place (no shuffle, per
+    batch top-k) → shortlist is |Q|·shortlist rows; the greedy loop is
+    applyInPandas over per-query groups of ``shortlist`` rows, each group
+    O(shortlist²·dim) in one numpy matmul — constant per query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from backend_fastapi_spark.operators.vector import knn_exact
+
+    top = knn_exact(
+        corpus,
+        queries,
+        k=shortlist,
+        corpus_id=corpus_id,
+        query_id=query_id,
+        vec_col=vec_col,
+        query_vec_col=query_vec_col,
+    ).select(
+        F.col(query_id).alias("_qid"),
+        F.col(corpus_id).alias("_cid"),
+        F.col("score_i64").alias("rel_i64"),
+        F.transform(F.col(vec_col), lambda x: _fx(x).cast("double")).alias(
+            "_cv"
+        ),
+    )
+
+    qid_ddl = dict(zip(queries.schema.names, queries.schema))[
+        query_id
+    ].dataType.simpleString()
+    cid_ddl = dict(zip(corpus.schema.names, corpus.schema))[
+        corpus_id
+    ].dataType.simpleString()
+    out_schema = (
+        f"{query_id} {qid_ddl}, mmr_rank int, {corpus_id} {cid_ddl}, "
+        "rel_i64 long"
+    )
+    n_sel = int(select)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["_qid"].iloc[0]
+        ids = pdf["_cid"].to_numpy()
+        rel = pdf["rel_i64"].to_numpy(dtype=np.int64)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_cv"]])
+        # pairwise dots: quantized elements ≤ FIXED_SCALE, dim·1e12 ≪ 2^53
+        # → the float64 matmul is exact; int64 cast is lossless
+        sim = (m @ m.T).astype(np.int64)
+        # deterministic candidate order (id asc) so np argmax tie-breaks
+        # on id exactly like the oracle's ORDER BY ... vec_id ASC
+        order = np.argsort(ids, kind="stable")
+        ids, rel, sim = ids[order], rel[order], sim[order][:, order]
+        picked: list[int] = []
+        # step 0: pure relevance (no selected set yet)
+        cur = int(np.argmax(rel))  # argmax returns FIRST max → id asc
+        picked.append(cur)
+        remaining = [i for i in range(len(ids)) if i != cur]
+        while remaining and len(picked) < n_sel:
+            max_sim = sim[np.ix_(remaining, picked)].max(axis=1)
+            mmr = rel[remaining] - max_sim
+            j = int(np.argmax(mmr))
+            picked.append(remaining[j])
+            remaining.pop(j)
+        return pd.DataFrame(
+            {
+                query_id: [qid] * len(picked),
+                "mmr_rank": np.arange(len(picked), dtype=np.int32),
+                corpus_id: ids[picked],
+                "rel_i64": rel[picked],
+            }
+        )
+
+    return top.groupBy("_qid").applyInPandas(greedy, schema=out_schema)

@@ -31,6 +31,7 @@ from backend_fastapi_spark.operators import sketches as SK
 from backend_fastapi_spark.operators import pq as PQ
 from backend_fastapi_spark.operators import semdedup as SD
 from backend_fastapi_spark.operators import pipeline as PL
+from backend_fastapi_spark.operators import retrieval as RT
 from backend_fastapi_spark.sources.parquet import footer_row_count, read_table
 
 
@@ -4252,6 +4253,200 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 3)
         .select("doc_id", "term", "tfidf")
+    )
+
+
+# Shared lexical-retrieval CTE prefix: postings + corpus stats derived
+# FROM the postings (n_docs counts docs with >= 1 token — identical to the
+# Spark side, which derives both from the same posting frame). BM25
+# literals (2.2 / 1.2 / 0.25 / 0.75) and operation order mirror
+# operators/retrieval.py::_bm25_term_score verbatim.
+_BM25_CTES = f"""{_TOKS_CTE},
+    dl AS (SELECT doc_id, len(w) AS dlen, w FROM toks),
+    post AS (
+      SELECT doc_id, term, MIN(dlen) AS dlen, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dlen, unnest(w) AS term FROM dl) GROUP BY 1, 2),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avglen
+      FROM (SELECT doc_id, MIN(dlen) AS dlen FROM post GROUP BY 1))"""
+
+_BM25_SCORE = (
+    "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))"
+    " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlen / avglen))"
+)
+
+
+@register(
+    "bm25_keyword_topk",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    terms(term) AS (VALUES ('vector'), ('stream'), ('window'), ('hash')),
+    hits AS (SELECT p.* FROM post p JOIN terms USING (term)),
+    df_tbl AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+               FROM hits GROUP BY term),
+    scored AS (
+      SELECT term, doc_id, ROUND({_BM25_SCORE} * 1e6) / 1e6 AS bm25
+      FROM hits JOIN df_tbl USING (term) CROSS JOIN stats),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY bm25 DESC, doc_id ASC) AS rn
+      FROM scored)
+    SELECT term, doc_id, bm25 FROM ranked WHERE rn <= 10
+    """,
+)
+def q_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword search, top-10 per query term — the lexical
+    half of the reference's retrieval surface (tool_definitions.py:12's
+    ``keyword`` search parameter; helpers.py:46-60's keyword routing),
+    Spark-native: one postings shuffle, broadcast df/stats, per-term
+    window. Scores rounded to 1e-6 BEFORE ranking so the float ln is
+    never the tie-breaker (operators/retrieval.py module docstring)."""
+    return RT.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        terms=["vector", "stream", "window", "hash"],
+        k=10,
+    )
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    df_tbl AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+               FROM post GROUP BY term),
+    qterms AS (SELECT doc_id AS q_id, term FROM post WHERE doc_id < 5),
+    kw_scored AS (
+      SELECT qt.q_id, p.doc_id,
+             ROUND(CAST(SUM(CAST({_BM25_SCORE} AS DECIMAL(30,12)))
+                        AS DOUBLE) * 1e6) / 1e6 AS kw
+      FROM qterms qt
+      JOIN post p ON p.term = qt.term AND p.doc_id <> qt.q_id
+      JOIN df_tbl d ON d.term = qt.term
+      CROSS JOIN stats
+      GROUP BY qt.q_id, p.doc_id),
+    kw_rank AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY kw DESC, doc_id ASC) AS r
+      FROM kw_scored QUALIFY r <= 50),
+    qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 5),
+    vec_scored AS (
+      SELECT qv.q_id, e.vec_id AS doc_id,
+             {_DOT_I64_SQL.format(a='e.embedding', b='qv.qe')} AS s
+      FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.q_id),
+    vec_rank AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY s DESC, doc_id ASC) AS r
+      FROM vec_scored QUALIFY r <= 50),
+    contrib AS (
+      SELECT q_id, doc_id, 1.0 / (60.0 + r) AS c FROM kw_rank
+      UNION ALL
+      SELECT q_id, doc_id, 1.0 / (60.0 + r) AS c FROM vec_rank),
+    fused AS (
+      SELECT q_id, doc_id,
+             ROUND(CAST(SUM(CAST(c AS DECIMAL(30,12))) AS DOUBLE) * 1e6)
+               / 1e6 AS rrf
+      FROM contrib GROUP BY 1, 2)
+    SELECT q_id, doc_id, rrf FROM fused
+    QUALIFY row_number() OVER (PARTITION BY q_id
+                               ORDER BY rrf DESC, doc_id ASC) <= 10
+    """,
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25-over-query-document-terms fused with exact
+    cosine kNN by reciprocal-rank fusion (RRF, k=60), top-10 per query —
+    the keyword+vector surface the reference splits across its keyword
+    tools and FAISS RAG path, as ONE ranked result. Queries are docs
+    0-4 (doc_id ≡ vec_id in the testdata). Scale shape: the lexical leg
+    is the inverted-index equi-join (postings ⋈ query terms on term),
+    the vector leg knn_exact's in-place corpus scan; both rank lists are
+    |Q|·50 rows, so the fusion is a union + tiny groupBy — rank-based,
+    immune to the two retrievers' score-scale mismatch."""
+    query_ids = [0, 1, 2, 3, 4]
+    kw = RT.bm25_pairs(_t(spark, sf_dir, "documents"), query_ids)
+    kw_rank = RT.rank_topn(kw, "kw", 50)
+    vec = V.knn_exact(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vectors(spark, sf_dir, 5),
+        k=50,
+    ).select("q_id", F.col("vec_id").alias("doc_id"), "score_i64")
+    vec_rank = RT.rank_topn(vec, "score_i64", 50)
+    fused = RT.rrf_fuse([kw_rank, vec_rank])
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("q_id", "doc_id", "rrf")
+    )
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=f"""
+    WITH RECURSIVE
+    qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 3),
+    cand AS (
+      SELECT * FROM (
+        SELECT qv.q_id, e.vec_id, e.embedding,
+               {_DOT_I64_SQL.format(a='e.embedding', b='qv.qe')} AS rel_i64,
+               row_number() OVER (
+                 PARTITION BY qv.q_id
+                 ORDER BY {_DOT_I64_SQL.format(a='e.embedding', b='qv.qe')}
+                            DESC, e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.q_id)
+      WHERE rn <= 20),
+    sim AS (
+      SELECT a.q_id AS sq_id, a.vec_id AS a_id, b.vec_id AS b_id,
+             {_DOT_I64_SQL.format(a='a.embedding', b='b.embedding')} AS sim_i64
+      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+    -- greedy MMR, lambda = 0.5: argmax of 0.5*rel - 0.5*maxsim ranks as
+    -- (rel_i64 - maxsim_i64) — pure int64, no float anywhere
+    sel(q_id, step, sel_list) AS (
+      SELECT q_id, 0, [vec_id] FROM cand WHERE rn = 1
+      UNION ALL
+      SELECT s.q_id, s.step + 1,
+             list_append(s.sel_list, (
+               SELECT c.vec_id FROM cand c
+               WHERE c.q_id = s.q_id
+                 AND NOT list_contains(s.sel_list, c.vec_id)
+               ORDER BY (c.rel_i64 - (
+                   SELECT MAX(si.sim_i64) FROM sim si
+                   WHERE si.sq_id = s.q_id AND si.a_id = c.vec_id
+                     AND list_contains(s.sel_list, si.b_id))) DESC,
+                 c.vec_id ASC
+               LIMIT 1))
+      FROM sel s WHERE s.step < 4),
+    final AS (SELECT q_id AS fq_id, sel_list FROM sel WHERE step = 4),
+    flat AS (
+      SELECT fq_id, unnest(sel_list) AS vec_id,
+             generate_subscripts(sel_list, 1) AS pos
+      FROM final)
+    SELECT fl.fq_id AS q_id, CAST(fl.pos - 1 AS INTEGER) AS mmr_rank,
+           fl.vec_id AS vec_id, c.rel_i64 AS rel_i64
+    FROM flat fl JOIN cand c ON c.q_id = fl.fq_id AND c.vec_id = fl.vec_id
+    """,
+)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (λ=0.5): greedy-select 5 of the
+    exact-kNN top-20, trading relevance against similarity to the already
+    selected — the diversity rerank RAG retrievers run between recall and
+    prompt assembly (reference analog: rag_service's retriever feeding
+    doc assembly; W2's round-robin diversification is the grouped-attr
+    cousin). Entirely fixed-point int64 (quantized in Spark via _fx, the
+    knn_exact pattern), so the greedy argmax chain is exact in both
+    engines; the oracle re-derives it as a recursive CTE over the
+    candidate prefix sums. Scale shape: corpus scanned once in place by
+    knn_exact; the greedy loop touches only |Q| groups of 20 rows."""
+    return RT.mmr_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vectors(spark, sf_dir, 3),
+        shortlist=20,
+        select=5,
     )
 
 

@@ -117,6 +117,11 @@ EXTRA = [
     "hll_monthly_merge",
     "kmv_set_cardinalities",
     "maintenance_skipping",
+    # round 11 additions — the lexical/hybrid retrieval family: the
+    # postings build dominates bm25, the rank-list fusion is O(|Q|·50)
+    "bm25_keyword_topk",
+    "hybrid_rrf_topk",
+    "mmr_diversified_topk",
 ]
 
 # Queries whose plan runs connected_components — snapshot its stats.

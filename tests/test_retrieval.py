@@ -1,0 +1,135 @@
+"""Lexical/hybrid retrieval operators: BM25, RRF fusion, MMR rerank.
+
+Registry-level hash parity vs DuckDB runs in test_oracle_parity (the
+three queries are registered); these tests pin the OPERATOR semantics on
+hand-built corpora where the expected ordering is derivable by eye.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from backend_fastapi_spark.operators import retrieval as RT
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_tf_monotone_and_length_penalty(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "cat dog"),  # tf(cat)=1, len 2
+            (1, "cat cat"),  # tf(cat)=2, len 2 — more hits, same length
+            (2, "cat dog dog dog dog dog dog dog"),  # tf 1, len 8
+            (3, "fish fish"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in RT.bm25_topk(docs, ["cat"], k=10).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[1] > out[0], "higher tf must score higher at equal length"
+    assert out[0] > out[2], "same tf in a longer doc must score lower"
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "rare common"),
+            (1, "common junk"),
+            (2, "common junk"),
+            (3, "common junk"),
+        ],
+    )
+    out = RT.bm25_topk(docs, ["rare", "common"], k=1).collect()
+    best = {r["term"]: r["bm25"] for r in out}
+    assert best["rare"] > best["common"], "df=1 idf must beat df=4 idf"
+
+
+def test_bm25_pairs_excludes_self_and_joins_on_terms(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta"),
+            (1, "alpha gamma"),
+            (2, "delta epsilon"),
+        ],
+    )
+    rows = RT.bm25_pairs(docs, [0]).collect()
+    got = {(r["q_id"], r["doc_id"]) for r in rows}
+    assert (0, 0) not in got, "self-pair must be excluded"
+    assert (0, 1) in got, "shared term alpha must surface doc 1"
+    assert (0, 2) not in got, "no shared term → no candidate (never all-pairs)"
+
+
+def test_rrf_consensus_beats_single_list(spark):
+    kw = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "q_id long, doc_id long, r int"
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "q_id long, doc_id long, r int"
+    )
+    fused = {
+        r["doc_id"]: r["rrf"] for r in RT.rrf_fuse([kw, vec]).collect()
+    }
+    # doc 11 appears in both lists (ranks 2+1) — must beat both
+    # single-list docs, including kw's rank-1
+    assert fused[11] > fused[10] > fused[12]
+    assert fused[11] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    # corpus: two near-identical high-relevance vectors (0, 1), one
+    # orthogonal-ish lower-relevance vector (2). Query points at the
+    # duplicate direction. Pure top-2 = {0, 1}; MMR(λ=.5) must swap the
+    # redundant twin for the diverse vector.
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.999, 0.01]),
+            (2, [0.2, 0.9]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    # query near but not ON the duplicate direction (a query EQUAL to a
+    # corpus vector makes rel(x) == sim(x, picked) for every x — all MMR
+    # scores tie at zero and the test would only exercise tie-breaks)
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.1])], "q_id long, q_embedding array<float>"
+    )
+    got = (
+        RT.mmr_topk(corpus, queries, shortlist=3, select=2)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == [1, 2], (
+        "rank 0 = most relevant (v1 tilts toward the query); rank 1 must "
+        f"be the diverse vector, got {[r['vec_id'] for r in got]}"
+    )
+    assert [r["mmr_rank"] for r in got] == [0, 1]
+
+
+def test_mmr_rank0_is_pure_relevance_and_select_caps(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1) / 10.0, 0.1]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+        "q_id long, q_embedding array<float>",
+    )
+    got = RT.mmr_topk(corpus, queries, shortlist=4, select=3).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert set(per_q) == {0, 1}
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r["mmr_rank"])
+        assert len(rows) == 3
+        # rank 0 carries the max rel_i64 of the selected set
+        assert rows[0]["rel_i64"] == max(r["rel_i64"] for r in rows)
