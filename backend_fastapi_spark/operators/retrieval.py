@@ -243,6 +243,132 @@ def rrf_fuse(
     )
 
 
+N_TERM_BUCKETS = 32
+
+
+def term_bucket(term: Column) -> Column:
+    """Deterministic term→bucket hash (md5 first 8 hex chars mod N) — the
+    registry-wide engine-portable hash idiom (operators/sketches.py:80);
+    DuckDB twin: CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % N;
+    Python twin: :func:`py_term_bucket`."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+        % N_TERM_BUCKETS
+    )
+
+
+def py_term_bucket(term: str) -> int:
+    """Driver-side twin of :func:`term_bucket` for pruning query terms."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % N_TERM_BUCKETS
+
+
+def write_postings_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "error",
+) -> None:
+    """Materialize-once inverted index: the 100 TB form of the lexical
+    path. Three parts under ``path``:
+
+    - ``postings/`` — (id, term, dlen, tf) hive-partitioned by
+      ``bucket = md5(term) % 32``, repartitioned by bucket BEFORE the
+      write so each bucket directory is one task's files (the IVF
+      one-file-per-cluster lesson: partitionBy from a many-partition
+      frame explodes into tasks×buckets small files whose footers
+      dominate the pruned scan).
+    - ``df/`` — per-term document frequency, bucketed the same way so a
+      query's df lookups prune identically.
+    - ``stats/`` — the 1-row (n_docs, avglen) frame.
+
+    Searches then pay IO proportional to |query terms| / N buckets of
+    the index, not the corpus: the bucket filter is partition pruning
+    (directories never listed), the term filter reaches the row groups.
+    The corpus itself is read exactly once, at write time.
+    """
+    post = postings(docs, text_col, id_col).withColumn(
+        "bucket", term_bucket(F.col("term"))
+    )
+    stats = _corpus_stats(post, id_col)
+    df_tbl = post.groupBy("term", "bucket").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    (
+        post.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode(mode)
+        .parquet(f"{path}/postings")
+    )
+    (
+        df_tbl.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode(mode)
+        .parquet(f"{path}/df")
+    )
+    stats.coalesce(1).write.mode(mode).parquet(f"{path}/stats")
+
+
+def bm25_search_persisted(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 over a :func:`write_postings_index` layout →
+    (term, doc_id, bm25) — value-identical to :func:`bm25_topk` on the
+    corpus the index was built from (same posting rows, same global df,
+    same stats), but the scan touches ONLY the query terms' bucket
+    partitions of the postings and df tables (plus the 1-row stats
+    file). Scale shape: |terms|/32 of the index's bytes, zero corpus
+    access, zero shuffle on the postings side (the per-term window ranks
+    |terms| posting lists)."""
+    buckets = sorted({py_term_bucket(t) for t in terms})
+    hits = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    df_tbl = (
+        spark.read.parquet(f"{path}/df")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    # 1-row bounded driver read (the nprobe-cluster-ids discipline):
+    # inlining the two scalars as literals keeps the plan a single
+    # broadcast-hash join — no 1-row cross-join for the audit to reason
+    # about, no extra exchange
+    stats = spark.read.parquet(f"{path}/stats").head()
+    scored = (
+        hits.join(F.broadcast(df_tbl), "term")
+        .select(
+            "term",
+            F.col(id_col),
+            _round6(
+                _bm25_term_score(
+                    F.col("tf").cast("double"),
+                    F.col("df").cast("double"),
+                    F.col("dlen").cast("double"),
+                    F.lit(stats["n_docs"]),
+                    F.lit(stats["avglen"]),
+                )
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def mmr_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -56,6 +56,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# Root for the persisted-index audit queries (index_sink_audit,
+# ivf_append_audit, ivf_sq8_index_audit, bm25_search_persisted): the
+# Spark side writes the layout here, the DuckDB oracle reads the SAME
+# files. Defined before the first registration that inlines it into its
+# oracle SQL.
+_INDEX_ROOT = _os_mod.path.join(
+    _os_mod.path.dirname(_os_mod.path.dirname(_os_mod.path.abspath(__file__))),
+    ".indexdata",
+)
+
+
 def dsum(c, scale: int = 2):
     """Order-independent SUM of a double column: exact decimal accumulate,
     then exact cast back to double."""
@@ -4308,6 +4319,70 @@ def q_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_persisted_oracle_sql() -> str:
+    # Both-engines-read-the-persisted-files discipline (index_sink_audit /
+    # ivf_sq8_index_audit): score BM25 from the EXACT postings/df/stats
+    # files the Spark query just wrote at the driver's sf0.01 — the df
+    # comes from the index's own df table (not recomputed), certifying
+    # the layout carries everything a search needs.
+    base = f"{_INDEX_ROOT}/sf0.01/postings_index"
+    return f"""
+    WITH post AS (
+      SELECT doc_id, term, dlen, tf
+      FROM read_parquet('{base}/postings/*/*.parquet', hive_partitioning = 1)),
+    df_tbl AS (
+      SELECT term, df
+      FROM read_parquet('{base}/df/*/*.parquet', hive_partitioning = 1)),
+    stats AS (SELECT * FROM read_parquet('{base}/stats/*.parquet')),
+    terms(term) AS (VALUES ('vector'), ('stream'), ('window'), ('hash')),
+    hits AS (SELECT p.* FROM post p JOIN terms USING (term)),
+    scored AS (
+      SELECT term, doc_id, ROUND({_BM25_SCORE} * 1e6) / 1e6 AS bm25
+      FROM hits JOIN df_tbl USING (term) CROSS JOIN stats),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY bm25 DESC, doc_id ASC) AS rn
+      FROM scored)
+    SELECT term, doc_id, bm25 FROM ranked WHERE rn <= 10
+    """
+
+
+@register("bm25_search_persisted", oracle=_bm25_persisted_oracle_sql())
+def q_bm25_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED inverted-index layout, hash-green end to end: write
+    the corpus's postings once (`retrieval.write_postings_index` —
+    hive-partitioned by md5-term-bucket, one file per bucket, df and
+    stats tables beside them), then answer the same four-term query as
+    `bm25_keyword_topk` by reading ONLY the query terms' bucket
+    partitions (`bm25_search_persisted` — partition pruning at the
+    directory level, term filter at the row groups, df from the index's
+    own df table, the 1-row stats read inlined as literals). Values are
+    identical to the from-scratch query by construction — what this row
+    certifies is the LAYOUT: both engines re-derive the ranking from the
+    same persisted files. At 100 TB the corpus is read once at write
+    time; every search after that pays |terms|/32 of the index's bytes
+    (pruning proven in tests/test_retrieval.py::
+    test_persisted_bm25_prunes_buckets_and_matches)."""
+    import os
+
+    from backend_fastapi_spark.operators.retrieval import (
+        bm25_search_persisted,
+        write_postings_index,
+    )
+
+    base_dir = os.path.join(
+        _INDEX_ROOT,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "postings_index",
+    )
+    write_postings_index(
+        _t(spark, sf_dir, "documents"), base_dir, mode="overwrite"
+    )
+    return bm25_search_persisted(
+        spark, base_dir, terms=["vector", "stream", "window", "hash"], k=10
+    )
+
+
 @register(
     "hybrid_rrf_topk",
     oracle=f"""
@@ -6936,12 +7011,6 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "layout string, col string, row_groups long, overlapping long"
     ).orderBy("layout", "col")
-
-
-_INDEX_ROOT = _os_mod.path.join(
-    _os_mod.path.dirname(_os_mod.path.dirname(_os_mod.path.abspath(__file__))),
-    ".indexdata",
-)
 
 
 def _index_audit_oracle_sql() -> str:

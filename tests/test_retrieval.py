@@ -83,6 +83,45 @@ def test_rrf_consensus_beats_single_list(spark):
     assert fused[11] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
 
 
+def test_persisted_bm25_prunes_buckets_and_matches(spark, tmp_path):
+    from backend_fastapi_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "pidx")
+    RT.write_postings_index(docs, path)
+    terms = ["vector", "hash"]
+    got = RT.bm25_search_persisted(spark, path, terms, k=10)
+
+    # partition pruning is IN THE PLAN: the postings/df scans carry a
+    # bucket partition filter, so non-queried bucket dirs are never read
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # and the pruned search returns exactly the from-scratch ranking
+    fresh = RT.bm25_topk(docs, terms, k=10)
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, fresh.collect()))
+    assert a == b and len(a) > 0
+
+    # every bucket dir is one task's output (the one-file-per-cluster
+    # discipline): no tasks×buckets small-file explosion
+    import glob
+
+    for d in glob.glob(f"{path}/postings/bucket=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+
+
+def test_term_bucket_python_twin_matches_spark(spark):
+    terms = ["vector", "stream", "window", "hash", "잠실", "x"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["b"]
+        for r in df.select("term", RT.term_bucket(F.col("term")).alias("b")).collect()
+    }
+    assert got == {t: RT.py_term_bucket(t) for t in terms}
+
+
 def test_mmr_prefers_diverse_over_redundant(spark):
     # corpus: two near-identical high-relevance vectors (0, 1), one
     # orthogonal-ish lower-relevance vector (2). Query points at the
