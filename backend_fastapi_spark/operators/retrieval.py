@@ -74,13 +74,16 @@ def postings(
 
 
 def _corpus_stats(post: DataFrame, id_col: str) -> DataFrame:
-    """1-row (n_docs, avglen). Exact integer sum / count → one double
-    division (IEEE, deterministic)."""
+    """1-row (n_docs, dlen_sum, avglen). Integer count and sum are exact
+    (and MERGEABLE across index segments — the persisted layout stores
+    them, not the ratio); avglen is the one double division (IEEE,
+    deterministic)."""
     per_doc = post.select(id_col, "dlen").groupBy(id_col).agg(
         F.first("dlen").alias("dlen")
     )
     return per_doc.agg(
         F.count("*").alias("n_docs"),
+        F.sum("dlen").cast("long").alias("dlen_sum"),
         (
             F.sum("dlen").cast("double") / F.count("*")
         ).alias("avglen"),
@@ -272,7 +275,7 @@ def write_postings_index(
     mode: str = "error",
 ) -> None:
     """Materialize-once inverted index: the 100 TB form of the lexical
-    path. Three parts under ``path``:
+    path. Two parts under ``path``:
 
     - ``postings/`` — (id, term, dlen, tf) hive-partitioned by
       ``bucket = md5(term) % 32``, repartitioned by bucket BEFORE the
@@ -280,35 +283,116 @@ def write_postings_index(
       one-file-per-cluster lesson: partitionBy from a many-partition
       frame explodes into tasks×buckets small files whose footers
       dominate the pruned scan).
-    - ``df/`` — per-term document frequency, bucketed the same way so a
-      query's df lookups prune identically.
-    - ``stats/`` — the 1-row (n_docs, avglen) frame.
+    - ``stats/`` — one (segment, n_docs, dlen_sum) row. The MERGEABLE
+      integers, not the avg ratio: every :func:`postings_append` delta
+      adds its own row and a search recombines exactly.
 
-    Searches then pay IO proportional to |query terms| / N buckets of
-    the index, not the corpus: the bucket filter is partition pruning
-    (directories never listed), the term filter reaches the row groups.
-    The corpus itself is read exactly once, at write time.
+    Per-term df is NOT materialized: a search derives it from the
+    term-filtered rows it already scans (exact under any number of delta
+    segments, zero extra IO — the rows are in hand). Searches pay IO
+    proportional to |query terms| / N buckets of the index, not the
+    corpus: the bucket filter is partition pruning (directories never
+    listed), the term filter reaches the row groups. The corpus itself
+    is read exactly once, at write time.
     """
     post = postings(docs, text_col, id_col).withColumn(
         "bucket", term_bucket(F.col("term"))
     )
-    stats = _corpus_stats(post, id_col)
-    df_tbl = post.groupBy("term", "bucket").agg(
-        F.count("*").cast("long").alias("df")
+    stats = _corpus_stats(post, id_col).select(
+        F.lit("base").alias("segment"), "n_docs", "dlen_sum"
     )
+    if mode == "overwrite":
+        # a rewritten base makes every old delta segment stale — clear
+        # them FIRST (the write_ivf_index overwrite discipline, ADVICE
+        # r9/r10): a crash mid-overwrite leaves an obviously headless
+        # index, never a complete-looking one carrying rows of the old
+        # epoch
+        spark = docs.sparkSession
+        delta = _hpath(spark, f"{path}/delta")
+        fs = delta.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(delta):
+            fs.delete(delta, True)
     (
         post.repartition("bucket")
         .write.partitionBy("bucket")
         .mode(mode)
         .parquet(f"{path}/postings")
     )
-    (
-        df_tbl.repartition("bucket")
-        .write.partitionBy("bucket")
-        .mode(mode)
-        .parquet(f"{path}/df")
-    )
     stats.coalesce(1).write.mode(mode).parquet(f"{path}/stats")
+
+
+def _hpath(spark, p: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _live_posting_segments(spark, path: str) -> list[str]:
+    """Committed ``delta/batch=*`` segment roots — the ivf.py
+    ``_COMMITTED``-marker discipline: a segment is visible only once its
+    marker exists (written AFTER both the postings and stats subwrites),
+    so a crash between the two subwrites, or a mid-rewrite at-least-once
+    retry, can never serve postings whose stats row is missing (which
+    would silently skew avglen/n_docs rather than fail)."""
+    jvm = spark._jvm
+    root = _hpath(spark, f"{path}/delta/*")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(root)
+    out = []
+    for m in matches or []:
+        if not m.isDirectory():
+            continue
+        seg = m.getPath().toString()
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{seg}/_COMMITTED")):
+            out.append(seg)
+    return sorted(out)
+
+
+def postings_append(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    batch_token,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental lexical-index grow — ``ivf_append``'s contract for the
+    postings layout (reference serving role: the same add-documents path,
+    enhanced_internal_db_service.py:602-630, which updates the keyword
+    side alongside the FAISS store). The new docs' postings land as an
+    IDEMPOTENT delta segment ``delta/batch=<token>`` (an at-least-once
+    retry overwrites exactly itself), bucket-partitioned like the base
+    so every search prunes base and deltas identically; the segment
+    carries its own (n_docs, dlen_sum) stats row, and the ``_COMMITTED``
+    marker is created only after both subwrites so readers never see a
+    half-written segment. Cost is O(batch), never O(index) — the base
+    postings are not read, touched, or re-shuffled."""
+    seg = f"{path}/delta/batch={batch_token}"
+    jvm = spark._jvm
+    marker = _hpath(spark, f"{seg}/_COMMITTED")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    # de-commit first: the rewrite below must not be readable mid-flight
+    if fs.exists(marker):
+        fs.delete(marker, False)
+    post = postings(new_docs, text_col, id_col).withColumn(
+        "bucket", term_bucket(F.col("term"))
+    )
+    (
+        post.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{seg}/postings")
+    )
+    (
+        _corpus_stats(post, id_col)
+        .select(
+            F.lit(f"batch={batch_token}").alias("segment"),
+            "n_docs",
+            "dlen_sum",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{seg}/stats")
+    )
+    fs.create(jvm.org.apache.hadoop.fs.Path(marker.toString()), True).close()
 
 
 def bm25_search_persisted(
@@ -318,31 +402,47 @@ def bm25_search_persisted(
     k: int = 10,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Top-k BM25 over a :func:`write_postings_index` layout →
-    (term, doc_id, bm25) — value-identical to :func:`bm25_topk` on the
-    corpus the index was built from (same posting rows, same global df,
-    same stats), but the scan touches ONLY the query terms' bucket
-    partitions of the postings and df tables (plus the 1-row stats
-    file). Scale shape: |terms|/32 of the index's bytes, zero corpus
-    access, zero shuffle on the postings side (the per-term window ranks
-    |terms| posting lists)."""
+    """Top-k BM25 over a :func:`write_postings_index` layout (plus every
+    committed :func:`postings_append` delta) → (term, doc_id, bm25) —
+    value-identical to :func:`bm25_topk` on the union corpus: same
+    posting rows, df derived from the term-filtered rows the scan
+    already reads (exact across segments, no df table to go stale), and
+    (n_docs, avglen) recombined from the per-segment integer stats rows.
+    The scan touches ONLY the query terms' bucket partitions of each
+    segment. Scale shape: |terms|/32 of the index's bytes (twice — the
+    df pass and the scoring pass share the pruned scan shape), zero
+    corpus access, zero shuffle beyond the per-term window over |terms|
+    posting lists."""
     buckets = sorted({py_term_bucket(t) for t in terms})
-    hits = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-    )
-    df_tbl = (
-        spark.read.parquet(f"{path}/df")
-        .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-        .select("term", "df")
-    )
-    # 1-row bounded driver read (the nprobe-cluster-ids discipline):
-    # inlining the two scalars as literals keeps the plan a single
-    # broadcast-hash join — no 1-row cross-join for the audit to reason
-    # about, no extra exchange
-    stats = spark.read.parquet(f"{path}/stats").head()
+    segments = [f"{path}/postings"] + [
+        f"{s}/postings" for s in _live_posting_segments(spark, path)
+    ]
+
+    def pruned(seg_postings: str) -> DataFrame:
+        return (
+            spark.read.parquet(seg_postings)
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select(id_col, "term", "dlen", "tf")
+        )
+
+    hits = pruned(segments[0])
+    for s in segments[1:]:
+        hits = hits.unionByName(pruned(s))
+    df_tbl = hits.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    stats = spark.read.parquet(f"{path}/stats")
+    for s in _live_posting_segments(spark, path):
+        stats = stats.unionByName(spark.read.parquet(f"{s}/stats"))
+    # bounded driver read (the nprobe-cluster-ids discipline): the
+    # mergeable integers collapse to two scalars, inlined as literals so
+    # the scoring plan is one broadcast-hash join. int/int division in
+    # Python is the same IEEE double op both engines run.
+    srow = stats.agg(
+        F.sum("n_docs").alias("n"), F.sum("dlen_sum").alias("s")
+    ).head()
+    n_docs, avglen = int(srow["n"]), srow["s"] / srow["n"]
+
     scored = (
         hits.join(F.broadcast(df_tbl), "term")
         .select(
@@ -353,8 +453,8 @@ def bm25_search_persisted(
                     F.col("tf").cast("double"),
                     F.col("df").cast("double"),
                     F.col("dlen").cast("double"),
-                    F.lit(stats["n_docs"]),
-                    F.lit(stats["avglen"]),
+                    F.lit(n_docs),
+                    F.lit(avglen),
                 )
             ).alias("bm25"),
         )

@@ -4319,23 +4319,46 @@ def q_bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_persisted_oracle_sql() -> str:
+def _bm25_persisted_oracle_sql(index_name: str, with_deltas: bool) -> str:
     # Both-engines-read-the-persisted-files discipline (index_sink_audit /
-    # ivf_sq8_index_audit): score BM25 from the EXACT postings/df/stats
-    # files the Spark query just wrote at the driver's sf0.01 — the df
-    # comes from the index's own df table (not recomputed), certifying
-    # the layout carries everything a search needs.
-    base = f"{_INDEX_ROOT}/sf0.01/postings_index"
+    # ivf_sq8_index_audit): score BM25 from the EXACT postings/stats
+    # files the Spark query just wrote at the driver's sf0.01 — df
+    # derived from the term-filtered posting rows (the search's own
+    # definition, exact across segments), (n_docs, avglen) recombined
+    # from the mergeable per-segment integer stats rows.
+    base = f"{_INDEX_ROOT}/sf0.01/{index_name}"
+    delta_post = (
+        f"""
+      UNION ALL
+      SELECT doc_id, term, dlen, tf
+      FROM read_parquet('{base}/delta/*/postings/*/*.parquet',
+                        hive_partitioning = 1)"""
+        if with_deltas
+        else ""
+    )
+    delta_stats = (
+        f"""
+      UNION ALL
+      SELECT n_docs, dlen_sum
+      FROM read_parquet('{base}/delta/*/stats/*.parquet')"""
+        if with_deltas
+        else ""
+    )
     return f"""
     WITH post AS (
       SELECT doc_id, term, dlen, tf
-      FROM read_parquet('{base}/postings/*/*.parquet', hive_partitioning = 1)),
-    df_tbl AS (
-      SELECT term, df
-      FROM read_parquet('{base}/df/*/*.parquet', hive_partitioning = 1)),
-    stats AS (SELECT * FROM read_parquet('{base}/stats/*.parquet')),
+      FROM read_parquet('{base}/postings/*/*.parquet', hive_partitioning = 1)
+      {delta_post}),
+    stats AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(dlen_sum) AS DOUBLE) / SUM(n_docs) AS avglen
+      FROM (SELECT n_docs, dlen_sum
+            FROM read_parquet('{base}/stats/*.parquet')
+            {delta_stats})),
     terms(term) AS (VALUES ('vector'), ('stream'), ('window'), ('hash')),
     hits AS (SELECT p.* FROM post p JOIN terms USING (term)),
+    df_tbl AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+               FROM hits GROUP BY term),
     scored AS (
       SELECT term, doc_id, ROUND({_BM25_SCORE} * 1e6) / 1e6 AS bm25
       FROM hits JOIN df_tbl USING (term) CROSS JOIN stats),
@@ -4347,16 +4370,19 @@ def _bm25_persisted_oracle_sql() -> str:
     """
 
 
-@register("bm25_search_persisted", oracle=_bm25_persisted_oracle_sql())
+@register(
+    "bm25_search_persisted",
+    oracle=_bm25_persisted_oracle_sql("postings_index", with_deltas=False),
+)
 def q_bm25_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED inverted-index layout, hash-green end to end: write
     the corpus's postings once (`retrieval.write_postings_index` —
-    hive-partitioned by md5-term-bucket, one file per bucket, df and
-    stats tables beside them), then answer the same four-term query as
-    `bm25_keyword_topk` by reading ONLY the query terms' bucket
+    hive-partitioned by md5-term-bucket, one file per bucket, mergeable
+    per-segment stats beside them), then answer the same four-term query
+    as `bm25_keyword_topk` by reading ONLY the query terms' bucket
     partitions (`bm25_search_persisted` — partition pruning at the
-    directory level, term filter at the row groups, df from the index's
-    own df table, the 1-row stats read inlined as literals). Values are
+    directory level, term filter at the row groups, df derived from the
+    scanned rows, the stats read inlined as two literals). Values are
     identical to the from-scratch query by construction — what this row
     certifies is the LAYOUT: both engines re-derive the ranking from the
     same persisted files. At 100 TB the corpus is read once at write
@@ -4378,6 +4404,50 @@ def q_bm25_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_postings_index(
         _t(spark, sf_dir, "documents"), base_dir, mode="overwrite"
     )
+    return bm25_search_persisted(
+        spark, base_dir, terms=["vector", "stream", "window", "hash"], k=10
+    )
+
+
+@register(
+    "bm25_postings_delta",
+    oracle=_bm25_persisted_oracle_sql("postings_delta_index",
+                                      with_deltas=True),
+)
+def q_bm25_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lexical-index GROWTH hash-green (`postings_append` —
+    the ivf_append_audit analog for the keyword side of the reference's
+    add-documents path): build the base index over the EVEN doc_ids,
+    append the ODD doc_ids as an idempotent `_COMMITTED`-marked delta
+    segment (the append is run TWICE with the same batch token — the
+    at-least-once retry must replace itself, not double the rows), then
+    search base + delta with df and (n_docs, avglen) derived across
+    segments. The ranking must equal `bm25_keyword_topk` over the whole
+    corpus (asserted value-level in tests/test_retrieval.py::
+    test_postings_append_grows_index_idempotently); here both engines
+    re-derive it from the same persisted base + delta files. The base
+    postings are never read or rewritten by the append — O(batch) grow,
+    the streaming-ingest contract."""
+    import os
+
+    from backend_fastapi_spark.operators.retrieval import (
+        bm25_search_persisted,
+        postings_append,
+        write_postings_index,
+    )
+
+    base_dir = os.path.join(
+        _INDEX_ROOT,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "postings_delta_index",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    write_postings_index(
+        docs.filter(F.col("doc_id") % 2 == 0), base_dir, mode="overwrite"
+    )
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    postings_append(spark, base_dir, odd, batch_token=0)
+    postings_append(spark, base_dir, odd, batch_token=0)  # idempotent retry
     return bm25_search_persisted(
         spark, base_dir, terms=["vector", "stream", "window", "hash"], k=10
     )

@@ -112,6 +112,55 @@ def test_persisted_bm25_prunes_buckets_and_matches(spark, tmp_path):
         assert len(glob.glob(f"{d}/*.parquet")) == 1, d
 
 
+def test_postings_append_grows_index_idempotently(spark, tmp_path):
+    import glob
+    import os
+
+    from backend_fastapi_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "pidx")
+    RT.write_postings_index(docs.filter("doc_id % 2 = 0"), path)
+    base_files = sorted(glob.glob(f"{path}/postings/bucket=*/*.parquet"))
+    base_sig = [(f, os.path.getmtime(f)) for f in base_files]
+    terms = ["vector", "hash"]
+    odd = docs.filter("doc_id % 2 = 1")
+
+    # the at-least-once retry: same token twice must replace, not double
+    RT.postings_append(spark, path, odd, batch_token=7)
+    once = sorted(map(tuple, RT.bm25_search_persisted(spark, path, terms).collect()))
+    RT.postings_append(spark, path, odd, batch_token=7)
+    twice = sorted(map(tuple, RT.bm25_search_persisted(spark, path, terms).collect()))
+    assert once == twice
+
+    # grown index ranks exactly like from-scratch BM25 over the union
+    fresh = sorted(map(tuple, RT.bm25_topk(docs, terms, k=10).collect()))
+    assert twice == fresh and len(fresh) > 0
+
+    # O(batch) grow: the base postings files were never rewritten
+    assert [(f, os.path.getmtime(f)) for f in base_files] == base_sig
+
+    # an uncommitted segment (marker removed) is invisible to search
+    os.remove(f"{path}/delta/batch=7/_COMMITTED")
+    headless = sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    )
+    base_only = sorted(
+        map(
+            tuple,
+            RT.bm25_topk(docs.filter("doc_id % 2 = 0"), terms, k=10).collect(),
+        )
+    )
+    assert headless == base_only
+
+    # a rewritten base clears stale deltas (epoch discipline)
+    RT.write_postings_index(docs, path, mode="overwrite")
+    assert not os.path.exists(f"{path}/delta")
+    full = sorted(map(tuple, RT.bm25_search_persisted(spark, path, terms).collect()))
+    assert full == fresh
+
+
 def test_term_bucket_python_twin_matches_spark(spark):
     terms = ["vector", "stream", "window", "hash", "잠실", "x"]
     df = spark.createDataFrame([(t,) for t in terms], "term string")
