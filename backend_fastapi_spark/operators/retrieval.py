@@ -395,6 +395,82 @@ def postings_append(
     fs.create(jvm.org.apache.hadoop.fs.Path(marker.toString()), True).close()
 
 
+POSTINGS_SEGMENT_CAP = 16  # same decay driver as ivf.DELTA_SEGMENT_CAP
+
+
+def postings_maintenance_action(n_segments: int) -> str | None:
+    """``"compact"`` once live delta segments exceed the cap (per-segment
+    listing/scan setup decays search linearly in segment count — the
+    measured IVF curve, same mechanism), else None. Compaction is an
+    OFFLINE op (pause the stream): unlike the IVF fold, the lexical
+    index has no subsumption-marker protocol, so :func:`compact_postings`
+    rewrites base+deltas under a staging marker instead of folding
+    in-place next to concurrent readers."""
+    return "compact" if n_segments > POSTINGS_SEGMENT_CAP else None
+
+
+def compact_postings(spark, path: str) -> int:
+    """Fold every committed delta segment into the base — offline, with
+    crash-recoverable staging (the ``rebuild_ivf_index`` discipline):
+
+    1. stage base + committed deltas (postings rows and the combined
+       stats row) to ``compact_staging/``, then mark ``_STAGED``;
+    2. rewrite the base FROM THE STAGING COPY (the overwrite clears
+       ``delta/`` first — write_postings_index's epoch discipline; the
+       staged snapshot, not the doomed delta dirs, is the source);
+    3. drop the staging dir.
+
+    A crash before ``_STAGED`` leaves base+deltas untouched (re-run
+    re-stages); a crash after it is resumed FROM the staged snapshot on
+    the next call, so the delta purge can never lose appended rows.
+    Pause the stream around it — readers mid-step-2 see a partial base
+    (the same pause-the-stream contract as the IVF rebuild handoff).
+    Returns the number of delta segments absorbed."""
+    jvm = spark._jvm
+    staging = f"{path}/compact_staging"
+    staged_marker = _hpath(spark, f"{staging}/_STAGED")
+    fs = staged_marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    segments = _live_posting_segments(spark, path)
+    if not fs.exists(staged_marker):
+        if not segments:
+            return 0
+        post = spark.read.parquet(f"{path}/postings")
+        stats = spark.read.parquet(f"{path}/stats")
+        for s in segments:
+            post = post.unionByName(spark.read.parquet(f"{s}/postings"))
+            stats = stats.unionByName(spark.read.parquet(f"{s}/stats"))
+        post.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(f"{staging}/postings")
+        (
+            stats.groupBy()
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("dlen_sum").cast("long").alias("dlen_sum"),
+            )
+            .select(F.lit("base").alias("segment"), "n_docs", "dlen_sum")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{staging}/stats")
+        )
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(staged_marker.toString()), True
+        ).close()
+    # staged snapshot is complete — rewrite the base from it (recovery
+    # entry point: a crashed step 2/3 re-runs from here)
+    staged_post = spark.read.parquet(f"{staging}/postings")
+    staged_stats = spark.read.parquet(f"{staging}/stats")
+    delta = _hpath(spark, f"{path}/delta")
+    if fs.exists(delta):
+        fs.delete(delta, True)
+    staged_post.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
+    staged_stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    fs.delete(_hpath(spark, staging), True)
+    return len(segments)
+
+
 def bm25_search_persisted(
     spark,
     path: str,

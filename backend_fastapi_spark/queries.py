@@ -4529,6 +4529,132 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_persisted_oracle_sql() -> str:
+    # Both legs re-derived from the PERSISTED index files the Spark query
+    # just wrote: BM25 from the postings/stats layout (df from the
+    # term-filtered rows, stats recombined), the vector leg from the IVF
+    # index's inverted lists (full probe ⇒ exact fixed-point top-50, so
+    # the oracle is independent of the KMeans clustering RNG), fused by
+    # RRF k=60 exactly like hybrid_rrf_topk.
+    lex = f"{_INDEX_ROOT}/sf0.01/hybrid_lex_index"
+    ivf = f"{_INDEX_ROOT}/sf0.01/hybrid_ivf_index"
+    return f"""
+    WITH qmap(q_id, term) AS (
+      VALUES (0, 'vector'), (1, 'stream'), (2, 'window'), (3, 'hash')),
+    post AS (
+      SELECT doc_id, term, dlen, tf
+      FROM read_parquet('{lex}/postings/*/*.parquet', hive_partitioning = 1)),
+    stats AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(dlen_sum) AS DOUBLE) / SUM(n_docs) AS avglen
+      FROM read_parquet('{lex}/stats/*.parquet')),
+    hits AS (SELECT p.* FROM post p JOIN qmap USING (term)),
+    df_tbl AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+               FROM hits GROUP BY term),
+    kw_scored AS (
+      SELECT term, doc_id, ROUND({_BM25_SCORE} * 1e6) / 1e6 AS bm25
+      FROM hits JOIN df_tbl USING (term) CROSS JOIN stats),
+    kw_rank AS (
+      SELECT q.q_id, s.doc_id,
+             row_number() OVER (PARTITION BY s.term
+                                ORDER BY s.bm25 DESC, s.doc_id ASC) AS r
+      FROM kw_scored s JOIN qmap q USING (term) QUALIFY r <= 50),
+    qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 4),
+    lists AS (
+      SELECT vec_id, embedding
+      FROM read_parquet('{ivf}/lists/*/*.parquet', hive_partitioning = 1)),
+    vec_scored AS (
+      SELECT qv.q_id, e.vec_id AS doc_id,
+             {_DOT_I64_SQL.format(a='e.embedding', b='qv.qe')} AS s
+      FROM lists e CROSS JOIN qv),
+    vec_rank AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY s DESC, doc_id ASC) AS r
+      FROM vec_scored QUALIFY r <= 50),
+    contrib AS (
+      SELECT q_id, doc_id, 1.0 / (60.0 + r) AS c FROM kw_rank
+      UNION ALL
+      SELECT q_id, doc_id, 1.0 / (60.0 + r) AS c FROM vec_rank),
+    fused AS (
+      SELECT q_id, doc_id,
+             ROUND(CAST(SUM(CAST(c AS DECIMAL(30,12))) AS DOUBLE) * 1e6)
+               / 1e6 AS rrf
+      FROM contrib GROUP BY 1, 2)
+    SELECT q_id, doc_id, rrf FROM fused
+    QUALIFY row_number() OVER (PARTITION BY q_id
+                               ORDER BY rrf DESC, doc_id ASC) <= 10
+    """
+
+
+@register("hybrid_search_persisted", oracle=_hybrid_persisted_oracle_sql())
+def q_hybrid_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid-search shape end to end, hash-green: one
+    query = (keyword, query vector) answered from TWO write-once
+    persisted indexes — the bucket-pruned postings index (lexical leg)
+    and the cluster-partitioned IVF index (vector leg) — fused by RRF
+    k=60. This is the reference's keyword tools + FAISS store as one
+    serving path over on-disk indexes (tool_definitions.py:12,
+    enhanced_internal_db_service.py's FAISS search), where
+    hybrid_rrf_topk certified the same fusion from scratch. Four hybrid
+    queries: q_id i pairs term_i with embedding i. The vector leg probes
+    ALL clusters (nprobe = k_clusters) so its ranking is the exact
+    fixed-point top-50 and the oracle is independent of the KMeans RNG —
+    partition-pruned probing is separately hash-certified
+    (ann_ivf_sq8_top10 via deterministic medoids); what THIS row
+    certifies is the two persisted layouts answering one fused query,
+    both engines reading the same index files."""
+    import os
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_search_persisted,
+        write_ivf_index,
+    )
+    from backend_fastapi_spark.operators.retrieval import (
+        bm25_search_persisted,
+        rank_topn,
+        rrf_fuse,
+        write_postings_index,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    lex_dir = os.path.join(_INDEX_ROOT, sf_tag, "hybrid_lex_index")
+    ivf_dir = os.path.join(_INDEX_ROOT, sf_tag, "hybrid_ivf_index")
+    terms = ["vector", "stream", "window", "hash"]
+    qmap = spark.createDataFrame(
+        list(enumerate(terms)), "q_id long, term string"
+    )
+
+    write_postings_index(
+        _t(spark, sf_dir, "documents"), lex_dir, mode="overwrite"
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, centroids = build_ivf(emb, k_clusters=8)
+    write_ivf_index(assigned, centroids, ivf_dir, mode="overwrite")
+
+    kw = (
+        bm25_search_persisted(spark, lex_dir, terms, k=50)
+        .join(F.broadcast(qmap), "term")
+        .select("q_id", "doc_id", "bm25")
+    )
+    kw_rank = rank_topn(kw, "bm25", 50)
+    vec = ivf_search_persisted(
+        spark, ivf_dir, _query_vectors(spark, sf_dir, 4), k=50, nprobe=8
+    ).select("q_id", F.col("vec_id").alias("doc_id"), "score_i64")
+    vec_rank = rank_topn(vec, "score_i64", 50)
+    fused = rrf_fuse([kw_rank, vec_rank])
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("q_id", "doc_id", "rrf")
+    )
+
+
 @register(
     "mmr_diversified_topk",
     oracle=f"""

@@ -156,6 +156,63 @@ def stream_ivf_append(
     )
 
 
+def stream_postings_append(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Continuously GROW a persisted postings (lexical/BM25) index from a
+    document stream — ``stream_ivf_append``'s twin for the keyword side
+    of the reference's add-documents path. Each micro-batch lands as its
+    own ``_COMMITTED``-marked delta segment keyed by the micro-batch id
+    (``retrieval.postings_append`` — an at-least-once foreachBatch retry
+    overwrites exactly itself: exactly-once index growth), and searches
+    see the new documents as soon as the segment's marker commits.
+
+    Maintenance is ADVISORY here, not per-trigger: past
+    ``POSTINGS_SEGMENT_CAP`` live segments the trigger warns to pause
+    the stream and run ``retrieval.compact_postings`` (the offline,
+    staging-recoverable base rewrite) — the lexical index has no
+    in-place fold protocol, so compaction must not run beside readers.
+    The segment-count decay mechanism is the one the IVF curve measured
+    (~linear in live segments); the cap mirrors ivf.DELTA_SEGMENT_CAP."""
+    import warnings
+
+    from backend_fastapi_spark.operators.retrieval import (
+        _live_posting_segments,
+        postings_append,
+        postings_maintenance_action,
+    )
+
+    def add(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        postings_append(
+            spark,
+            index_path,
+            batch_df,
+            batch_token=batch_id,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        n = len(_live_posting_segments(spark, index_path))
+        if postings_maintenance_action(n) == "compact":
+            warnings.warn(
+                f"postings index at {index_path}: {n} live delta segments "
+                "— pause this stream and run retrieval.compact_postings "
+                "(offline, staging-recoverable), then resume",
+                stacklevel=2,
+            )
+
+    return (
+        docs_stream.writeStream.foreachBatch(add)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
 def stream_curated_ingest(
     spark: SparkSession,
     docs_stream: DataFrame,

@@ -171,6 +171,106 @@ def test_term_bucket_python_twin_matches_spark(spark):
     assert got == {t: RT.py_term_bucket(t) for t in terms}
 
 
+def test_compact_postings_absorbs_deltas_and_recovers_from_crash(
+    spark, tmp_path
+):
+    import os
+    import shutil
+
+    from backend_fastapi_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "pidx")
+    RT.write_postings_index(docs.filter("doc_id % 4 = 0"), path)
+    for m in (1, 2, 3):
+        RT.postings_append(
+            spark, path, docs.filter(f"doc_id % 4 = {m}"), batch_token=m
+        )
+    terms = ["vector", "hash"]
+    before = sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    )
+
+    assert RT.compact_postings(spark, path) == 3
+    assert not os.path.exists(f"{path}/delta")
+    assert not os.path.exists(f"{path}/compact_staging")
+    after = sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    )
+    fresh = sorted(map(tuple, RT.bm25_topk(docs, terms, k=10).collect()))
+    assert before == after == fresh
+
+    # crash window: staging complete (_STAGED present) but the delta purge
+    # already ran and the base rewrite never happened — the worst case the
+    # staging protocol exists for. Build it by hand, then recover.
+    RT.write_postings_index(docs.filter("doc_id % 4 = 0"), path,
+                            mode="overwrite")
+    RT.postings_append(
+        spark, path, docs.filter("doc_id % 4 != 0"), batch_token=9
+    )
+    staging = f"{path}/compact_staging"
+    post = spark.read.parquet(f"{path}/postings").unionByName(
+        spark.read.parquet(f"{path}/delta/batch=9/postings")
+    )
+    stats = spark.read.parquet(f"{path}/stats").unionByName(
+        spark.read.parquet(f"{path}/delta/batch=9/stats")
+    )
+    post.repartition("bucket").write.partitionBy("bucket").parquet(
+        f"{staging}/postings"
+    )
+    (
+        stats.groupBy()
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("dlen_sum").cast("long").alias("dlen_sum"),
+        )
+        .select(F.lit("base").alias("segment"), "n_docs", "dlen_sum")
+        .coalesce(1)
+        .write.parquet(f"{staging}/stats")
+    )
+    open(f"{staging}/_STAGED", "w").close()
+    shutil.rmtree(f"{path}/delta")  # the purge happened; base is stale
+    RT.compact_postings(spark, path)  # must resume FROM the staged copy
+    recovered = sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    )
+    assert recovered == fresh
+
+
+def test_stream_postings_append_grows_lexical_index(spark, tmp_path):
+    from backend_fastapi_spark.sources.parquet import read_table
+    from backend_fastapi_spark.streaming.ingest_stream import (
+        stream_postings_append,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "pidx")
+    RT.write_postings_index(docs.filter("doc_id % 2 = 0"), path)
+
+    src = str(tmp_path / "incoming")
+    incoming = docs.filter("doc_id % 2 = 1")
+    incoming.write.parquet(src)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_postings_append(stream, path, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    terms = ["vector", "hash"]
+    grown = sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    )
+    fresh = sorted(map(tuple, RT.bm25_topk(docs, terms, k=10).collect()))
+    assert grown == fresh and len(fresh) > 0
+
+
 def test_mmr_prefers_diverse_over_redundant(spark):
     # corpus: two near-identical high-relevance vectors (0, 1), one
     # orthogonal-ish lower-relevance vector (2). Query points at the
