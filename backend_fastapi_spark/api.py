@@ -126,6 +126,76 @@ class Engine:
             chunks, self._queries_df(qvec), anchors, top_k=top_k, **kwargs
         )
 
+    # -- lexical / hybrid retrieval ----------------------------------------
+    def keyword_search(self, terms: list[str] | str, k: int = 10) -> DataFrame:
+        """Okapi BM25 top-k per query term over ``documents`` — the
+        keyword half of the reference's retrieval surface
+        (tool_definitions.py:12) as a ranked result instead of a contains
+        filter. → (term, doc_id, bm25)."""
+        from backend_fastapi_spark.operators import retrieval as RT
+
+        if isinstance(terms, str):
+            terms = [t.strip().lower() for t in terms.split(",") if t.strip()]
+        return RT.bm25_topk(self.table("documents"), terms, k=k)
+
+    def hybrid_search(
+        self,
+        terms: list[str] | str,
+        query_vec: list[float],
+        k: int = 10,
+        pool: int = 50,
+    ) -> DataFrame:
+        """One (keywords, vector) query: BM25 over the term set ⊕ exact
+        cosine kNN, fused by reciprocal-rank (k=60) — the
+        hybrid_rrf_topk plan shape behind a single call.
+        → (doc_id, rrf) best-first."""
+        from backend_fastapi_spark.operators import retrieval as RT
+
+        from pyspark.sql import Window
+
+        if isinstance(terms, str):
+            terms = [t.strip().lower() for t in terms.split(",") if t.strip()]
+
+        def ranked(scored: DataFrame, score_col: str) -> DataFrame:
+            # distributed top-pool FIRST (sort+limit = TakeOrdered, no
+            # global-window funnel over the full candidate set); the rank
+            # window then runs over ≤pool rows
+            order = [F.col(score_col).desc(), F.col("doc_id").asc()]
+            top = scored.orderBy(*order).limit(pool)
+            w = Window.partitionBy("q_id").orderBy(*order)
+            return top.withColumn("r", F.row_number().over(w)).select(
+                "q_id", "doc_id", "r"
+            )
+
+        kw = RT.bm25_score_query(self.table("documents"), terms).withColumn(
+            "q_id", F.lit(-1)
+        )
+        vec = V.knn_exact(
+            self.table("embeddings"),
+            self._queries_df(query_vec),
+            k=pool,
+            exclude_self=False,
+        ).select("q_id", F.col("vec_id").alias("doc_id"), "score_i64")
+        fused = RT.rrf_fuse([ranked(kw, "kw"), ranked(vec, "score_i64")])
+        return fused.orderBy(
+            F.col("rrf").desc(), F.col("doc_id").asc()
+        ).limit(k).select("doc_id", "rrf")
+
+    def mmr(
+        self, query_vec: list[float], k: int = 5, shortlist: int = 20
+    ) -> DataFrame:
+        """MMR-diversified top-k (λ=.5) over the exact-kNN shortlist —
+        the retrieve-then-diversify rerank between recall and prompt
+        assembly. → (mmr_rank, vec_id, rel_i64)."""
+        from backend_fastapi_spark.operators import retrieval as RT
+
+        return RT.mmr_topk(
+            self.table("embeddings"),
+            self._queries_df(query_vec),
+            shortlist=shortlist,
+            select=k,
+        ).select("mmr_rank", "vec_id", "rel_i64")
+
     # -- ingest -----------------------------------------------------------
     def ingest(self, df: DataFrame, index_name: str, path: str | None = None) -> DataFrame:
         chunks = ingest_table(df, index_name)

@@ -194,6 +194,36 @@ def bm25_pairs(
     )
 
 
+def bm25_score_query(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One multi-term query scored against the corpus → (id, kw):
+    per-doc decimal-accumulated sum of per-term BM25 over the query's
+    terms — :func:`bm25_pairs` with a literal term set instead of a
+    query document. The Engine's hybrid keyword leg."""
+    post = postings(docs, text_col, id_col)
+    stats = _corpus_stats(post, id_col)
+    hits = post.filter(F.col("term").isin(terms))
+    df_tbl = hits.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    term_score = _bm25_term_score(
+        F.col("tf").cast("double"),
+        F.col("df").cast("double"),
+        F.col("dlen").cast("double"),
+        F.col("n_docs"),
+        F.col("avglen"),
+    )
+    return (
+        hits.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", term_score.cast("decimal(30,12)"))
+        .groupBy(id_col)
+        .agg(_round6(F.sum("_s").cast("double")).alias("kw"))
+    )
+
+
 def rank_topn(
     scored: DataFrame,
     score_col: str,

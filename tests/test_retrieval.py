@@ -302,6 +302,37 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert [r["mmr_rank"] for r in got] == [0, 1]
 
 
+def test_engine_retrieval_facade(spark):
+    from backend_fastapi_spark.api import Engine
+    from tests.conftest import SF_SMOKE
+
+    eng = Engine.open(spark, SF_SMOKE)
+
+    kw = eng.keyword_search("vector, hash", k=3).collect()
+    assert len(kw) == 6 and {r["term"] for r in kw} == {"vector", "hash"}
+
+    qvec = (
+        eng.table("embeddings").filter("vec_id = 0").head()["embedding"]
+    )
+    hy = eng.hybrid_search(["vector"], [float(x) for x in qvec], k=5)
+    rows = hy.collect()
+    assert len(rows) == 5
+    # best-first total order; every fused score inside the RRF envelope
+    # (two rank-1 contributions is the maximum possible)
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < s <= 2 / 61 + 1e-9 for s in scores)
+    # the winner must beat doc 0's floor contribution (vector rank 1):
+    # consensus fusion can only return a top-1 at or above a pure
+    # single-leg rank-1 score
+    assert scores[0] >= round(1 / 61, 6) - 1e-9
+
+    mm = eng.mmr([float(x) for x in qvec], k=4).collect()
+    assert [r["mmr_rank"] for r in sorted(mm, key=lambda r: r["mmr_rank"])] == [
+        0, 1, 2, 3,
+    ]
+
+
 def test_mmr_rank0_is_pure_relevance_and_select_caps(spark):
     corpus = spark.createDataFrame(
         [(i, [float(i + 1) / 10.0, 0.1]) for i in range(6)],
