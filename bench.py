@@ -122,6 +122,11 @@ EXTRA = [
     "bm25_keyword_topk",
     "hybrid_rrf_topk",
     "mmr_diversified_topk",
+    # and its persisted layouts (write + pruned search per run, the
+    # index_sink_audit pattern; search-only timing in SCALING.md r11)
+    "bm25_search_persisted",
+    "bm25_postings_delta",
+    "hybrid_search_persisted",
 ]
 
 # Queries whose plan runs connected_components — snapshot its stats.
