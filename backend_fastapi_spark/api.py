@@ -31,6 +31,15 @@ from backend_fastapi_spark.plans.rag_retrieval import rag_retrieve
 from backend_fastapi_spark.plans.user_context import user_context
 
 
+def _norm_terms(terms: "list[str] | str") -> list[str]:
+    """Lowercase+strip query terms from either a comma string OR a list —
+    postings are lowercased tokens, so an un-normalized 'Vector' would
+    silently match nothing."""
+    if isinstance(terms, str):
+        terms = terms.split(",")
+    return [t.strip().lower() for t in terms if t.strip()]
+
+
 @dataclass
 class Engine:
     spark: SparkSession
@@ -134,9 +143,7 @@ class Engine:
         filter. → (term, doc_id, bm25)."""
         from backend_fastapi_spark.operators import retrieval as RT
 
-        if isinstance(terms, str):
-            terms = [t.strip().lower() for t in terms.split(",") if t.strip()]
-        return RT.bm25_topk(self.table("documents"), terms, k=k)
+        return RT.bm25_topk(self.table("documents"), _norm_terms(terms), k=k)
 
     def hybrid_search(
         self,
@@ -153,8 +160,7 @@ class Engine:
 
         from pyspark.sql import Window
 
-        if isinstance(terms, str):
-            terms = [t.strip().lower() for t in terms.split(",") if t.strip()]
+        terms = _norm_terms(terms)
 
         def ranked(scored: DataFrame, score_col: str) -> DataFrame:
             # distributed top-pool FIRST (sort+limit = TakeOrdered, no

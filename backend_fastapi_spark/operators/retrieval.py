@@ -258,6 +258,8 @@ def rrf_fuse(
     are top-n bounded, so every frame here is |Q|·n rows — the fusion
     is a union + one tiny groupBy, independent of corpus size.
     """
+    if not ranked:
+        raise ValueError("rrf_fuse requires at least one ranked list")
     contrib = [
         d.select(
             group_col,
@@ -323,32 +325,98 @@ def write_postings_index(
     proportional to |query terms| / N buckets of the index, not the
     corpus: the bucket filter is partition pruning (directories never
     listed), the term filter reaches the row groups. The corpus itself
-    is read exactly once, at write time.
+    is read exactly once, at write time (the stats pass re-reads the
+    just-written postings' (id, dlen) columns — a pruned index read,
+    not a second corpus pass).
+
+    ``mode="overwrite"`` is a NEW EPOCH: old delta segments are purged
+    and the base rewritten under the ``_EPOCH_IN_PROGRESS`` marker that
+    every reader fails loudly on (the write_ivf_index discipline, ADVICE
+    r10) — a crash anywhere inside the window is detected, never served
+    as a complete-looking index missing its appended rows.
     """
+    spark = docs.sparkSession
     post = postings(docs, text_col, id_col).withColumn(
         "bucket", term_bucket(F.col("term"))
     )
-    stats = _corpus_stats(post, id_col).select(
-        F.lit("base").alias("segment"), "n_docs", "dlen_sum"
-    )
+    epoch = None
     if mode == "overwrite":
-        # a rewritten base makes every old delta segment stale — clear
-        # them FIRST (the write_ivf_index overwrite discipline, ADVICE
-        # r9/r10): a crash mid-overwrite leaves an obviously headless
-        # index, never a complete-looking one carrying rows of the old
-        # epoch
-        spark = docs.sparkSession
+        jvm = spark._jvm
+        epoch = _hpath(spark, f"{path}/{EPOCH_MARKER}")
+        fs = epoch.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.create(jvm.org.apache.hadoop.fs.Path(epoch.toString()), True).close()
         delta = _hpath(spark, f"{path}/delta")
-        fs = delta.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(delta):
             fs.delete(delta, True)
+        staging = _hpath(spark, f"{path}/compact_staging")
+        if fs.exists(staging):
+            fs.delete(staging, True)
     (
         post.repartition("bucket")
         .write.partitionBy("bucket")
         .mode(mode)
         .parquet(f"{path}/postings")
     )
-    stats.coalesce(1).write.mode(mode).parquet(f"{path}/stats")
+    # stats from the WRITTEN files' (id, dlen) columns: one narrow
+    # column-pruned index read instead of re-running the corpus
+    # tokenize+explode+groupBy a second time
+    _write_segment_stats(
+        spark, f"{path}/postings", f"{path}/stats", "base", id_col, mode
+    )
+    if epoch is not None:
+        fs.delete(epoch, False)
+
+
+EPOCH_MARKER = "_EPOCH_IN_PROGRESS"  # raised by write_postings_index overwrite
+COMPACT_MARKER = "_COMPACT_IN_PROGRESS"  # raised by compact_postings step 2
+
+
+def _check_postings_epoch(spark, path: str) -> None:
+    """Fail loudly on an interrupted overwrite/compaction — the
+    ``ivf._check_epoch_complete`` discipline: a marker outlives a crash
+    anywhere inside its window, and serving the index in that state
+    would silently drop rows. The two markers are distinct because
+    their recoveries differ: a crashed COMPACTION resumes from the
+    staged snapshot (re-run compact_postings); a crashed base OVERWRITE
+    has no snapshot — rebuild from the source corpus."""
+    marker = _hpath(spark, f"{path}/{EPOCH_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"postings index at {path} has an interrupted base overwrite "
+            f"({EPOCH_MARKER} present) — rebuild it with "
+            "write_postings_index(mode='overwrite') before using it"
+        )
+    if fs.exists(_hpath(spark, f"{path}/{COMPACT_MARKER}")):
+        raise RuntimeError(
+            f"postings index at {path} has an interrupted compaction "
+            f"({COMPACT_MARKER} present) — re-run compact_postings (it "
+            "resumes from the staged snapshot) before using the index"
+        )
+
+
+def _write_segment_stats(
+    spark, postings_path: str, stats_path: str, segment: str,
+    id_col: str, mode: str,
+) -> None:
+    """(segment, n_docs, dlen_sum) derived from a written postings dir —
+    reads only the (id, dlen) columns (column-pruned, no term/tf IO)."""
+    per_doc = (
+        spark.read.parquet(postings_path)
+        .select(id_col, "dlen")
+        .groupBy(id_col)
+        .agg(F.first("dlen").alias("dlen"))
+    )
+    (
+        per_doc.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dlen").cast("long").alias("dlen_sum"),
+        )
+        .select(F.lit(segment).alias("segment"), "n_docs", "dlen_sum")
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(stats_path)
+    )
 
 
 def _hpath(spark, p: str):
@@ -393,8 +461,13 @@ def postings_append(
     so every search prunes base and deltas identically; the segment
     carries its own (n_docs, dlen_sum) stats row, and the ``_COMMITTED``
     marker is created only after both subwrites so readers never see a
-    half-written segment. Cost is O(batch), never O(index) — the base
-    postings are not read, touched, or re-shuffled."""
+    half-written segment. A batch that yields ZERO posting rows (e.g.
+    all-null text) removes any prior attempt's segment and commits
+    nothing — an empty parquet dir (no data files, only _SUCCESS) would
+    fail schema inference on every later read, bricking the index. Cost
+    is O(batch), never O(index) — the base postings are not read,
+    touched, or re-shuffled."""
+    _check_postings_epoch(spark, path)
     seg = f"{path}/delta/batch={batch_token}"
     jvm = spark._jvm
     marker = _hpath(spark, f"{seg}/_COMMITTED")
@@ -405,22 +478,20 @@ def postings_append(
     post = postings(new_docs, text_col, id_col).withColumn(
         "bucket", term_bucket(F.col("term"))
     )
+    if post.isEmpty():
+        seg_path = _hpath(spark, seg)
+        if fs.exists(seg_path):
+            fs.delete(seg_path, True)  # idempotent retry of an empty batch
+        return
     (
         post.repartition("bucket")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(f"{seg}/postings")
     )
-    (
-        _corpus_stats(post, id_col)
-        .select(
-            F.lit(f"batch={batch_token}").alias("segment"),
-            "n_docs",
-            "dlen_sum",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{seg}/stats")
+    _write_segment_stats(
+        spark, f"{seg}/postings", f"{seg}/stats",
+        f"batch={batch_token}", id_col, "overwrite",
     )
     fs.create(jvm.org.apache.hadoop.fs.Path(marker.toString()), True).close()
 
@@ -444,24 +515,49 @@ def compact_postings(spark, path: str) -> int:
     crash-recoverable staging (the ``rebuild_ivf_index`` discipline):
 
     1. stage base + committed deltas (postings rows and the combined
-       stats row) to ``compact_staging/``, then mark ``_STAGED``;
-    2. rewrite the base FROM THE STAGING COPY (the overwrite clears
-       ``delta/`` first — write_postings_index's epoch discipline; the
-       staged snapshot, not the doomed delta dirs, is the source);
-    3. drop the staging dir.
+       stats row) to ``compact_staging/``, then write ``_STAGED``
+       naming EXACTLY the segments staged (the manifest);
+    2. raise the index-root ``_EPOCH_IN_PROGRESS`` marker — every
+       reader/appender fails loudly from here until step 5;
+    3. rewrite the base FROM THE STAGING COPY;
+    4. delete ONLY the manifest's segments (a segment appended after
+       the snapshot was taken is NOT in the manifest and stays live —
+       its rows are not in the staged base, so purging it would lose
+       them);
+    5. drop the staging dir, then clear the epoch marker.
 
-    A crash before ``_STAGED`` leaves base+deltas untouched (re-run
-    re-stages); a crash after it is resumed FROM the staged snapshot on
-    the next call, so the delta purge can never lose appended rows.
-    Pause the stream around it — readers mid-step-2 see a partial base
-    (the same pause-the-stream contract as the IVF rebuild handoff).
+    Crash anywhere in 2-5: the epoch marker keeps the index unreadable
+    (RuntimeError, not silently-stale results) and a re-run resumes
+    from the staged snapshot idempotently. Crash before ``_STAGED``:
+    base+deltas untouched, a re-run re-stages. Pause the appending
+    stream around the call (its own epoch check enforces this).
     Returns the number of delta segments absorbed."""
     jvm = spark._jvm
     staging = f"{path}/compact_staging"
     staged_marker = _hpath(spark, f"{staging}/_STAGED")
     fs = staged_marker.getFileSystem(spark._jsc.hadoopConfiguration())
-    segments = _live_posting_segments(spark, path)
+
+    def _touch(p: str) -> None:
+        fs.create(jvm.org.apache.hadoop.fs.Path(p), True).close()
+
+    compact_marker = _hpath(spark, f"{path}/{COMPACT_MARKER}")
+    if fs.exists(compact_marker) and not fs.exists(staged_marker):
+        # crash window between staging cleanup (step 5a) and the marker
+        # clear (5b): every data step already completed — finish the
+        # bookkeeping instead of bricking the index
+        fs.delete(compact_marker, False)
+        return 0
+    # a crashed base OVERWRITE is not recoverable from here — surface it
+    marker = _hpath(spark, f"{path}/{EPOCH_MARKER}")
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"postings index at {path} has an interrupted base overwrite "
+            f"({EPOCH_MARKER} present) — rebuild it with "
+            "write_postings_index(mode='overwrite')"
+        )
+
     if not fs.exists(staged_marker):
+        segments = _live_posting_segments(spark, path)
         if not segments:
             return 0
         post = spark.read.parquet(f"{path}/postings")
@@ -483,22 +579,43 @@ def compact_postings(spark, path: str) -> int:
             .write.mode("overwrite")
             .parquet(f"{staging}/stats")
         )
-        fs.create(
+        # the manifest: segment names whose rows the snapshot holds
+        out = fs.create(
             jvm.org.apache.hadoop.fs.Path(staged_marker.toString()), True
-        ).close()
-    # staged snapshot is complete — rewrite the base from it (recovery
-    # entry point: a crashed step 2/3 re-runs from here)
+        )
+        names = "\n".join(s.rstrip("/").rsplit("/", 1)[-1] for s in segments)
+        out.write(bytearray(names.encode("utf-8")))
+        out.close()
+
+    # staged snapshot complete — the compaction window (recovery
+    # re-enters here: re-reads the manifest, re-runs 3-5 idempotently)
+    manifest = _read_small_text(spark, f"{staging}/_STAGED")
+    staged_names = [n for n in manifest.split("\n") if n]
+    _touch(f"{path}/{COMPACT_MARKER}")
     staged_post = spark.read.parquet(f"{staging}/postings")
     staged_stats = spark.read.parquet(f"{staging}/stats")
-    delta = _hpath(spark, f"{path}/delta")
-    if fs.exists(delta):
-        fs.delete(delta, True)
     staged_post.repartition("bucket").write.partitionBy("bucket").mode(
         "overwrite"
     ).parquet(f"{path}/postings")
     staged_stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    for name in staged_names:
+        seg = _hpath(spark, f"{path}/delta/{name}")
+        if fs.exists(seg):
+            fs.delete(seg, True)
     fs.delete(_hpath(spark, staging), True)
-    return len(segments)
+    fs.delete(compact_marker, False)
+    return len(staged_names)
+
+
+def _read_small_text(spark, p: str) -> str:
+    """Whole-file UTF-8 read in one data pass (the ivf.py
+    ``_read_small_file`` idiom)."""
+    jvm = spark._jvm
+    hp = _hpath(spark, p)
+    fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+    buf = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(fs.open(hp), buf, 65536, True)
+    return buf.toString("UTF-8")
 
 
 def bm25_search_persisted(
@@ -519,10 +636,14 @@ def bm25_search_persisted(
     df pass and the scoring pass share the pruned scan shape), zero
     corpus access, zero shuffle beyond the per-term window over |terms|
     posting lists."""
+    _check_postings_epoch(spark, path)
     buckets = sorted({py_term_bucket(t) for t in terms})
-    segments = [f"{path}/postings"] + [
-        f"{s}/postings" for s in _live_posting_segments(spark, path)
-    ]
+    # list the segments ONCE: a second listing could disagree with the
+    # first under a concurrent append (a segment in the stats pass but
+    # not the scoring pass skews n_docs/avglen), and each listing costs
+    # a glob + per-segment marker existence check
+    live = _live_posting_segments(spark, path)
+    segments = [f"{path}/postings"] + [f"{s}/postings" for s in live]
 
     def pruned(seg_postings: str) -> DataFrame:
         return (
@@ -538,7 +659,7 @@ def bm25_search_persisted(
     df_tbl = hits.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
     stats = spark.read.parquet(f"{path}/stats")
-    for s in _live_posting_segments(spark, path):
+    for s in live:
         stats = stats.unionByName(spark.read.parquet(f"{s}/stats"))
     # bounded driver read (the nprobe-cluster-ids discipline): the
     # mergeable integers collapse to two scalars, inlined as literals so

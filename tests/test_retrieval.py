@@ -175,7 +175,6 @@ def test_compact_postings_absorbs_deltas_and_recovers_from_crash(
     spark, tmp_path
 ):
     import os
-    import shutil
 
     from backend_fastapi_spark.sources.parquet import read_table
     from tests.conftest import SF_SMOKE
@@ -192,8 +191,10 @@ def test_compact_postings_absorbs_deltas_and_recovers_from_crash(
         map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
     )
 
+    import glob as _glob
+
     assert RT.compact_postings(spark, path) == 3
-    assert not os.path.exists(f"{path}/delta")
+    assert _glob.glob(f"{path}/delta/batch=*") == []
     assert not os.path.exists(f"{path}/compact_staging")
     after = sorted(
         map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
@@ -201,20 +202,25 @@ def test_compact_postings_absorbs_deltas_and_recovers_from_crash(
     fresh = sorted(map(tuple, RT.bm25_topk(docs, terms, k=10).collect()))
     assert before == after == fresh
 
-    # crash window: staging complete (_STAGED present) but the delta purge
-    # already ran and the base rewrite never happened — the worst case the
-    # staging protocol exists for. Build it by hand, then recover.
+    # crash window: snapshot staged (manifest names batch=1 only), the
+    # COMPACT marker raised, nothing after that ran — AND a new segment
+    # (batch=2) was appended after the snapshot was taken. The marker
+    # must make reads fail loudly; recovery must absorb exactly the
+    # manifest's segment and LEAVE batch=2's rows live (a blanket delta
+    # purge would destroy them — they are not in the staged base).
+    import pytest
+
     RT.write_postings_index(docs.filter("doc_id % 4 = 0"), path,
                             mode="overwrite")
     RT.postings_append(
-        spark, path, docs.filter("doc_id % 4 != 0"), batch_token=9
+        spark, path, docs.filter("doc_id % 4 = 1"), batch_token=1
     )
     staging = f"{path}/compact_staging"
     post = spark.read.parquet(f"{path}/postings").unionByName(
-        spark.read.parquet(f"{path}/delta/batch=9/postings")
+        spark.read.parquet(f"{path}/delta/batch=1/postings")
     )
     stats = spark.read.parquet(f"{path}/stats").unionByName(
-        spark.read.parquet(f"{path}/delta/batch=9/stats")
+        spark.read.parquet(f"{path}/delta/batch=1/stats")
     )
     post.repartition("bucket").write.partitionBy("bucket").parquet(
         f"{staging}/postings"
@@ -229,13 +235,69 @@ def test_compact_postings_absorbs_deltas_and_recovers_from_crash(
         .coalesce(1)
         .write.parquet(f"{staging}/stats")
     )
-    open(f"{staging}/_STAGED", "w").close()
-    shutil.rmtree(f"{path}/delta")  # the purge happened; base is stale
-    RT.compact_postings(spark, path)  # must resume FROM the staged copy
+    with open(f"{staging}/_STAGED", "w") as fh:
+        fh.write("batch=1")
+    # the post-snapshot append (before the crash raised the marker)
+    RT.postings_append(
+        spark, path, docs.filter("doc_id % 4 IN (2, 3)"), batch_token=2
+    )
+    open(f"{path}/_COMPACT_IN_PROGRESS", "w").close()  # the crash state
+
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        RT.bm25_search_persisted(spark, path, terms).collect()
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        RT.postings_append(spark, path, docs.limit(1), batch_token=3)
+
+    assert RT.compact_postings(spark, path) == 1  # exactly the manifest
+    assert os.path.exists(f"{path}/delta/batch=2"), (
+        "post-snapshot segment must survive recovery"
+    )
+    assert not os.path.exists(f"{path}/delta/batch=1")
     recovered = sorted(
         map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
     )
-    assert recovered == fresh
+    assert recovered == fresh  # base(evens)+batch1 compacted, batch2 live
+
+    # crash window 5a→5b: staging already dropped, only the marker left —
+    # the next call finishes the bookkeeping instead of bricking reads
+    open(f"{path}/_COMPACT_IN_PROGRESS", "w").close()
+    assert RT.compact_postings(spark, path) == 0
+    assert sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    ) == fresh
+
+    # an interrupted base OVERWRITE is a rebuild, not a compaction resume
+    open(f"{path}/_EPOCH_IN_PROGRESS", "w").close()
+    with pytest.raises(RuntimeError, match="interrupted base overwrite"):
+        RT.bm25_search_persisted(spark, path, terms).collect()
+    with pytest.raises(RuntimeError, match="interrupted base overwrite"):
+        RT.compact_postings(spark, path)
+    os.remove(f"{path}/_EPOCH_IN_PROGRESS")
+
+
+def test_postings_append_empty_batch_is_invisible(spark, tmp_path):
+    import os
+
+    from backend_fastapi_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "pidx")
+    RT.write_postings_index(docs, path)
+    terms = ["vector", "hash"]
+    before = sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    )
+    # a batch whose postings are empty must not commit a data-less
+    # segment (it would brick every later read on schema inference)
+    RT.postings_append(
+        spark, path, docs.filter("doc_id < 0"), batch_token=5
+    )
+    assert not os.path.exists(f"{path}/delta/batch=5")
+    after = sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    )
+    assert after == before
 
 
 def test_stream_postings_append_grows_lexical_index(spark, tmp_path):
