@@ -7503,16 +7503,20 @@ _LAST_GREEN = {
     "asof_join_events_orders": 9,
     "attribute_filter": 9,
     "bloom_prejoin_stats": 10,
+    "bm25_keyword_topk": 11,
+    "bm25_postings_delta": 11,
+    "bm25_search_persisted": 11,
     "bootstrap_personal_store": 9,
-    "bottomk_monthly_merge": 7,
+    "bottomk_monthly_merge": 11,
     "bottomk_sample_quantiles": 10,
     "bpe_top_merges": 9,
     "brand_price_stats": 10,
     "branded_quantity_revenue": 10,
-    "c4_quality_filter": 7,
-    "c4_span_dedup": 7,
+    "c4_quality_filter": 11,
+    "c4_span_dedup": 11,
     "catalog_tables_rowcounts": 8,
-    "chunk_documents": 7,
+    "chunk_documents": 11,
+    "chunk_documents_multichunk": 11,
     "chunk_documents_recursive": 10,
     "cms_heavy_users_deterministic": 10,
     "cohort_retention": 9,
@@ -7520,24 +7524,24 @@ _LAST_GREEN = {
     "cube_status_priority": 8,
     "customer_360": 8,
     "customer_order_distribution": 10,
-    "customers_with_orders": 7,
+    "customers_with_orders": 11,
     "customers_without_orders": 9,
     "daily_value_by_type": 10,
     "decontaminate_test_split": 9,
     "dedup_canonical_corpus": 9,
-    "dedup_min_event": 7,
+    "dedup_min_event": 11,
     "delete_keys_orders": 8,
     "distinct_count_stats": 9,
-    "diversified_docs": 7,
+    "diversified_docs": 11,
     "doc_embed_knn": 8,
-    "doc_fingerprint_groups": 7,
-    "doc_template_assembly": 7,
+    "doc_fingerprint_groups": 11,
+    "doc_template_assembly": 11,
     "dsir_importance_weights": 8,
     "dup_clusters": 9,
     "dup_clusters_minhash": 8,
     "dup_rate_by_source": 10,
-    "embedding_near_dup": 7,
-    "embedding_near_dup_rp": 8,
+    "embedding_near_dup": 11,
+    "embedding_near_dup_rp": 11,
     "events_burst_60s": 9,
     "exact_dup_groups": 9,
     "filtered_projection": 10,
@@ -7548,11 +7552,13 @@ _LAST_GREEN = {
     "grocery_best_store": 8,
     "grouping_sets_revenue": 9,
     "hll_distinct_deterministic": 10,
-    "hll_monthly_merge": 7,
+    "hll_monthly_merge": 11,
     "html_strip": 8,
+    "hybrid_rrf_topk": 11,
+    "hybrid_search_persisted": 11,
     "idle_rich_customers": 10,
     "incremental_dedup_batch": 9,
-    "incremental_dedup_via_state": 8,
+    "incremental_dedup_via_state": 11,
     "index_sink_audit": 8,
     "ingest_pipeline_chunks": 9,
     "ingest_pipeline_embedded": 10,
@@ -7560,33 +7566,34 @@ _LAST_GREEN = {
     "ivf_sq8_index_audit": 10,
     "json_extract_stats": 8,
     "keyword_or_filter": 10,
-    "kmv_set_cardinalities": 7,
+    "kmv_set_cardinalities": 11,
     "kmv_set_similarity": 10,
-    "knn_batch_top5": 7,
-    "knn_margin_topk": 7,
-    "knn_top10_dot": 7,
-    "knn_top10_l2": 7,
+    "knn_batch_top5": 11,
+    "knn_margin_topk": 11,
+    "knn_top10_dot": 11,
+    "knn_top10_l2": 11,
     "lang_id_confusion": 10,
-    "lang_quality_score": 7,
+    "lang_quality_score": 11,
     "large_volume_customers": 10,
     "late_shipment_priority": 10,
-    "maintenance_skipping": 7,
+    "maintenance_skipping": 11,
     "market_chart_bars": 8,
-    "minhash_lsh_candidates": 7,
-    "minhash_verified_dupes": 7,
+    "minhash_lsh_candidates": 11,
+    "minhash_verified_dupes": 11,
     "minmax_rescale": 8,
-    "multi_key_sort": 7,
+    "mmr_diversified_topk": 11,
+    "multi_key_sort": 11,
     "multimodal_feature_stats": 9,
     "next_order_asof_forward": 9,
-    "ngram_jaccard_dupes": 7,
+    "ngram_jaccard_dupes": 11,
     "null_normalization": 10,
     "order_status_histogram": 10,
     "orders_growth_mom": 10,
-    "pack_docs_budget": 7,
+    "pack_docs_budget": 11,
     "pack_pretrain_sequences": 10,
     "paginated_orders": 8,
     "pct_change_daily": 8,
-    "per_customer_top3_orders": 7,
+    "per_customer_top3_orders": 11,
     "percentile_stats": 8,
     "pii_scrub_stats": 10,
     "pivot_priority_by_status": 8,
@@ -7605,7 +7612,7 @@ _LAST_GREEN = {
     "scd2_customer_merge": 9,
     "semantic_dedup_pairs": 9,
     "semantic_dedup_summary": 9,
-    "semantic_dedup_union": 7,
+    "semantic_dedup_union": 11,
     "sentence_segments": 9,
     "session_window_native": 8,
     "sessionize_events": 8,
@@ -7618,19 +7625,19 @@ _LAST_GREEN = {
     "supplier_balance_by_region": 8,
     "temperature_sample_langs": 10,
     "tfidf_top_terms": 9,
-    "token_stats": 7,
+    "token_stats": 11,
     "tool_call_episode": 10,
-    "top_orders_recent": 7,
+    "top_orders_recent": 11,
     "top_parts_by_region": 10,
     "top_supplier_revenue": 10,
     "train_test_split_counts": 9,
-    "ts_daily_resample": 7,
+    "ts_daily_resample": 11,
     "ts_forecast_metrics": 8,
-    "ts_interpolated": 7,
+    "ts_interpolated": 11,
     "ts_last_valid_window": 8,
-    "ts_longest_run": 7,
+    "ts_longest_run": 11,
     "ts_ratio_split": 8,
-    "ts_seasonal_features": 7,
+    "ts_seasonal_features": 11,
     "ts_sliding_windows": 8,
     "tumbling_hourly_counts": 8,
     "union_all_counts": 10,
@@ -7639,9 +7646,9 @@ _LAST_GREEN = {
     "user_context_star": 9,
     "user_rapid_repeat_events": 9,
     "variant_extract_stats": 9,
-    "vector_search_sql": 7,
+    "vector_search_sql": 11,
     "watermark_late_drop": 8,
-    "web_curation_pipeline": 7,
+    "web_curation_pipeline": 11,
     "weighted_recommend_score": 8,
     "weighted_sample_docs": 9,
     "winnow_fingerprint_stats": 9,
