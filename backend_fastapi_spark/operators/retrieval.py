@@ -334,7 +334,20 @@ def write_postings_index(
     every reader fails loudly on (the write_ivf_index discipline, ADVICE
     r10) — a crash anywhere inside the window is detected, never served
     as a complete-looking index missing its appended rows.
+
+    Only ``"error"`` and ``"overwrite"`` are coherent here (ADVICE r11):
+    a raw ``mode="append"`` would stack a second ``base`` stats row and
+    duplicate postings with no epoch protection — incremental growth
+    goes through :func:`postings_append`, which carries its own
+    idempotency and commit markers.
     """
+    if mode not in ("error", "overwrite"):
+        raise ValueError(
+            "write_postings_index mode must be 'error' or 'overwrite', "
+            f"got {mode!r} — incremental growth goes through "
+            "postings_append (a raw append would duplicate the base "
+            "stats row and postings with no epoch protection)"
+        )
     spark = docs.sparkSession
     post = postings(docs, text_col, id_col).withColumn(
         "bucket", term_bucket(F.col("term"))
@@ -451,6 +464,7 @@ def postings_append(
     batch_token,
     text_col: str = "text",
     id_col: str = "doc_id",
+    check_overlap: bool = False,
 ) -> None:
     """Incremental lexical-index grow — ``ivf_append``'s contract for the
     postings layout (reference serving role: the same add-documents path,
@@ -466,9 +480,38 @@ def postings_append(
     nothing — an empty parquet dir (no data files, only _SUCCESS) would
     fail schema inference on every later read, bricking the index. Cost
     is O(batch), never O(index) — the base postings are not read,
-    touched, or re-shuffled."""
+    touched, or re-shuffled.
+
+    HARD PRECONDITION (ADVICE r11): ``new_docs`` ids must be NEW to the
+    index — an id already present in the base or another delta would
+    duplicate its posting rows and inflate df/n_docs, letting the same
+    doc rank twice. ``check_overlap=True`` enforces it with one
+    id-column-pruned scan of base + other deltas (affordable for
+    interactive batches; streams keep it off — their exactly-once
+    batch-token discipline already guarantees it). A retry of THIS
+    token's own segment is not an overlap."""
     _check_postings_epoch(spark, path)
     seg = f"{path}/delta/batch={batch_token}"
+    if check_overlap:
+        existing = spark.read.parquet(f"{path}/postings").select(id_col)
+        for s in _live_posting_segments(spark, path):
+            if s.rstrip("/").rsplit("/", 1)[-1] != f"batch={batch_token}":
+                existing = existing.unionByName(
+                    spark.read.parquet(f"{s}/postings").select(id_col)
+                )
+        dup = (
+            new_docs.select(id_col)
+            .join(existing.distinct(), id_col)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"postings_append to {path}: {id_col}="
+                f"{dup[0][id_col]!r} already exists in the index — "
+                "appending it would duplicate its posting rows and "
+                "inflate df/n_docs (new_docs must contain only NEW ids)"
+            )
     jvm = spark._jvm
     marker = _hpath(spark, f"{seg}/_COMMITTED")
     fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -668,6 +711,15 @@ def bm25_search_persisted(
     srow = stats.agg(
         F.sum("n_docs").alias("n"), F.sum("dlen_sum").alias("s")
     ).head()
+    if not srow["n"]:
+        # degenerate index (ADVICE r11): zero docs contributed postings
+        # (or no stats rows at all — SUM over none is NULL). No document
+        # can match, so return the empty result frame in the search's
+        # exact schema instead of an opaque ZeroDivisionError computing
+        # avglen.
+        return hits.select(
+            "term", F.col(id_col), F.lit(0.0).alias("bm25")
+        ).limit(0)
     n_docs, avglen = int(srow["n"]), srow["s"] / srow["n"]
 
     scored = (
@@ -759,8 +811,20 @@ def mmr_topk(
         ids = pdf["_cid"].to_numpy()
         rel = pdf["rel_i64"].to_numpy(dtype=np.int64)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_cv"]])
-        # pairwise dots: quantized elements ≤ FIXED_SCALE, dim·1e12 ≪ 2^53
-        # → the float64 matmul is exact; int64 cast is lossless
+        # pairwise dots: for quantized unit-ish components (|fx| ≤
+        # FIXED_SCALE = 1e6) dim·1e12 ≪ 2^53, so the float64 matmul is
+        # integer-exact and the int64 cast lossless. That exactness has
+        # a boundary (ADVICE r11): dim · max|fx|² must stay under 2^53,
+        # or partial sums round and the result silently diverges from
+        # the int64 oracle — fail loudly instead.
+        maxabs = float(np.abs(m).max(initial=0.0))
+        if m.shape[1] * maxabs * maxabs >= 2.0**53:
+            raise ValueError(
+                "mmr_topk: embeddings exceed the exact fixed-point "
+                f"envelope (dim={m.shape[1]}, max|fx|={maxabs:.3g}, "
+                "dim*max^2 >= 2^53) — the float64 similarity matmul "
+                "would round; normalize the vectors or reduce dim"
+            )
         sim = (m @ m.T).astype(np.int64)
         # deterministic candidate order (id asc) so np argmax tie-breaks
         # on id exactly like the oracle's ORDER BY ... vec_id ASC

@@ -414,3 +414,126 @@ def test_mmr_rank0_is_pure_relevance_and_select_caps(spark):
         assert len(rows) == 3
         # rank 0 carries the max rel_i64 of the selected set
         assert rows[0]["rel_i64"] == max(r["rel_i64"] for r in rows)
+
+
+def test_write_postings_index_rejects_incoherent_mode(spark, tmp_path):
+    # ADVICE r11: mode="append" would stack a second base stats row and
+    # duplicate postings with no epoch protection — only error/overwrite
+    # are coherent; growth goes through postings_append.
+    docs = _docs(spark, [(0, "alpha beta")])
+    with pytest.raises(ValueError, match="postings_append"):
+        RT.write_postings_index(docs, str(tmp_path / "pidx"), mode="append")
+
+
+def test_persisted_search_on_degenerate_stats_returns_empty(spark, tmp_path):
+    # ADVICE r11: an index whose stats sum to n_docs=0 must yield the
+    # empty result frame in the search's schema, not a ZeroDivisionError
+    # computing avglen.
+    docs = _docs(spark, [(0, "alpha beta"), (1, "alpha gamma")])
+    path = str(tmp_path / "pidx")
+    RT.write_postings_index(docs, path)
+    spark.createDataFrame(
+        [("base", 0, 0)], "segment string, n_docs long, dlen_sum long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    out = RT.bm25_search_persisted(spark, path, ["alpha"], k=5)
+    assert out.columns == ["term", "doc_id", "bm25"]
+    assert out.count() == 0
+
+
+def test_postings_append_overlap_guard(spark, tmp_path):
+    # ADVICE r11: the new-ids precondition, enforced on demand. A doc_id
+    # already in the base (or another delta) raises; a retry of the SAME
+    # token is not an overlap (it replaces exactly itself).
+    docs = _docs(
+        spark,
+        [(0, "alpha beta"), (1, "alpha gamma"), (2, "delta beta")],
+    )
+    path = str(tmp_path / "pidx")
+    RT.write_postings_index(docs.filter("doc_id = 0"), path)
+    batch = docs.filter("doc_id = 1")
+    RT.postings_append(spark, path, batch, batch_token=0, check_overlap=True)
+    # same-token retry of overlapping-with-itself rows: allowed
+    RT.postings_append(spark, path, batch, batch_token=0, check_overlap=True)
+    # a NEW token carrying an id the base already holds: rejected
+    with pytest.raises(ValueError, match="already exists"):
+        RT.postings_append(
+            spark, path, docs.filter("doc_id = 0"), batch_token=1,
+            check_overlap=True,
+        )
+    # and one carrying an id another DELTA already holds: rejected
+    with pytest.raises(ValueError, match="already exists"):
+        RT.postings_append(
+            spark, path, batch, batch_token=2, check_overlap=True
+        )
+    # the guard rejected BEFORE writing: only batch=0 is live
+    live = RT._live_posting_segments(spark, path)
+    assert [s.rsplit("/", 1)[-1] for s in live] == ["batch=0"]
+
+
+def test_stream_postings_append_auto_compacts_at_cap(spark, tmp_path):
+    """The streaming maintenance loop for the lexical index (VERDICT r11
+    #6, mirroring test_stream_ivf_append_auto_fold_bounds_segments):
+    with auto_compact on (default), a long stream of 1-file triggers
+    keeps the live segment count bounded by the cap while the grown
+    index still ranks exactly like from-scratch BM25 over the union."""
+    import os
+
+    from backend_fastapi_spark.sources.parquet import read_table
+    from backend_fastapi_spark.streaming.ingest_stream import (
+        stream_postings_append,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "pidx")
+    RT.write_postings_index(docs.filter("doc_id % 2 = 0"), path)
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    odd = docs.filter("doc_id % 2 = 1").orderBy("doc_id").limit(40).collect()
+    n_triggers = RT.POSTINGS_SEGMENT_CAP + 4  # past the cap
+    for i in range(n_triggers):
+        two = spark.createDataFrame(
+            odd[2 * i: 2 * i + 2], docs.schema
+        )
+        two.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_postings_append(stream, path, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert (
+        len(RT._live_posting_segments(spark, path))
+        <= RT.POSTINGS_SEGMENT_CAP
+    )
+    streamed_ids = {r["doc_id"] for r in odd[: 2 * n_triggers]}
+    union = docs.filter(
+        (F.col("doc_id") % 2 == 0) | F.col("doc_id").isin(streamed_ids)
+    )
+    terms = ["vector", "hash"]
+    grown = sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    )
+    fresh = sorted(map(tuple, RT.bm25_topk(union, terms, k=10).collect()))
+    assert grown == fresh and len(fresh) > 0
+
+
+def test_mmr_guards_fixed_point_overflow(spark):
+    # ADVICE r11: the float64-matmul exactness claim has a boundary
+    # (dim·max|fx|² < 2^53); vectors past it must fail loudly, not
+    # silently diverge from the int64 oracle.
+    corpus = spark.createDataFrame(
+        [(0, [3000.0, 0.0]), (1, [0.0, 3000.0]), (2, [2000.0, 2000.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [3000.0, 0.0])], "q_id long, q_embedding array<float>"
+    )
+    with pytest.raises(Exception, match="fixed-point envelope"):
+        RT.mmr_topk(corpus, queries, shortlist=3, select=2).collect()
