@@ -20,6 +20,22 @@ truncated past parseability):
     10×-scale stanzas (VERDICT r05 directive #5).
   N = 1 + max existing BENCH_r*.json round, i.e. the round whose BENCH
   artifact the driver is about to write; override with $SPARK_GRAFT_ROUND.
+
+Timeout survivability (VERDICT r11 — the round-11 driver artifact was
+EMPTY because everything was emitted once, at the very end, of a run the
+driver's wall-clock limit killed mid-sf10):
+  - the sidecar is flushed after EVERY section/stanza (atomic
+    temp+rename), so a killed run still leaves everything completed;
+  - the parsable headline line prints IMMEDIATELY after the sf0.1
+    headline section (and again as the final line — the driver tails
+    stdout, so the last print wins when the run completes);
+  - every section past the sf0.1 extras runs under a wall-clock budget
+    ($SPARK_GRAFT_BENCH_BUDGET_S, default 3000 s — under the driver's
+    observed ~1 h limit): a stanza whose cost estimate no longer fits is
+    SKIPPED AND LOGGED in the sidecar ("skipped_stanzas" — the
+    no-silent-caps rule), and scale stanzas run oldest-evidence-first
+    (rotation computed from the committed BENCH_CONTEXT history), so
+    whatever evidence is most stale gets the budget first.
 """
 
 from __future__ import annotations
@@ -195,13 +211,21 @@ def _plan_shuffle_stats(jplan) -> dict:
 
 
 def time_set(spark, names, sf_dir, runs, timings, cards, cc_stats, tag="",
-             warmup=True, shuffle_stats=None, loads=None):
+             warmup=True, shuffle_stats=None, loads=None, warmups=None):
     for name in names:
         spec = Q.REGISTRY.get(name)
         if spec is None:
             continue
         if warmup:  # JIT/codegen, footers
+            t0 = time.perf_counter()
             rows = spec.fn(spark, sf_dir).count()
+            if warmups is not None:
+                # first-execution seconds: for the persisted-index
+                # queries this is the one-time WRITE+search cost (the
+                # queries.py build-once cache makes the timed runs below
+                # search-only — VERDICT r11 wrong #3), reported once
+                # here instead of silently inflating the min-of-N
+                warmups[name] = round(time.perf_counter() - t0, 3)
         best = float("inf")
         cdf = None
         for _ in range(runs):  # min-of-N damps transient host noise
@@ -881,6 +905,133 @@ def ivf_rebuild_stanza(spark, sf_dir: str) -> dict:
     return out
 
 
+def postings_scale_stanza(spark, sf_dir: str, n_append_batches: int = 17,
+                          append_rows: int = 2000) -> dict:
+    """The persisted postings (lexical/BM25) index priced at sf10 doc
+    scale (VERDICT r11 directive #5). Reference analog: the
+    FULLTEXT(term, …) index the reference's ``knowledge`` table declares
+    (init-db.sql:7-16) that its service layer never exploits — this
+    stanza prices the engine's answer to it. Three measurements:
+
+    (a) write-once cost + index footprint over the full documents table;
+    (b) pruned-search cost vs query term count (1/4/16 terms): wall
+        seconds warm, plus the byte mass of the touched bucket
+        partitions (directory-level audit, the SQ8 stanza's discipline)
+        against the whole index — the |buckets|/32 scan-fraction claim
+        with numbers attached;
+    (c) the maintenance arm: ``postings_append`` × n (past
+        POSTINGS_SEGMENT_CAP), per-batch append seconds (flat, O(batch)),
+        warm search at 0/mid/max live segments (the per-segment decay),
+        then ``compact_postings`` timed with post-compact recovery."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from backend_fastapi_spark.operators.retrieval import (
+        POSTINGS_SEGMENT_CAP, bm25_search_persisted, compact_postings,
+        postings_append, postings_maintenance_action, py_term_bucket,
+        write_postings_index)
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    def tree_bytes(p: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    path = tempfile.mkdtemp(prefix="bench_postings_") + "/idx"
+    out: dict = {"n_docs": n_docs}
+    # the generated corpus' most frequent tokens (stable across sf):
+    # 1-term and 4-term prefixes reuse the hash-green queries' term sets
+    terms16 = ["vector", "stream", "window", "hash", "join", "row",
+               "batch", "scan", "customer", "column", "filter", "small",
+               "slow", "merge", "order", "line"]
+    try:
+        t0 = time.perf_counter()
+        write_postings_index(docs, path, mode="overwrite")
+        out["write_s"] = round(time.perf_counter() - t0, 3)
+        idx_bytes = tree_bytes(f"{path}/postings")
+        out["index_mb"] = round(idx_bytes / 1e6, 2)
+        out["rows"] = spark.read.parquet(f"{path}/postings").count()
+
+        def warm_search(terms: list[str]) -> float:
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                bm25_search_persisted(spark, path, terms, k=10).collect()
+                times.append(round(time.perf_counter() - t0, 3))
+            return times[1]
+
+        out["search_vs_terms"] = {}
+        for n_terms in (1, 4, 16):
+            terms = terms16[:n_terms]
+            buckets = sorted({py_term_bucket(t) for t in terms})
+            probed = sum(
+                tree_bytes(f"{path}/postings/bucket={b}") for b in buckets
+            )
+            out["search_vs_terms"][str(n_terms)] = {
+                "warm_s": warm_search(terms),
+                "n_buckets": len(buckets),
+                "bucket_frac": round(len(buckets) / 32, 4),
+                "probed_mb": round(probed / 1e6, 2),
+                "probed_byte_frac": round(probed / max(idx_bytes, 1), 4),
+            }
+            print(f"# postings-scale {n_terms} terms: "
+                  f"{out['search_vs_terms'][str(n_terms)]['warm_s']:.3f}s "
+                  f"warm, {len(buckets)}/32 buckets, "
+                  f"{round(probed / 1e6, 2)} MB probed", file=sys.stderr)
+
+        # (c) growth + decay + compaction. Batches are disjoint id-shifted
+        # slices (the new-ids precondition postings_append documents).
+        terms4 = terms16[:4]
+        append_s: list[float] = []
+        decay: dict = {"0": warm_search(terms4)}
+        # deterministic disjoint slices (a limit() re-executed per batch
+        # could overlap between batches and violate the new-ids
+        # precondition): filter on the id itself, then shift out of the
+        # base id domain
+        lo = docs.agg(F.min("doc_id")).head()[0]
+        base = docs.filter(
+            F.col("doc_id") < lo + n_append_batches * append_rows
+        ).withColumn("doc_id", F.col("doc_id") + 100_000_000)
+        for i in range(n_append_batches):
+            b = base.filter(
+                F.pmod(F.col("doc_id"), F.lit(n_append_batches)) == i
+            )
+            t0 = time.perf_counter()
+            postings_append(spark, path, b, batch_token=i)
+            append_s.append(round(time.perf_counter() - t0, 3))
+            if i + 1 in (n_append_batches // 2, n_append_batches):
+                decay[str(i + 1)] = warm_search(terms4)
+        out["append_s_per_batch"] = round(
+            sum(append_s) / len(append_s), 3
+        )
+        out["append_s_first_last"] = [append_s[0], append_s[-1]]
+        out["search_vs_segments"] = decay
+        out["maintenance_action"] = postings_maintenance_action(
+            n_append_batches
+        )
+        out["segment_cap"] = POSTINGS_SEGMENT_CAP
+        t0 = time.perf_counter()
+        out["compacted_segments"] = compact_postings(spark, path)
+        out["compact_s"] = round(time.perf_counter() - t0, 3)
+        out["search_post_compact_s"] = warm_search(terms4)
+        print(f"# postings-scale: write {out['write_s']:.1f}s "
+              f"({out['index_mb']} MB), decay {decay}, compact "
+              f"{out['compact_s']:.1f}s -> "
+              f"{out['search_post_compact_s']:.3f}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+    return out
+
+
 def zorder_scale_stanza(spark, sf_dir: str, n_files: int = 128) -> dict:
     """Z-order skipping at realistic row-group counts (VERDICT r09
     directive #3): the hash-green ``zorder_skipping`` audit runs at
@@ -1251,10 +1402,52 @@ def wait_for_quiet_host(max_wait_s: float = 600.0,
         time.sleep(30.0)
 
 
+def stanza_last_seen() -> dict[str, int]:
+    """Most recent round each sidecar key appeared in, across every
+    committed BENCH_CONTEXT_r*.json — the rotation input: a stanza whose
+    evidence is oldest (or has never landed) runs first when the budget
+    can't fit them all."""
+    seen: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in glob.glob(os.path.join(here, "BENCH_CONTEXT_r*.json")):
+        m = re.match(r"BENCH_CONTEXT_r0*(\d+)\.json$", os.path.basename(p))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                keys = list(json.load(f).keys())
+        except Exception:
+            continue
+        for k in keys:
+            seen[k] = max(seen.get(k, 0), rnd)
+    return seen
+
+
 def main() -> None:
+    t_start = time.monotonic()
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3000"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # The sidecar is written incrementally (atomic temp+rename) after
+    # every section: a run the driver's wall-clock limit kills still
+    # leaves every completed stanza on disk (VERDICT r11 wrong #1 — the
+    # r11 run deferred ALL output to the end and the timeout lost it).
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_CONTEXT_r{bench_round():02d}.json",
+    )
+    context: dict = {"bench_budget_s": budget}
+
+    def flush() -> None:
+        context["bench_elapsed_s"] = round(time.monotonic() - t_start, 1)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(context, f, indent=1)
+        os.replace(tmp, sidecar)
+
     gate = wait_for_quiet_host()
     spark = get_spark("bench")
 
@@ -1263,11 +1456,10 @@ def main() -> None:
     # average at start: min-of-N damps transient noise but a busy host
     # shifts whole runs (observed ~1.3x uniform swing between sessions),
     # and the loadavg makes that attributable when comparing rounds.
-    context: dict = {
-        "host_loadavg_at_start": list(os.getloadavg()),
-        **gate,
-        "data": data_stanza(spark, sf_dir),
-    }
+    context["host_loadavg_at_start"] = list(os.getloadavg())
+    context.update(gate)
+    context["data"] = data_stanza(spark, sf_dir)
+    flush()
 
     cards: dict[str, int] = {}
     cc_stats: dict[str, dict] = {}
@@ -1292,31 +1484,92 @@ def main() -> None:
     context["shuffle_stats"] = shuffle_stats
     context["headline_loadavg"] = headline_loads
 
+    headline = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    context["headline"] = headline
+    flush()
+    # EARLY headline print (VERDICT r11 directive #1b): the driver tails
+    # stdout, so if the wall-clock limit kills the run mid-scale-section
+    # this line is the only parsable output it might see; all stanza
+    # chatter goes to stderr, and on a completed run the same line is
+    # re-printed LAST (the driver's tail then parses that one).
+    line = json.dumps(headline)
+    assert len(line) < 1900, f"headline line {len(line)} chars — tail window is 2000"
+    print(line, flush=True)
+
     # Each section stands alone: drop the shared substrate caches so a
     # section's timings never pay (or profit from) another section's
     # storage-memory pressure.
     spark.catalog.clearCache()
 
     extra: dict[str, float] = {}
-    time_set(spark, EXTRA, sf_dir, 2, extra, cards, cc_stats, tag="extra ")
+    extra_warm: dict[str, float] = {}
+    time_set(spark, EXTRA, sf_dir, 2, extra, cards, cc_stats, tag="extra ",
+             warmups=extra_warm)
     context["extra_queries"] = extra
+    # first-execution seconds: for the persisted-index extras this is
+    # the one-time index WRITE (+first search) the timed min-of-2 no
+    # longer pays (queries.py build-once cache, VERDICT r11 wrong #3)
+    context["extra_first_exec_s"] = extra_warm
+    context["cardinalities"] = cards
+    context["cc_stats"] = cc_stats
+    flush()
 
-    # Optional 10x scale point (scripts/gen_scale.py output): one timed run
-    # per query so sf-growth is recorded alongside the primary metric.
-    # Includes the CC-running extras — their at-scale growth is the open
-    # question (round-2 directive #8).
-    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", ".scaledata/sf1")
-    if os.path.isdir(sf1_dir) and os.path.abspath(sf1_dir) != os.path.abspath(sf_dir):
+    # ------------------------------------------------------------------
+    # Everything below runs under the wall-clock budget: per-stanza cost
+    # estimates (measured r10/r11 values, generous) gate entry; what
+    # does not fit is skipped AND recorded. Scale stanzas run
+    # oldest-evidence-first so the budget refreshes whatever is most
+    # stale; the two per-sf query sections always go first (they are the
+    # round-over-round comparables).
+    # ------------------------------------------------------------------
+    skipped: list[dict] = []
+
+    def run_stanza(key: str, est_s: float, fn) -> None:
+        elapsed = time.monotonic() - t_start
+        if elapsed + est_s > budget:
+            skipped.append({"stanza": key, "est_s": est_s,
+                            "elapsed_s": round(elapsed, 1)})
+            context["skipped_stanzas"] = skipped
+            flush()
+            print(f"# budget: skipping {key} (elapsed {elapsed:.0f}s + "
+                  f"est {est_s:.0f}s > {budget:.0f}s)", file=sys.stderr)
+            return
         spark.catalog.clearCache()
+        try:
+            context.update(fn())
+        except Exception as e:  # a broken stanza must not lose the rest
+            context[key] = {"error": f"{type(e).__name__}: {e}"[:500]}
+            print(f"# stanza {key} FAILED: {e}", file=sys.stderr)
+        flush()
+
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", ".scaledata/sf1")
+    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", ".scaledata/sf10")
+    have_sf1 = (os.path.isdir(sf1_dir)
+                and os.path.abspath(sf1_dir) != os.path.abspath(sf_dir))
+    have_sf10 = (os.path.isdir(sf10_dir)
+                 and not os.environ.get("SPARK_GRAFT_SKIP_SF10"))
+
+    def sf1_section() -> dict:
+        # 10x scale point (scripts/gen_scale.py output): one timed run
+        # per query so sf-growth is recorded alongside the primary
+        # metric. Includes the CC-running extras — their at-scale growth
+        # is the open question (round-2 directive #8).
+        out: dict = {}
         sf1_cc: dict[str, dict] = {}
         sf1_timings: dict[str, float] = {}
         sf1_cards: dict[str, int] = {}
         sf1_shuffle: dict[str, dict] = {}
         time_set(spark, HEADLINE, sf1_dir, 2, sf1_timings, sf1_cards, sf1_cc,
                  tag="sf1 ", shuffle_stats=sf1_shuffle)
-        context["sf1_queries"] = sf1_timings
-        context["sf1_total"] = round(sum(sf1_timings.values()), 3)
-        context["sf1_shuffle_stats"] = sf1_shuffle
+        out["sf1_queries"] = sf1_timings
+        out["sf1_total"] = round(sum(sf1_timings.values()), 3)
+        out["sf1_shuffle_stats"] = sf1_shuffle
         spark.catalog.clearCache()
         sf1_extra: dict[str, float] = {}
         time_set(
@@ -1336,26 +1589,24 @@ def main() -> None:
              "dsir_importance_weights"],
             sf1_dir, 1, sf1_extra, sf1_cards, sf1_cc, tag="sf1-extra ",
         )
-        context["sf1_extra_queries"] = sf1_extra
-        context["sf1_cardinalities"] = sf1_cards
-        context["sf1_cc_stats"] = sf1_cc
-        context["sf1_data"] = data_stanza(spark, sf1_dir)
+        out["sf1_extra_queries"] = sf1_extra
+        out["sf1_cardinalities"] = sf1_cards
+        out["sf1_cc_stats"] = sf1_cc
+        out["sf1_data"] = data_stanza(spark, sf1_dir)
+        return out
 
-    # Optional 100x scale point (VERDICT r06 directive #3): the heaviest
-    # corpus-pipeline extras, per-query warmup then ONE timed run — round
-    # 7 timed `dup_clusters` cold-first (warmup=False) and its 117.3 s
-    # conflated ~75 s of session/IO cold cost with plan cost (VERDICT r07
-    # wrong #1; measured this round: canonical cold 105 s → warm 42 s,
-    # dup_clusters warm 24-27 s). Warm-only timing makes the same-edges
-    # pair directly comparable: dup_clusters ≤ dedup_canonical_corpus.
-    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", ".scaledata/sf10")
-    if os.path.isdir(sf10_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF10"):
-        spark.catalog.clearCache()
+    def sf10_section() -> dict:
+        # 100x scale point (VERDICT r06 directive #3): the heaviest
+        # corpus-pipeline extras, per-query warmup then ONE timed run —
+        # warm-only timing keeps the same-edges pair directly comparable
+        # (VERDICT r07 wrong #1: a cold-first run conflates session/IO
+        # cold cost with plan cost).
+        out: dict = {}
         sf10_cc: dict[str, dict] = {}
         sf10_timings: dict[str, float] = {}
         sf10_cards: dict[str, int] = {}
-        context["sf10_data"] = data_stanza(spark, sf10_dir)
-        context["sf10_warm_tables_s"] = warm_tables(spark, sf10_dir)
+        out["sf10_data"] = data_stanza(spark, sf10_dir)
+        out["sf10_warm_tables_s"] = warm_tables(spark, sf10_dir)
         time_set(
             spark,
             ["dedup_canonical_corpus", "dup_clusters", "dup_clusters_minhash",
@@ -1371,29 +1622,20 @@ def main() -> None:
         # Snapshot: time_set mutates sf10_timings again for the headline
         # stanza below; storing the dict by reference leaked all 19
         # headline timings into the extras stanza (ADVICE r8 low).
-        context["sf10_extra_queries"] = dict(sf10_timings)
+        out["sf10_extra_queries"] = dict(sf10_timings)
 
         # 100x HEADLINE stanza (VERDICT r07 directive #3): the same 19
-        # queries the primary metric times — the per-decade growth of
-        # the actual graded plans, not just the dedup extras. Per-query
-        # warmup (warmup=True): the sf0.1/sf1 passes of the identical
-        # plans do NOT fully warm the spill-heavy paths (measured A/B/A
-        # on sf10 ngram_jaccard: 103 s cold-ish → 47 s after one warm
-        # run → 28 s after two, identical plan and rows — the sort/spill
-        # code only JIT-tiers at the scale where it actually spills), so
-        # a warmup=False single run conflates JIT warm-up with plan
-        # cost, the same attribution hole VERDICT r07 flagged for
-        # dup_clusters. One warm run timed = "second execution" — a
-        # reproducible definition.
+        # queries the primary metric times — per-query warmup, one warm
+        # run timed = "second execution" (the spill-heavy paths only
+        # JIT-tier at the scale where they actually spill; measured
+        # A/B/A: sf10 ngram_jaccard 103 s cold-ish → 47 s → 28 s).
         spark.catalog.clearCache()
         sf10_shuffle: dict[str, dict] = {}
         # The sf10 headline times the plans a 100 TB run would actually
         # execute (VERDICT r10 directive #6): the two documented exact
-        # quadratic-OUTPUT oracle twins — 68% of the r10 sf10 headline —
-        # are substituted by their hash-checked SCALE-PATH twins
-        # (RP-banded embedding near-dup; MinHash-LSH dedup clustering).
-        # The exact forms stay measured in sf10_extra_queries above and
-        # the substitution is recorded here, per the no-silent-caps rule.
+        # quadratic-OUTPUT oracle twins are substituted by their
+        # hash-checked SCALE-PATH twins; the exact forms stay measured
+        # in sf10_extra_queries above and the substitution is recorded.
         sf10_subs = {
             "embedding_near_dup": "embedding_near_dup_rp",
             "ngram_jaccard_dupes": "dup_clusters_minhash",
@@ -1405,128 +1647,87 @@ def main() -> None:
         time_set(spark, sf10_headline, sf10_dir, 1, sf10_timings,
                  sf10_cards, sf10_cc, tag="sf10-headline ", warmup=True,
                  shuffle_stats=sf10_shuffle)
-        context["sf10_headline_substitutions"] = sf10_subs
-        context["sf10_queries"] = {
+        out["sf10_headline_substitutions"] = sf10_subs
+        out["sf10_queries"] = {
             k: v for k, v in sf10_timings.items() if k in sf10_headline
         }
-        context["sf10_shuffle_stats"] = sf10_shuffle
-        context["sf10_headline_total"] = round(
+        out["sf10_shuffle_stats"] = sf10_shuffle
+        out["sf10_headline_total"] = round(
             sum(v for k, v in sf10_timings.items() if k in sf10_headline), 3
         )
-        context["sf10_cardinalities"] = sf10_cards
-        context["sf10_cc_stats"] = sf10_cc
+        out["sf10_cardinalities"] = sf10_cards
+        out["sf10_cc_stats"] = sf10_cc
+        return out
 
-        # Persisted-IVF probe curve (VERDICT r07 directive #4): recall@10
-        # and probe latency vs nprobe at 100x corpus scale — sized by
-        # k_clusters_for(n) ≈ √n from r9 on (VERDICT r08 directive #1).
-        # nprobe=112 ≈ the 25% scan r8's k=64/nprobe=16 point paid: the
-        # direct same-scan-fraction comparison on the worst-case
-        # near-uniform corpus (the clustered stanza below is the
-        # realistic-recall measurement).
-        spark.catalog.clearCache()
-        context["sf10_ivf_probe"] = ivf_probe_stanza(
-            spark, sf10_dir, nprobes=(1, 4, 8, 16, 32, 112)
-        )
+    # The per-sf query sections first — the primary comparables.
+    if have_sf1:
+        run_stanza("sf1_queries", 260.0, sf1_section)
+    if have_sf10:
+        run_stanza("sf10_queries", 700.0, sf10_section)
 
-        # Z-order skipping at sf10 row-group counts (VERDICT r09
-        # directive #3, "sf10 if budget allows").
-        spark.catalog.clearCache()
-        context["sf10_zorder"] = zorder_scale_stanza(
-            spark, sf10_dir, n_files=256
-        )
-
-        # Delta-segment decay + fold recovery on the sized sf10 index
-        # (VERDICT r09 directive #2) — the measurement behind
-        # should_compact's DELTA_SEGMENT_CAP.
-        spark.catalog.clearCache()
-        context["sf10_ivf_delta_curve"] = ivf_delta_curve_stanza(
-            spark, sf10_dir
-        )
-
-        # The rebuild arm priced (VERDICT r10 directive #3): grow the
-        # delta mass rebuild-sized, run the offline new-epoch handoff,
-        # record rebuild seconds + pre/post search + resume.
-        spark.catalog.clearCache()
-        context["sf10_ivf_rebuild"] = ivf_rebuild_stanza(spark, sf10_dir)
-
-        # ANN recall on clustered (mixture-of-Gaussians) embeddings
-        # (VERDICT r08 directive #2): sized IVF vs deterministic RP-LSH.
-        spark.catalog.clearCache()
-        context["clustered_ann"] = clustered_ann_stanza(spark)
-
-        # The envelope's MIDDLE: text-derived embeddings (VERDICT r09
-        # directive #4) — where a real corpus lands between the
-        # near-uniform floor and the MoG ceiling.
-        spark.catalog.clearCache()
-        context["text_ann"] = text_ann_stanza(spark, sf10_dir)
-
-        # SQ8 vs plain IVF on the same 500k-vector text corpus (VERDICT
-        # r10 directive #2): seconds, footer-audited scan bytes, and the
-        # int8 recall delta, per nprobe.
-        spark.catalog.clearCache()
-        context["text_ann_sq8"] = text_ann_sq8_stanza(spark, sf10_dir)
-
-        # Distributed CC on >100k real edges (VERDICT r07 directive #2).
-        spark.catalog.clearCache()
-        context["sf10_cc_distributed"] = cc_distributed_stanza(spark, sf10_dir)
-
-        # Bucketed-join saving at a scale where the shuffle is the cost:
-        # at sf1 the whole join runs in ~0.6 s and the Exchange saving is
-        # structural but not measurable in seconds (r8 sidecar: 0.571 vs
-        # 0.567). At sf10 (60 M lineitem rows, 1.1 GB) the two dropped
-        # join-side Exchanges are real seconds — the write-once-
-        # shuffle-never claim with a number attached.
-        spark.catalog.clearCache()
-        context["sf10_bucketed_join"] = bucketed_stanza(spark, sf10_dir)
-
-        # Stream-gate profile at sf10 doc scale (VERDICT r08 directive
-        # #4): 25 micro-batches over the 500k-doc table push the accepted
-        # corpus past 10^5 docs — the last unmeasured decade of the
-        # incremental gate. Records per-batch seconds, sigstate bytes,
-        # and accepted rate; flat per-batch cost + ~linear bytes/doc is
-        # the claim.
-        spark.catalog.clearCache()
-        context["sf10_stream_profile"] = stream_profile_stanza(
-            spark, sf10_dir, n_batches=25
-        )
-
-    # Streamed-curation throughput profile (VERDICT r07 directive #5):
-    # per-micro-batch cost as the corpus grows, at sf1 document scale.
+    # Scale stanzas, oldest-evidence-first (rotation). Estimates are
+    # r10/r11 measured wall costs plus headroom; keys match the sidecar
+    # keys each stanza writes, so stanza_last_seen() tracks them across
+    # committed rounds. Docstrings on each stanza function carry the
+    # directive lineage.
+    stanzas: list[tuple[str, float, object]] = []
+    if have_sf10:
+        stanzas += [
+            ("sf10_ivf_probe", 320.0, lambda: {
+                "sf10_ivf_probe": ivf_probe_stanza(
+                    spark, sf10_dir, nprobes=(1, 4, 8, 16, 32, 112))}),
+            ("sf10_zorder", 90.0, lambda: {
+                "sf10_zorder": zorder_scale_stanza(
+                    spark, sf10_dir, n_files=256)}),
+            ("sf10_ivf_delta_curve", 850.0, lambda: {
+                "sf10_ivf_delta_curve": ivf_delta_curve_stanza(
+                    spark, sf10_dir)}),
+            ("sf10_ivf_rebuild", 300.0, lambda: {
+                "sf10_ivf_rebuild": ivf_rebuild_stanza(spark, sf10_dir)}),
+            ("clustered_ann", 350.0, lambda: {
+                "clustered_ann": clustered_ann_stanza(spark)}),
+            ("text_ann", 420.0, lambda: {
+                "text_ann": text_ann_stanza(spark, sf10_dir)}),
+            ("text_ann_sq8", 600.0, lambda: {
+                "text_ann_sq8": text_ann_sq8_stanza(spark, sf10_dir)}),
+            ("sf10_postings", 400.0, lambda: {
+                "sf10_postings": postings_scale_stanza(spark, sf10_dir)}),
+            ("sf10_cc_distributed", 150.0, lambda: {
+                "sf10_cc_distributed": cc_distributed_stanza(
+                    spark, sf10_dir)}),
+            ("sf10_bucketed_join", 100.0, lambda: {
+                "sf10_bucketed_join": bucketed_stanza(spark, sf10_dir)}),
+            ("sf10_stream_profile", 420.0, lambda: {
+                "sf10_stream_profile": stream_profile_stanza(
+                    spark, sf10_dir, n_batches=25)}),
+        ]
     if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF10"):
-        spark.catalog.clearCache()
-        context["sf1_stream_profile"] = stream_profile_stanza(spark, sf1_dir)
-        # Bucketed-join saving measured (VERDICT r07 directive #6).
-        spark.catalog.clearCache()
-        context["sf1_bucketed_join"] = bucketed_stanza(spark, sf1_dir)
-        # Z-order two-access-path skipping at 100+ row groups (VERDICT
-        # r09 directive #3) — does the sf0.01 2/8+4/8 result hold?
-        spark.catalog.clearCache()
-        context["sf1_zorder"] = zorder_scale_stanza(spark, sf1_dir)
+        stanzas += [
+            ("sf1_stream_profile", 260.0, lambda: {
+                "sf1_stream_profile": stream_profile_stanza(spark, sf1_dir)}),
+            ("sf1_bucketed_join", 60.0, lambda: {
+                "sf1_bucketed_join": bucketed_stanza(spark, sf1_dir)}),
+            ("sf1_zorder", 60.0, lambda: {
+                "sf1_zorder": zorder_scale_stanza(spark, sf1_dir)}),
+        ]
+    seen = stanza_last_seen()
+    order = sorted(range(len(stanzas)),
+                   key=lambda i: (seen.get(stanzas[i][0], 0), i))
+    context["stanza_order"] = [
+        {"stanza": stanzas[i][0], "last_seen_round": seen.get(stanzas[i][0], 0)}
+        for i in order
+    ]
+    for i in order:
+        key, est_s, fn = stanzas[i]
+        run_stanza(key, est_s, fn)
 
-    context["cardinalities"] = cards
-    context["cc_stats"] = cc_stats
+    context["skipped_stanzas"] = skipped
+    flush()
+    print(f"# context sidecar: {sidecar} "
+          f"(elapsed {time.monotonic() - t_start:.0f}s, "
+          f"{len(skipped)} stanzas skipped)", file=sys.stderr)
 
-    headline = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-
-    # Context goes to a committed sidecar, NOT the headline line: the
-    # driver tails only the last ~2,000 chars of stdout, and round 5's
-    # single fat line truncated to parsed:null (VERDICT r05 #1).
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_CONTEXT_r{bench_round():02d}.json",
-    )
-    with open(sidecar, "w") as f:
-        json.dump({"headline": headline, **context}, f, indent=1)
-    print(f"# context sidecar: {sidecar}", file=sys.stderr)
-
-    line = json.dumps(headline)
-    assert len(line) < 1900, f"headline line {len(line)} chars — tail window is 2000"
+    # FINAL headline line — the driver's tail parses the last one.
     print(line)
 
 
