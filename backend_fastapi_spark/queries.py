@@ -4554,17 +4554,20 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hybrid_persisted_oracle_sql() -> str:
-    # Both legs re-derived from the PERSISTED index files the Spark query
-    # just wrote: BM25 from the postings/stats layout (df from the
-    # term-filtered rows, stats recombined), the vector leg from the IVF
-    # index's inverted lists (full probe ⇒ exact fixed-point top-50, so
-    # the oracle is independent of the KMeans clustering RNG), fused by
-    # RRF k=60 exactly like hybrid_rrf_topk.
-    lex = f"{_INDEX_ROOT}/sf0.01/hybrid_lex_index"
-    ivf = f"{_INDEX_ROOT}/sf0.01/hybrid_ivf_index"
+def _hybrid_fused_ctes(lex_name: str, ivf_name: str) -> str:
+    # The shared persisted-hybrid CTE chain, ending at ``fused``: BM25
+    # re-derived from the postings/stats layout the Spark query just
+    # wrote (df from the term-filtered rows, stats recombined), the
+    # vector leg from the IVF index's inverted lists (full probe ⇒ exact
+    # fixed-point top-50, so the oracle is independent of the KMeans
+    # clustering RNG), fused by RRF k=60 exactly like hybrid_rrf_topk.
+    # Shared by hybrid_search_persisted and hybrid_rag_end_to_end (each
+    # against its own index dirs — no cross-query file coupling in the
+    # driver sweep).
+    lex = f"{_INDEX_ROOT}/sf0.01/{lex_name}"
+    ivf = f"{_INDEX_ROOT}/sf0.01/{ivf_name}"
     return f"""
-    WITH qmap(q_id, term) AS (
+    qmap(q_id, term) AS (
       VALUES (0, 'vector'), (1, 'stream'), (2, 'window'), (3, 'hash')),
     post AS (
       SELECT doc_id, term, dlen, tf
@@ -4606,7 +4609,12 @@ def _hybrid_persisted_oracle_sql() -> str:
       SELECT q_id, doc_id,
              ROUND(CAST(SUM(CAST(c AS DECIMAL(30,12))) AS DOUBLE) * 1e6)
                / 1e6 AS rrf
-      FROM contrib GROUP BY 1, 2)
+      FROM contrib GROUP BY 1, 2)"""
+
+
+def _hybrid_persisted_oracle_sql() -> str:
+    return f"""
+    WITH {_hybrid_fused_ctes("hybrid_lex_index", "hybrid_ivf_index")}
     SELECT q_id, doc_id, rrf FROM fused
     QUALIFY row_number() OVER (PARTITION BY q_id
                                ORDER BY rrf DESC, doc_id ASC) <= 10
@@ -4680,6 +4688,215 @@ def q_hybrid_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 10)
         .select("q_id", "doc_id", "rrf")
+    )
+
+
+def _hybrid_e2e_oracle_sql() -> str:
+    # The §3.1 serving chain continued past fusion, every stage mirrored:
+    # top-10 fuse → floor/relative-margin cut (topk_margin's exact
+    # expression: keep rrf >= greatest(best - m, best·(1-m)) over the
+    # FLOORED rows, spelled `(1 - 0.6)` so both engines compute the same
+    # double) → per-query round-robin source diversification → 1800-char
+    # context packing with the min-remainder truncation rule
+    # (internal_db_service.py:386-391) → 《S{i}》 marker assembly
+    # (enhanced_internal_db_service.py:796-809).
+    return f"""
+    WITH {_hybrid_fused_ctes("e2e_lex_index", "e2e_ivf_index")},
+    fused10 AS (
+      SELECT q_id, doc_id, rrf FROM fused
+      QUALIFY row_number() OVER (PARTITION BY q_id
+                                 ORDER BY rrf DESC, doc_id ASC) <= 10),
+    floored AS (SELECT * FROM fused10 WHERE rrf >= 0.01),
+    best AS (SELECT q_id, MAX(rrf) AS best FROM floored GROUP BY q_id),
+    cutk AS (
+      SELECT f.q_id, f.doc_id, f.rrf
+      FROM floored f JOIN best b USING (q_id)
+      WHERE f.rrf >= greatest(b.best - 0.6, b.best * (1 - 0.6))
+      QUALIFY row_number() OVER (PARTITION BY f.q_id
+                                 ORDER BY f.rrf DESC, f.doc_id ASC) <= 8),
+    joined AS (
+      SELECT c.q_id, c.doc_id, c.rrf, d.source, d.text,
+             CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM cutk c JOIN documents d USING (doc_id)),
+    divers AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id, source
+                                   ORDER BY rrf DESC, doc_id ASC) AS grp_rank
+      FROM joined QUALIFY grp_rank <= 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY grp_rank ASC, rrf DESC,
+                                            doc_id ASC) AS ctx_rank
+      FROM divers QUALIFY ctx_rank <= 6),
+    packed AS (
+      SELECT *, SUM(n_chars) OVER (PARTITION BY q_id ORDER BY ctx_rank
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+      FROM ranked),
+    kept AS (
+      SELECT *, CAST(CASE WHEN cum <= 1800 THEN n_chars
+                          ELSE 1800 - (cum - n_chars) END AS BIGINT)
+               AS packed_chars
+      FROM packed
+      WHERE cum <= 1800 OR 1800 - (cum - n_chars) > 100)
+    SELECT q_id, CAST(ctx_rank AS INTEGER) AS ctx_rank, doc_id, rrf,
+           packed_chars,
+           '《S' || CAST(ctx_rank AS VARCHAR) || '》[id=' ||
+           CAST(doc_id AS VARCHAR) || '] [src=' || source || '] ' ||
+           CASE WHEN packed_chars < n_chars
+                THEN substr(text, 1, CAST(packed_chars AS INT)) || '…'
+                ELSE text END AS doc_line
+    FROM kept
+    """
+
+
+@register("hybrid_rag_end_to_end", oracle=_hybrid_e2e_oracle_sql())
+def q_hybrid_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL §3.1 serving chain over the persisted indexes as ONE plan
+    (VERDICT r11 directive #8) — every stage already hash-green on its
+    own, here composed and certified end to end:
+
+    persisted hybrid retrieval (bucket-pruned postings + IVF lists, RRF
+    k=60, top-10 per query — hybrid_search_persisted's shape) →
+    similarity floor 0.01 + relative margin 0.6 cut, top-8
+    (topk_margin, enhanced_internal_db_service.py:689-727) → per-query
+    round-robin source diversification, cap 2/source, top-6
+    (enhanced:765-794) → 1800-char context packing with the
+    min-remainder truncation rule (internal_db_service.py:386-391,
+    applied AFTER diversification exactly as the reference's serving
+    path does at enhanced:796-809) → 《S{i}》 marker line assembly.
+
+    Scale shape: both retrieval legs are index-pruned scans; everything
+    after fusion operates on ≤ |Q|·10 rows (windows partitioned by
+    q_id), with one broadcast join against documents to fetch
+    text/source for at most |Q|·8 ids — the corpus is touched only
+    through the two persisted indexes and that pointwise fetch."""
+    import os
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_search_persisted,
+        write_ivf_index,
+    )
+    from backend_fastapi_spark.operators.relational import topk_margin
+    from backend_fastapi_spark.operators.retrieval import (
+        bm25_search_persisted,
+        rank_topn,
+        rrf_fuse,
+        write_postings_index,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    lex_dir = os.path.join(_INDEX_ROOT, sf_tag, "e2e_lex_index")
+    ivf_dir = os.path.join(_INDEX_ROOT, sf_tag, "e2e_ivf_index")
+    terms = ["vector", "stream", "window", "hash"]
+    qmap = spark.createDataFrame(
+        list(enumerate(terms)), "q_id long, term string"
+    )
+
+    def build():
+        write_postings_index(
+            _t(spark, sf_dir, "documents"), lex_dir, mode="overwrite"
+        )
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        assigned, centroids = build_ivf(emb, k_clusters=8)
+        write_ivf_index(assigned, centroids, ivf_dir, mode="overwrite")
+
+    _build_once("hybrid_rag_end_to_end", sf_dir, build)
+
+    # stage 1 — persisted hybrid retrieval, top-10 per query
+    kw = (
+        bm25_search_persisted(spark, lex_dir, terms, k=50)
+        .join(F.broadcast(qmap), "term")
+        .select("q_id", "doc_id", "bm25")
+    )
+    kw_rank = rank_topn(kw, "bm25", 50)
+    vec = ivf_search_persisted(
+        spark, ivf_dir, _query_vectors(spark, sf_dir, 4), k=50, nprobe=8
+    ).select("q_id", F.col("vec_id").alias("doc_id"), "score_i64")
+    vec_rank = rank_topn(vec, "score_i64", 50)
+    fused = rrf_fuse([kw_rank, vec_rank])
+    w10 = Window.partitionBy("q_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    fused10 = (
+        fused.withColumn("_rn", F.row_number().over(w10))
+        .filter(F.col("_rn") <= 10)
+        .select("q_id", "doc_id", "rrf")
+    )
+
+    # stage 2 — floor + relative margin cut, top-8 per query
+    cutk = topk_margin(
+        fused10, "rrf", k=8, margin=0.6, floor=0.01,
+        tie_col="doc_id", partition_col="q_id",
+    )
+
+    # stage 3 — fetch text/source (broadcast the tiny id set), then
+    # per-query round-robin source diversification (cap 2, top 6)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    joined = docs.join(F.broadcast(cutk), "doc_id")
+    w_src = Window.partitionBy("q_id", "source").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    w_q = Window.partitionBy("q_id").orderBy(
+        F.col("grp_rank").asc(), F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        joined.withColumn("grp_rank", F.row_number().over(w_src))
+        .filter(F.col("grp_rank") <= 2)
+        .withColumn("ctx_rank", F.row_number().over(w_q))
+        .filter(F.col("ctx_rank") <= 6)
+    )
+
+    # stage 4 — 1800-char packing in the diversified emit order, with
+    # the min-remainder truncation rule
+    w_cum = (
+        Window.partitionBy("q_id")
+        .orderBy("ctx_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(1800)
+    packed = (
+        ranked.withColumn("cum", F.sum("n_chars").over(w_cum))
+        .filter(
+            (F.col("cum") <= budget)
+            | (budget - (F.col("cum") - F.col("n_chars")) > 100)
+        )
+        .withColumn(
+            "packed_chars",
+            F.when(F.col("cum") <= budget, F.col("n_chars"))
+            .otherwise(budget - (F.col("cum") - F.col("n_chars")))
+            .cast("long"),
+        )
+    )
+
+    # stage 5 — 《S{i}》 marker line assembly
+    truncated = F.when(
+        F.col("packed_chars") < F.col("n_chars"),
+        F.concat(
+            F.substring(
+                F.col("text"), 1, F.col("packed_chars").cast("int")
+            ),
+            F.lit("…"),
+        ),
+    ).otherwise(F.col("text"))
+    return packed.select(
+        "q_id",
+        "ctx_rank",
+        "doc_id",
+        "rrf",
+        "packed_chars",
+        F.concat(
+            F.lit("《S"),
+            F.col("ctx_rank").cast("string"),
+            F.lit("》[id="),
+            F.col("doc_id").cast("string"),
+            F.lit("] [src="),
+            F.col("source"),
+            F.lit("] "),
+            truncated,
+        ).alias("doc_line"),
     )
 
 

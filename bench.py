@@ -143,6 +143,9 @@ EXTRA = [
     "bm25_search_persisted",
     "bm25_postings_delta",
     "hybrid_search_persisted",
+    # round 12: the full §3.1 serving chain over the persisted indexes
+    # as one plan (retrieve → margin → diversify → pack → markers)
+    "hybrid_rag_end_to_end",
 ]
 
 # Queries whose plan runs connected_components — snapshot its stats.
