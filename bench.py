@@ -1543,12 +1543,25 @@ def main() -> None:
             print(f"# budget: skipping {key} (elapsed {elapsed:.0f}s + "
                   f"est {est_s:.0f}s > {budget:.0f}s)", file=sys.stderr)
             return
+        # Per-stanza settle gate (SCALING r12 "back-half load" note: the
+        # r12 full run's sf10 extras drifted 1.3-2.6x above r10 with
+        # identical plans — loadavg from the PREVIOUS stanza's teardown
+        # decays over ~a minute and nothing re-armed the gate past the
+        # headline quartiles). Short budget: the wait itself counts
+        # against the wall-clock budget.
+        g = wait_for_quiet_host(max_wait_s=90.0)
+        context.setdefault("stanza_gates", {})[key] = g["loadavg_gate"]
         spark.catalog.clearCache()
+        t0 = time.monotonic()
         try:
             context.update(fn())
         except Exception as e:  # a broken stanza must not lose the rest
             context[key] = {"error": f"{type(e).__name__}: {e}"[:500]}
             print(f"# stanza {key} FAILED: {e}", file=sys.stderr)
+        # measured wall cost per stanza — next round's estimate input
+        context.setdefault("stanza_actual_s", {})[key] = round(
+            time.monotonic() - t0, 1
+        )
         flush()
 
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", ".scaledata/sf1")
@@ -1589,7 +1602,10 @@ def main() -> None:
              "scd2_customer_merge", "corpus_curation_pipeline",
              "pii_scrub_stats",
              "events_burst_60s", "funnel_conversion", "next_order_asof_forward",
-             "dsir_importance_weights"],
+             "dsir_importance_weights",
+             # r12: the retrieval family's 10x growth, per-round
+             "bm25_keyword_topk", "hybrid_rrf_topk", "mmr_diversified_topk",
+             "hybrid_rag_end_to_end"],
             sf1_dir, 1, sf1_extra, sf1_cards, sf1_cc, tag="sf1-extra ",
         )
         out["sf1_extra_queries"] = sf1_extra
@@ -1618,7 +1634,10 @@ def main() -> None:
              # the exact quadratic-OUTPUT oracle twins, fenced out of the
              # sf10 headline below but still measured here (VERDICT r10
              # directive #6 — never silently dropped)
-             "embedding_near_dup", "ngram_jaccard_dupes"],
+             "embedding_near_dup", "ngram_jaccard_dupes",
+             # r12: the retrieval family's 100x growth, per-round
+             "bm25_keyword_topk", "hybrid_rrf_topk", "mmr_diversified_topk",
+             "hybrid_rag_end_to_end"],
             sf10_dir, 1, sf10_timings, sf10_cards, sf10_cc,
             tag="sf10 ", warmup=True,
         )
@@ -1664,9 +1683,9 @@ def main() -> None:
 
     # The per-sf query sections first — the primary comparables.
     if have_sf1:
-        run_stanza("sf1_queries", 260.0, sf1_section)
+        run_stanza("sf1_queries", 300.0, sf1_section)
     if have_sf10:
-        run_stanza("sf10_queries", 700.0, sf10_section)
+        run_stanza("sf10_queries", 1400.0, sf10_section)
 
     # Scale stanzas, oldest-evidence-first (rotation). Estimates are
     # r10/r11 measured wall costs plus headroom; keys match the sidecar
@@ -1676,24 +1695,24 @@ def main() -> None:
     stanzas: list[tuple[str, float, object]] = []
     if have_sf10:
         stanzas += [
-            ("sf10_ivf_probe", 320.0, lambda: {
+            ("sf10_ivf_probe", 250.0, lambda: {
                 "sf10_ivf_probe": ivf_probe_stanza(
                     spark, sf10_dir, nprobes=(1, 4, 8, 16, 32, 112))}),
             ("sf10_zorder", 90.0, lambda: {
                 "sf10_zorder": zorder_scale_stanza(
                     spark, sf10_dir, n_files=256)}),
-            ("sf10_ivf_delta_curve", 850.0, lambda: {
+            ("sf10_ivf_delta_curve", 750.0, lambda: {
                 "sf10_ivf_delta_curve": ivf_delta_curve_stanza(
                     spark, sf10_dir)}),
-            ("sf10_ivf_rebuild", 300.0, lambda: {
+            ("sf10_ivf_rebuild", 200.0, lambda: {
                 "sf10_ivf_rebuild": ivf_rebuild_stanza(spark, sf10_dir)}),
             ("clustered_ann", 350.0, lambda: {
                 "clustered_ann": clustered_ann_stanza(spark)}),
             ("text_ann", 420.0, lambda: {
                 "text_ann": text_ann_stanza(spark, sf10_dir)}),
-            ("text_ann_sq8", 600.0, lambda: {
+            ("text_ann_sq8", 400.0, lambda: {
                 "text_ann_sq8": text_ann_sq8_stanza(spark, sf10_dir)}),
-            ("sf10_postings", 400.0, lambda: {
+            ("sf10_postings", 250.0, lambda: {
                 "sf10_postings": postings_scale_stanza(spark, sf10_dir)}),
             ("sf10_cc_distributed", 150.0, lambda: {
                 "sf10_cc_distributed": cc_distributed_stanza(
