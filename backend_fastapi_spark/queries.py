@@ -921,6 +921,33 @@ def q_embedding_near_dup_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_near_dup_pairs(emb, threshold_i64=250_000_000_000)
 
 
+@register(
+    "embedding_near_dup_rp_sized",
+    oracle=_rp_oracle_sql(250_000_000_000, n_tables=6, n_planes=12),
+)
+def q_embedding_near_dup_rp_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-SIZED RP near-dup configuration (6 tables × 12 planes —
+    what ``lsh.rp_size_for`` picks for a 10^5-10^6-vector corpus),
+    hash-checked end to end like the fixed 4×8 twin. Why it exists as
+    its own registered query: candidate volume grows ~n²/2^planes, so
+    the 4×8 form that is exactly right at oracle scale degenerates at
+    100× — measured at sf10 (200 k vectors, r12 full-run sidecar): 4×8
+    = 256 buckets/table took 222.6 s, while this 2^12-bucket sizing ran
+    the same corpus in ~27 s (SCALING.md r7 table) — and the sf10
+    headline should time the plan a production corpus would run. More
+    planes cut per-table collision probability for true pairs; the
+    extra tables restore recall (the classic LSH budget; the planted
+    cos≥0.95 regime is test-asserted for this exact configuration in
+    tests/test_vector.py). Precision stays exactly 1: every emitted
+    pair passes the exact fixed-point verify."""
+    from backend_fastapi_spark.operators.lsh import rp_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return rp_near_dup_pairs(
+        emb, threshold_i64=250_000_000_000, n_tables=6, n_planes=12
+    )
+
+
 @register("embedding_near_dup_lsh", oracle=None)  # approximate by construction
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRIMARY embedding near-dup path at 100 TB: LSH-bucketed

@@ -86,6 +86,7 @@ EXTRA = [
     "dup_clusters",
     "dedup_canonical_corpus",
     "embedding_near_dup_rp",
+    "embedding_near_dup_rp_sized",
     "ann_ivf_deterministic",
     "ann_pq_adc_top10",
     "ann_ivfpq_top10",
@@ -1658,8 +1659,13 @@ def main() -> None:
         # quadratic-OUTPUT oracle twins are substituted by their
         # hash-checked SCALE-PATH twins; the exact forms stay measured
         # in sf10_extra_queries above and the substitution is recorded.
+        # r12: the RP substitute is the CORPUS-SIZED 6x12 configuration —
+        # the fixed 4x8 oracle twin degenerates at 200k vectors
+        # (n²/2^planes candidates: measured 222.6 s vs 26.8 s sized,
+        # r12 sidecar + SCALING.md), and a production corpus would run
+        # the sized form (lsh.rp_size_for).
         sf10_subs = {
-            "embedding_near_dup": "embedding_near_dup_rp",
+            "embedding_near_dup": "embedding_near_dup_rp_sized",
             "ngram_jaccard_dupes": "dup_clusters_minhash",
         }
         sf10_headline = [sf10_subs.get(q, q) for q in HEADLINE]

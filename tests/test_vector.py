@@ -570,3 +570,41 @@ def test_sq8_topk_survives_query_rows_at_guard_limit(spark):
     )
     with pytest.raises(ValueError, match="exceeds"):
         V.sq8_topk(corpus, over, k=1, rerank=1)
+
+
+def test_rp_sized_config_recall_on_planted_near_dups(spark):
+    """The corpus-sized 6x12 configuration (embedding_near_dup_rp_sized,
+    what rp_size_for picks at 10^5-10^6 vectors) in the working regime:
+    same planted cos>=0.95 corpus as the 4x8 test — precision must stay
+    exactly 1 and recall >= 0.8 (12 planes cut per-table collisions;
+    the 6 tables restore the true-pair recall)."""
+    import numpy as np
+
+    from backend_fastapi_spark.operators.lsh import rp_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(120, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    pert = base[:40] + rng.normal(scale=0.025, size=(40, 64))
+    pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+    M = np.vstack([base, pert])
+    ids = np.arange(len(M))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, M)],
+        ["vec_id", "embedding"],
+    )
+    thr = int(0.95 * 1e12)
+    Q = np.round(M * 1e6).astype(np.int64)
+    S = Q @ Q.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = S[iu] >= thr
+    exact = {(int(a), int(b)) for a, b in zip(iu[0][mask], iu[1][mask])}
+    assert len(exact) >= 30
+    got = {
+        (r.id_a, r.id_b)
+        for r in rp_near_dup_pairs(
+            df, threshold_i64=thr, n_tables=6, n_planes=12
+        ).collect()
+    }
+    assert got <= exact  # precision exactly 1
+    assert len(got & exact) / len(exact) >= 0.8
