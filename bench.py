@@ -1652,6 +1652,11 @@ def main() -> None:
         # run timed = "second execution" (the spill-heavy paths only
         # JIT-tier at the scale where they actually spill; measured
         # A/B/A: sf10 ngram_jaccard 103 s cold-ish → 47 s → 28 s).
+        # Re-arm the quiet gate after the heavy extras (the r12 full run
+        # showed back-half drift; the extras' own teardown load must not
+        # bleed into the headline numbers).
+        out["sf10_headline_gate"] = wait_for_quiet_host(
+            max_wait_s=120.0)["loadavg_gate"]
         spark.catalog.clearCache()
         sf10_shuffle: dict[str, dict] = {}
         # The sf10 headline times the plans a 100 TB run would actually
