@@ -545,17 +545,44 @@ POSTINGS_SEGMENT_CAP = 16  # same decay driver as ivf.DELTA_SEGMENT_CAP
 def postings_maintenance_action(n_segments: int) -> str | None:
     """``"compact"`` once live delta segments exceed the cap (per-segment
     listing/scan setup decays search linearly in segment count — the
-    measured IVF curve, same mechanism), else None. Compaction is an
-    OFFLINE op (pause the stream): unlike the IVF fold, the lexical
-    index has no subsumption-marker protocol, so :func:`compact_postings`
-    rewrites base+deltas under a staging marker instead of folding
-    in-place next to concurrent readers."""
+    measured IVF curve, same mechanism), else None. Two sanctioned ways
+    to run the compaction (ADVICE r12 medium — this docstring is the
+    protocol of record):
+
+    - INLINE, inside the appending stream's own foreachBatch trigger
+      (``stream_postings_append(auto_compact=True)``, the default):
+      safe because triggers are serial (no append races the rewrite)
+      and the trigger passes ``exclude_segments=("batch=<id>",)`` for
+      its own not-yet-checkpointed token, so a crash-retry can never
+      re-append an absorbed segment. AVAILABILITY COST: concurrent
+      searches raise RuntimeError (``_COMPACT_IN_PROGRESS``) for the
+      duration of the rewrite, and that trigger blocks on an O(index)
+      rewrite — amortized O(index/cap) per trigger.
+    - OFFLINE (pause the stream, run :func:`compact_postings`, resume):
+      zero search interruption outside the window; required only when
+      the serving SLA cannot absorb the inline pause. Unlike the IVF
+      fold there is no subsumption-marker protocol, so either way the
+      base is rewritten under the staging marker, never folded in-place
+      next to concurrent readers."""
     return "compact" if n_segments > POSTINGS_SEGMENT_CAP else None
 
 
-def compact_postings(spark, path: str) -> int:
+def compact_postings(spark, path: str, exclude_segments=()) -> int:
     """Fold every committed delta segment into the base — offline, with
-    crash-recoverable staging (the ``rebuild_ivf_index`` discipline):
+    crash-recoverable staging (the ``rebuild_ivf_index`` discipline).
+
+    ``exclude_segments`` (segment NAMES, e.g. ``("batch=7",)``) are left
+    live even if committed — the exactly-once guard for a caller inside
+    a streaming trigger (ADVICE r12 high): the just-appended segment's
+    batch token is not yet committed to the streaming checkpoint, so a
+    crash after compaction absorbed it but before the checkpoint commit
+    would make the retried trigger re-append rows the base already
+    holds (duplicated postings, inflated df/n_docs, docs ranked twice).
+    Excluding the in-flight token makes every absorbed token strictly
+    older than the current batch — a token Structured Streaming will
+    never replay (triggers are serial; batch N-1's commit precedes
+    batch N's start). Exclusion only gates NEW staging; a crashed
+    compaction's recovery replays exactly its _STAGED manifest.
 
     1. stage base + committed deltas (postings rows and the combined
        stats row) to ``compact_staging/``, then write ``_STAGED``
@@ -600,7 +627,11 @@ def compact_postings(spark, path: str) -> int:
         )
 
     if not fs.exists(staged_marker):
-        segments = _live_posting_segments(spark, path)
+        excluded = {str(e) for e in exclude_segments}
+        segments = [
+            s for s in _live_posting_segments(spark, path)
+            if s.rstrip("/").rsplit("/", 1)[-1] not in excluded
+        ]
         if not segments:
             return 0
         post = spark.read.parquet(f"{path}/postings")

@@ -175,19 +175,38 @@ def stream_postings_append(
 
     ``auto_compact`` keeps unbounded growth searchable, the
     ``stream_ivf_append`` auto_fold discipline (VERDICT r11 #6): past
-    ``POSTINGS_SEGMENT_CAP`` live segments the trigger runs
+    ``POSTINGS_SEGMENT_CAP`` eligible segments the trigger runs
     ``retrieval.compact_postings`` INSIDE foreachBatch — triggers run
     serially, so the compaction never races an append, and a concurrent
     SEARCH inside the window fails loudly on the ``_COMPACT_IN_PROGRESS``
     marker (the staging-recoverable protocol) rather than reading a
     half-rewritten base; a crash mid-compaction resumes from the staged
-    snapshot on the retried trigger. Liveness: compaction absorbs every
-    live segment, so the next one is ≥ cap triggers away — at most one
-    compaction per cap-many triggers, amortized O(index/cap) per
-    trigger. With ``auto_compact=False`` the trigger only warns (the
-    operator schedules compaction offline). The segment-count decay
-    mechanism is the one the IVF curve measured (~linear in live
-    segments); the cap mirrors ivf.DELTA_SEGMENT_CAP."""
+    snapshot on the retried trigger.
+
+    Exactly-once under crash-retry (ADVICE r12 high): the compaction
+    EXCLUDES this trigger's own just-appended segment — its batch token
+    is not yet committed to the streaming checkpoint, and absorbing it
+    would let a crash between compaction and checkpoint-commit replay
+    the token into a fresh segment whose rows the compacted base
+    already holds (duplicate postings, inflated df/n_docs). Every
+    absorbed token is therefore strictly older than the current batch —
+    a token Structured Streaming can never replay — so running with
+    ``check_overlap`` off is sound. The eligible-segment count excludes
+    the in-flight segment for the same reason. A compaction FAILURE is
+    caught and warned, never raised: the append above already committed
+    its segment, and failing the micro-batch would replay the append
+    (idempotent but wasted) plus re-pay the O(index) rewrite on every
+    retry; a staging-crash simply resumes on the next eligible trigger.
+
+    AVAILABILITY: searches raise RuntimeError for the duration of each
+    inline rewrite (see ``postings_maintenance_action`` — the protocol
+    of record); set ``auto_compact=False`` and compact offline when the
+    serving SLA cannot absorb that window. Liveness: compaction absorbs
+    every eligible segment, so the next one is ≥ cap triggers away — at
+    most one compaction per cap-many triggers, amortized O(index/cap)
+    per trigger. The segment-count decay mechanism is the one the IVF
+    curve measured (~linear in live segments); the cap mirrors
+    ivf.DELTA_SEGMENT_CAP."""
     import warnings
 
     from backend_fastapi_spark.operators.retrieval import (
@@ -207,15 +226,30 @@ def stream_postings_append(
             text_col=text_col,
             id_col=id_col,
         )
-        n = len(_live_posting_segments(spark, index_path))
-        if postings_maintenance_action(n) == "compact":
+        own = f"batch={batch_id}"
+        eligible = [
+            s for s in _live_posting_segments(spark, index_path)
+            if s.rstrip("/").rsplit("/", 1)[-1] != own
+        ]
+        if postings_maintenance_action(len(eligible)) == "compact":
             if auto_compact:
-                compact_postings(spark, index_path)
+                try:
+                    compact_postings(
+                        spark, index_path, exclude_segments=(own,)
+                    )
+                except Exception as exc:  # noqa: BLE001 — append committed
+                    warnings.warn(
+                        f"postings auto-compaction at {index_path} failed "
+                        f"({exc!r}); the append committed — compaction "
+                        "resumes from its staged snapshot on the next "
+                        "eligible trigger",
+                        stacklevel=2,
+                    )
             else:
                 warnings.warn(
-                    f"postings index at {index_path}: {n} live delta "
-                    "segments — pause this stream and run "
-                    "retrieval.compact_postings (offline, "
+                    f"postings index at {index_path}: {len(eligible)} "
+                    "compactable delta segments — pause this stream and "
+                    "run retrieval.compact_postings (offline, "
                     "staging-recoverable), then resume",
                     stacklevel=2,
                 )

@@ -1444,6 +1444,21 @@ def main() -> None:
         f"BENCH_CONTEXT_r{bench_round():02d}.json",
     )
     context: dict = {"bench_budget_s": budget}
+    # A killed same-round run's sidecar is EVIDENCE, not garbage (ADVICE
+    # r12 low): merge it under this run instead of destroying it on the
+    # first flush — keys this run re-measures overwrite, everything else
+    # (completed stanzas the kill stranded) survives for the rotation
+    # input and the judge. The provenance key records what was carried.
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as f:
+                prior = json.load(f)
+            prior.pop("merged_from_killed_run", None)
+            context.update(prior)
+            context["merged_from_killed_run"] = sorted(prior.keys())
+            context["bench_budget_s"] = budget
+        except Exception:
+            pass  # torn/unreadable prior sidecar: start clean
 
     def flush() -> None:
         context["bench_elapsed_s"] = round(time.monotonic() - t_start, 1)

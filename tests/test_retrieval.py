@@ -524,6 +524,62 @@ def test_stream_postings_append_auto_compacts_at_cap(spark, tmp_path):
     assert grown == fresh and len(fresh) > 0
 
 
+def test_compact_exclusion_keeps_crash_retry_exactly_once(spark, tmp_path):
+    """ADVICE r12 (high): the streaming trigger compacts with its own
+    not-yet-checkpointed segment EXCLUDED, so the crash window (die
+    after compaction, before the checkpoint commits batch N, retry
+    re-runs postings_append(batch_token=N)) can never duplicate rows.
+    This test drives that exact sequence at the retrieval layer:
+    absorb-then-retry with exclusion must stay value-identical to
+    from-scratch BM25, and — the counterfactual — absorbing the
+    in-flight segment then retrying it MUST corrupt (inflated n_docs),
+    proving the exclusion is load-bearing, not decorative."""
+    from backend_fastapi_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "pidx")
+    RT.write_postings_index(docs.filter("doc_id % 4 = 0"), path)
+    for tok, m in ((1, 1), (2, 2), (3, 3)):
+        RT.postings_append(
+            spark, path, docs.filter(f"doc_id % 4 = {m}"), batch_token=tok
+        )
+    terms = ["vector", "hash"]
+    fresh = sorted(map(tuple, RT.bm25_topk(docs, terms, k=10).collect()))
+
+    # trigger 3's inline compaction: exclude its own in-flight segment
+    assert RT.compact_postings(spark, path, exclude_segments=("batch=3",)) == 2
+    live = [
+        s.rsplit("/", 1)[-1] for s in RT._live_posting_segments(spark, path)
+    ]
+    assert live == ["batch=3"], "excluded segment must stay live"
+    # the crash-retry: Structured Streaming replays ONLY batch 3
+    RT.postings_append(
+        spark, path, docs.filter("doc_id % 4 = 3"), batch_token=3
+    )
+    assert sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    ) == fresh
+
+    def total_docs() -> int:
+        stats = spark.read.parquet(f"{path}/stats")
+        for s in RT._live_posting_segments(spark, path):
+            stats = stats.unionByName(spark.read.parquet(f"{s}/stats"))
+        return stats.groupBy().sum("n_docs").collect()[0][0]
+
+    n_total = docs.count()
+    assert total_docs() == n_total
+
+    # counterfactual: absorb EVERYTHING (old behavior), then replay the
+    # last token — duplicated rows, inflated n_docs. The exclusion above
+    # is exactly what prevents this.
+    assert RT.compact_postings(spark, path) == 1
+    RT.postings_append(
+        spark, path, docs.filter("doc_id % 4 = 3"), batch_token=3
+    )
+    assert total_docs() > n_total
+
+
 def test_mmr_guards_fixed_point_overflow(spark):
     # ADVICE r11: the float64-matmul exactness claim has a boundary
     # (dim·max|fx|² < 2^53); vectors past it must fail loudly, not
