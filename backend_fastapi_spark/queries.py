@@ -72,16 +72,30 @@ _INDEX_ROOT = _os_mod.path.join(
 # the index the first call wrote — same inputs, value-identical files —
 # so timed runs measure SEARCH, not a from-scratch index rebuild
 # (hybrid_search_persisted alone rewrote two indexes per execution). A
-# fresh process (each driver sweep, each oracle run) always rebuilds:
-# the cache is a set of (query, abs sf_dir) keys, never on-disk state.
-_PERSISTED_BUILT: set = set()
+# fresh process (each driver sweep, each oracle run) always rebuilds.
+# Keyed by the RESOLVED index directories (ADVICE r12 low): the on-disk
+# dir is keyed by basename(sf_dir), so two distinct sf_dirs with the
+# same basename collide on disk — the cache records which abs sf_dir
+# last wrote each dir and rebuilds on owner change; it also verifies the
+# dirs still exist, so an .indexdata wipe mid-process triggers a rebuild
+# instead of a read of nothing.
+_PERSISTED_BUILT: dict = {}  # (name, index_dir) -> abs sf_dir that built it
 
 
-def _build_once(name: str, sf_dir: str, build) -> None:
-    key = (name, _os_mod.path.abspath(sf_dir))
-    if key not in _PERSISTED_BUILT:
+def _build_once(name: str, sf_dir: str, build, index_dirs=()) -> None:
+    abs_sf = _os_mod.path.abspath(sf_dir)
+    # no index_dirs: degenerate key on sf_dir itself (no on-disk check)
+    dirs = [_os_mod.path.abspath(d) for d in index_dirs] or [abs_sf]
+    keys = [(name, d) for d in dirs]
+    hit = all(
+        _PERSISTED_BUILT.get(k) == abs_sf
+        and (not index_dirs or _os_mod.path.isdir(k[1]))
+        for k in keys
+    )
+    if not hit:
         build()
-        _PERSISTED_BUILT.add(key)
+        for k in keys:
+            _PERSISTED_BUILT[k] = abs_sf
 
 
 def dsum(c, scale: int = 2):
@@ -4451,6 +4465,7 @@ def q_bm25_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: write_postings_index(
             _t(spark, sf_dir, "documents"), base_dir, mode="overwrite"
         ),
+        index_dirs=(base_dir,),
     )
     return bm25_search_persisted(
         spark, base_dir, terms=["vector", "stream", "window", "hash"], k=10
@@ -4499,7 +4514,8 @@ def q_bm25_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings_append(spark, base_dir, odd, batch_token=0)
         postings_append(spark, base_dir, odd, batch_token=0)  # idempotent retry
 
-    _build_once("bm25_postings_delta", sf_dir, build)
+    _build_once("bm25_postings_delta", sf_dir, build,
+                index_dirs=(base_dir,))
     return bm25_search_persisted(
         spark, base_dir, terms=["vector", "stream", "window", "hash"], k=10
     )
@@ -4695,7 +4711,8 @@ def q_hybrid_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, centroids = build_ivf(emb, k_clusters=8)
         write_ivf_index(assigned, centroids, ivf_dir, mode="overwrite")
 
-    _build_once("hybrid_search_persisted", sf_dir, build)
+    _build_once("hybrid_search_persisted", sf_dir, build,
+                index_dirs=(lex_dir, ivf_dir))
 
     kw = (
         bm25_search_persisted(spark, lex_dir, terms, k=50)
@@ -4828,7 +4845,8 @@ def q_hybrid_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, centroids = build_ivf(emb, k_clusters=8)
         write_ivf_index(assigned, centroids, ivf_dir, mode="overwrite")
 
-    _build_once("hybrid_rag_end_to_end", sf_dir, build)
+    _build_once("hybrid_rag_end_to_end", sf_dir, build,
+                index_dirs=(lex_dir, ivf_dir))
 
     # stage 1 — persisted hybrid retrieval, top-10 per query
     kw = (
@@ -7176,7 +7194,9 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     on weak labels from the deterministic Gopher gate → per-doc
     P(good). Rows-only like the other MLlib paths; ranking power (AUC
     ≥ 0.95 on a vocabulary-signal corpus) asserted in
-    tests/test_pipeline.py. Stateless per-row featurization + a
+    tests/test_pipeline.py, and the plan's hash-evidence twin is
+    quality_nb_scores (deterministic NB over the same features/labels,
+    agreement-asserted). Stateless per-row featurization + a
     treeAggregate fit + a broadcast-model map — the classic 100 TB
     quality-filter plan."""
     from backend_fastapi_spark.operators.pipeline import (
@@ -7184,6 +7204,72 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return quality_classifier_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_nb_scores",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    wc AS (
+      SELECT doc_id, x AS g, COUNT(*) AS c
+      FROM toks, LATERAL (SELECT unnest(w) AS x) t GROUP BY 1, 2),
+    tw AS (SELECT doc_id, MAX(c) AS top_word_c FROM wc GROUP BY 1),
+    base AS (
+      SELECT doc_id, CAST(COALESCE(len(w), 0) AS BIGINT) AS n_words,
+             CAST(COALESCE(len(list_distinct(w)), 0) AS DOUBLE)
+               / CAST(greatest(COALESCE(len(w), 0), 1) AS DOUBLE) AS distinct_ratio
+      FROM toks),
+    lab AS (
+      SELECT base.doc_id, CAST((n_words >= 20
+               AND CAST(COALESCE(top_word_c, 0) AS DOUBLE)
+                   / CAST(greatest(n_words, 1) AS DOUBLE) <= 0.11
+               AND distinct_ratio >= 0.4) AS BIGINT) AS label
+      FROM base LEFT JOIN tw ON base.doc_id = tw.doc_id),
+    ftoks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split(lower(regexp_replace(text, '[^ -~]', ' ', 'g')), ' '),
+               t -> t <> '')) AS tok
+      FROM documents),
+    tb AS (SELECT f.doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS bucket,
+             l.label
+           FROM ftoks f JOIN lab l ON f.doc_id = l.doc_id),
+    cls AS (SELECT bucket, SUM(label) AS n1, COUNT(*) - SUM(label) AS n0
+            FROM tb GROUP BY bucket),
+    tot AS (SELECT SUM(n1) AS all_n1, SUM(n0) AS all_n0 FROM cls),
+    llr AS (SELECT bucket,
+              CAST(ROUND(1e6 * ln(
+                ((CAST(n1 AS DOUBLE) + 1.0)
+                   / (CAST(all_n1 AS DOUBLE) + 4096.0))
+                / ((CAST(n0 AS DOUBLE) + 1.0)
+                   / (CAST(all_n0 AS DOUBLE) + 4096.0)))) AS BIGINT) AS llr_fp
+            FROM cls, tot),
+    cnt AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM tb GROUP BY 1, 2),
+    scored AS (SELECT c.doc_id,
+                      CAST(SUM(c.cnt * l.llr_fp) AS BIGINT) AS score_fp,
+                      CAST(SUM(c.cnt) AS BIGINT) AS n_toks
+               FROM cnt c JOIN llr l USING (bucket) GROUP BY c.doc_id)
+    SELECT lab.doc_id, lab.label,
+           CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_toks,
+           CAST(COALESCE(s.score_fp, 0) AS BIGINT) AS score_fp
+    FROM lab LEFT JOIN scored s ON lab.doc_id = s.doc_id
+    """,
+)
+def q_quality_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-evidence twin of quality_classifier_scores
+    (VERDICT r12 directive #2 — the one rows-only family without one):
+    multinomial Naive Bayes on the SAME md5-hashed unigram feature space
+    and SAME Gopher weak labels, pure counts/logs in int64 fixed-point
+    (operators/pipeline.py::nb_quality_scores), so the driver
+    hash-certifies the quality-scoring plan end to end — weak labeling,
+    featurization, class-conditional fit, per-doc scoring. Ranking
+    agreement with the MLlib-LR path is asserted in
+    tests/test_pipeline.py::test_nb_twin_agrees_with_lr_ranking. The
+    4096-row NB model broadcasts — corpus size never changes its
+    footprint (the DSIR/GPT-3 quality-filter plan at 100 TB)."""
+    from backend_fastapi_spark.operators.pipeline import nb_quality_scores
+
+    return nb_quality_scores(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -7749,10 +7835,14 @@ def q_maintenance_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   tier 2 — remaining stale greens, last-green round ASCENDING (r1
 #            evidence is two data-generations old, refresh first);
 #   tier 3 — oracle=None queries the driver has never even run;
-#   tier 4 — oracle=None queries already exercised rows-only;
 #   tier 5 — greens hashed on the CURRENT data generation, last-green
 #            round ASCENDING (oldest fresh evidence re-rotates first so
-#            the all-fresh registry keeps cycling under the sweep budget).
+#            the all-fresh registry keeps cycling under the sweep budget),
+#            INTERLEAVED with the rows-only-by-design queries keyed by
+#            their last EXERCISED round (VERDICT r12 #1 — they must not
+#            head every sweep as permanent no_oracle rows, but must still
+#            re-rotate through the tail every few rounds).
+#   (tier 4 retired in r13: rows-only-exercised now rides tier 5.)
 # Maintained by scripts/update_verified.py after each round's CORRECTNESS
 # file lands. scripts/write_emit_order.py regenerates the committed
 # QUERY_EMIT_ORDER.json sidecar so every round's artifact records which
@@ -7764,14 +7854,14 @@ _DATA_GEN_ROUND = 4
 
 # name -> round of most recent driver green-hash row (CORRECTNESS_r0N.json).
 _LAST_GREEN = {
-    "anchor_extraction": 8,
+    "anchor_extraction": 12,
     "ann_ivf_deterministic": 10,
     "ann_ivf_sq8_top10": 10,
     "ann_ivfpq_top10": 10,
     "ann_pq_adc_top10": 10,
     "ann_rp_topk": 9,
     "ann_sq8_rerank": 10,
-    "ar_rollout_forecast": 8,
+    "ar_rollout_forecast": 12,
     "asof_join_events_orders": 9,
     "attribute_filter": 9,
     "bloom_prejoin_stats": 10,
@@ -7786,15 +7876,15 @@ _LAST_GREEN = {
     "branded_quantity_revenue": 10,
     "c4_quality_filter": 11,
     "c4_span_dedup": 11,
-    "catalog_tables_rowcounts": 8,
+    "catalog_tables_rowcounts": 12,
     "chunk_documents": 11,
     "chunk_documents_multichunk": 11,
     "chunk_documents_recursive": 10,
     "cms_heavy_users_deterministic": 10,
     "cohort_retention": 9,
     "corpus_curation_pipeline": 10,
-    "cube_status_priority": 8,
-    "customer_360": 8,
+    "cube_status_priority": 12,
+    "customer_360": 12,
     "customer_order_distribution": 10,
     "customers_with_orders": 11,
     "customers_without_orders": 9,
@@ -7802,18 +7892,19 @@ _LAST_GREEN = {
     "decontaminate_test_split": 9,
     "dedup_canonical_corpus": 9,
     "dedup_min_event": 11,
-    "delete_keys_orders": 8,
+    "delete_keys_orders": 12,
     "distinct_count_stats": 9,
     "diversified_docs": 11,
-    "doc_embed_knn": 8,
+    "doc_embed_knn": 12,
     "doc_fingerprint_groups": 11,
     "doc_template_assembly": 11,
-    "dsir_importance_weights": 8,
+    "dsir_importance_weights": 12,
     "dup_clusters": 9,
-    "dup_clusters_minhash": 8,
+    "dup_clusters_minhash": 12,
     "dup_rate_by_source": 10,
     "embedding_near_dup": 11,
     "embedding_near_dup_rp": 11,
+    "embedding_near_dup_rp_sized": 12,
     "events_burst_60s": 9,
     "exact_dup_groups": 9,
     "filtered_projection": 10,
@@ -7821,22 +7912,23 @@ _LAST_GREEN = {
     "from_json_native": 9,
     "funnel_conversion": 9,
     "gopher_repetition_filter": 9,
-    "grocery_best_store": 8,
+    "grocery_best_store": 12,
     "grouping_sets_revenue": 9,
     "hll_distinct_deterministic": 10,
     "hll_monthly_merge": 11,
-    "html_strip": 8,
+    "html_strip": 12,
+    "hybrid_rag_end_to_end": 12,
     "hybrid_rrf_topk": 11,
     "hybrid_search_persisted": 11,
     "idle_rich_customers": 10,
     "incremental_dedup_batch": 9,
     "incremental_dedup_via_state": 11,
-    "index_sink_audit": 8,
+    "index_sink_audit": 12,
     "ingest_pipeline_chunks": 9,
     "ingest_pipeline_embedded": 10,
     "ivf_append_audit": 9,
     "ivf_sq8_index_audit": 10,
-    "json_extract_stats": 8,
+    "json_extract_stats": 12,
     "keyword_or_filter": 10,
     "kmv_set_cardinalities": 11,
     "kmv_set_similarity": 10,
@@ -7849,10 +7941,10 @@ _LAST_GREEN = {
     "large_volume_customers": 10,
     "late_shipment_priority": 10,
     "maintenance_skipping": 11,
-    "market_chart_bars": 8,
+    "market_chart_bars": 12,
     "minhash_lsh_candidates": 11,
     "minhash_verified_dupes": 11,
-    "minmax_rescale": 8,
+    "minmax_rescale": 12,
     "mmr_diversified_topk": 11,
     "multi_key_sort": 11,
     "multimodal_feature_stats": 9,
@@ -7863,38 +7955,38 @@ _LAST_GREEN = {
     "orders_growth_mom": 10,
     "pack_docs_budget": 11,
     "pack_pretrain_sequences": 10,
-    "paginated_orders": 8,
-    "pct_change_daily": 8,
+    "paginated_orders": 12,
+    "pct_change_daily": 12,
     "per_customer_top3_orders": 11,
-    "percentile_stats": 8,
+    "percentile_stats": 12,
     "pii_scrub_stats": 10,
-    "pivot_priority_by_status": 8,
-    "pricing_summary": 9,
+    "pivot_priority_by_status": 12,
+    "pricing_summary": 12,
     "promo_revenue_share": 10,
-    "rag_retrieval_batch": 8,
+    "rag_retrieval_batch": 12,
     "rag_retrieval_pipeline": 9,
-    "recursive_chunk_merge_oracle": 8,
+    "recursive_chunk_merge_oracle": 12,
     "region_revenue": 9,
     "returned_items_by_customer": 10,
-    "rewrite_chain": 8,
-    "rollup_region_nation": 8,
+    "rewrite_chain": 12,
+    "rollup_region_nation": 12,
     "rss_items_parsed": 10,
-    "salted_skew_sum": 8,
+    "salted_skew_sum": 12,
     "scalar_subquery_join": 10,
     "scd2_customer_merge": 9,
     "semantic_dedup_pairs": 9,
     "semantic_dedup_summary": 9,
     "semantic_dedup_union": 11,
     "sentence_segments": 9,
-    "session_window_native": 8,
-    "sessionize_events": 8,
+    "session_window_native": 12,
+    "sessionize_events": 12,
     "shipmode_priority_counts": 10,
     "shipping_priority": 9,
-    "simhash_pairs": 8,
-    "sliding_window_counts": 8,
+    "simhash_pairs": 12,
+    "sliding_window_counts": 12,
     "small_quantity_revenue": 10,
     "stratified_sample_langs": 9,
-    "supplier_balance_by_region": 8,
+    "supplier_balance_by_region": 12,
     "temperature_sample_langs": 10,
     "tfidf_top_terms": 9,
     "token_stats": 11,
@@ -7904,24 +7996,24 @@ _LAST_GREEN = {
     "top_supplier_revenue": 10,
     "train_test_split_counts": 9,
     "ts_daily_resample": 11,
-    "ts_forecast_metrics": 8,
+    "ts_forecast_metrics": 12,
     "ts_interpolated": 11,
-    "ts_last_valid_window": 8,
+    "ts_last_valid_window": 12,
     "ts_longest_run": 11,
-    "ts_ratio_split": 8,
+    "ts_ratio_split": 12,
     "ts_seasonal_features": 11,
-    "ts_sliding_windows": 8,
-    "tumbling_hourly_counts": 8,
+    "ts_sliding_windows": 12,
+    "tumbling_hourly_counts": 12,
     "union_all_counts": 10,
-    "union_then_global_topn": 8,
-    "upsert_orders": 8,
-    "user_context_star": 9,
+    "union_then_global_topn": 12,
+    "upsert_orders": 12,
+    "user_context_star": 12,
     "user_rapid_repeat_events": 9,
     "variant_extract_stats": 9,
     "vector_search_sql": 11,
-    "watermark_late_drop": 8,
+    "watermark_late_drop": 12,
     "web_curation_pipeline": 11,
-    "weighted_recommend_score": 8,
+    "weighted_recommend_score": 12,
     "weighted_sample_docs": 9,
     "winnow_fingerprint_stats": 9,
     "winnow_near_dup": 9,
@@ -7940,15 +8032,25 @@ _PRIORITY_REFRESH = (
     "paginated_orders",
 )
 
-# oracle=None queries already run by the driver with spark_rows > 0
-# (rows-only green in some round) — demoted behind anything that still
-# needs its first driver row.
-_ROWS_ONLY_EXERCISED = frozenset(
-    {"ann_ivf_top10", "ann_ivf_trained_top10", "ann_lsh_top10", "ann_pq_trained_top10",
-     "approx_sketch_stats",
-     "embedding_near_dup_lsh", "fruit_prices_daily",
-     "quality_classifier_scores"}
-)
+# oracle=None queries already run by the driver with spark_rows > 0,
+# mapped to the ROUND most recently exercised (VERDICT r12 directive #1):
+# they previously sat in their own tier AHEAD of fresh greens, so all 8
+# occupied the head of every 50-slot sweep and every CORRECTNESS file
+# read as "8 broken queries" (permanent err: no_oracle rows) while
+# starving the green-refresh rotation to 42/round. They now interleave
+# INTO tier 5 by exercise recency — exactly like a green's evidence age —
+# so a freshly-exercised rows-only query yields its sweep slot to older
+# greens and re-rotates through the tail every ~3 rounds.
+_ROWS_ONLY_LAST_EXERCISED = {
+    "ann_ivf_top10": 12,
+    "ann_ivf_trained_top10": 12,
+    "ann_lsh_top10": 12,
+    "ann_pq_trained_top10": 12,
+    "approx_sketch_stats": 12,
+    "embedding_near_dup_lsh": 12,
+    "fruit_prices_daily": 12,
+    "quality_classifier_scores": 12,
+}
 # doc_embed_knn left this set in round 5; ingest_pipeline_embedded and
 # chunk_documents_recursive in round 10: each gained a full SQL oracle
 # (md5 feature-hash embedder is engine-reproducible; the chunker's
@@ -7970,8 +8072,11 @@ def _ordered_names() -> list[str]:
             return (1, 0)
         if green is not None and not fresh:
             return (2, green)
-        if green is None and n in _ROWS_ONLY_EXERCISED:
-            return (4, 0)
+        if green is None and n in _ROWS_ONLY_LAST_EXERCISED:
+            # rows-only-by-design queries rotate WITH the fresh greens,
+            # keyed by exercise recency (VERDICT r12 #1): recently
+            # exercised → tail of the rotation, never the sweep head
+            return (5, _ROWS_ONLY_LAST_EXERCISED[n])
         if green is None:
             return (3, 0)
         # Fresh greens rotate oldest-evidence-first (VERDICT r06 #1):
@@ -7992,7 +8097,10 @@ def emit_order_doc() -> dict:
     rows = [
         {"pos": i, "name": n, "last_green_round": _LAST_GREEN.get(n),
          "stale": _LAST_GREEN.get(n) is not None
-         and _LAST_GREEN[n] < _DATA_GEN_ROUND}
+         and _LAST_GREEN[n] < _DATA_GEN_ROUND,
+         **({"rows_only_last_exercised": _ROWS_ONLY_LAST_EXERCISED[n]}
+            if n in _ROWS_ONLY_LAST_EXERCISED and _LAST_GREEN.get(n) is None
+            else {})}
         for i, n in enumerate(_ordered_names())
     ]
     fresh_rounds = [r["last_green_round"] for r in rows

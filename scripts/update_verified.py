@@ -48,25 +48,26 @@ def main() -> None:
     for n in sorted(last_green):
         print(f'    "{n}": {last_green[n]},')
     print("}")
-    # Rows-only queries the driver exercised (spark_rows > 0, no oracle)
-    # that _ROWS_ONLY_EXERCISED doesn't know yet — paste additions so
-    # they demote behind never-run work in the emit order.
-    new_rows_only = sorted(
-        name
-        for path in sys.argv[1:]
-        for name, row in json.load(open(path)).items()
-        if isinstance(row, dict)
-        and row.get("err") == "no_oracle"
-        and (row.get("spark_rows") or 0) > 0
-        and name in known
-        and name not in Q._ROWS_ONLY_EXERCISED
-    )
-    if new_rows_only:
-        print(
-            "# add to _ROWS_ONLY_EXERCISED: "
-            + ", ".join(f'"{n}"' for n in new_rows_only),
-            file=sys.stderr,
-        )
+    # Rows-only queries the driver exercised (spark_rows > 0, no oracle):
+    # print the updated recency map — paste it over
+    # `_ROWS_ONLY_LAST_EXERCISED` in queries.py so they re-queue at the
+    # tail of the tier-5 rotation (VERDICT r12 #1).
+    rows_only = dict(Q._ROWS_ONLY_LAST_EXERCISED)
+    for path in sys.argv[1:]:
+        m = re.search(r"_r0*(\d+)", os.path.basename(path))
+        rnd = int(m.group(1))
+        for name, row in json.load(open(path)).items():
+            if (
+                isinstance(row, dict)
+                and row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+                and name in known
+            ):
+                rows_only[name] = max(rows_only.get(name, 0), rnd)
+    print("_ROWS_ONLY_LAST_EXERCISED = {")
+    for n in sorted(rows_only):
+        print(f'    "{n}": {rows_only[n]},')
+    print("}")
     fresh = sum(1 for r in last_green.values() if r >= Q._DATA_GEN_ROUND)
     print(
         f"# {len(last_green)} ever-green / {fresh} fresh (>= data gen r{Q._DATA_GEN_ROUND}) "

@@ -367,6 +367,62 @@ def test_quality_classifier_separates_gopher_labels(spark):
     assert sum(good) / len(good) > sum(bad) / len(bad)
 
 
+def test_nb_twin_agrees_with_lr_ranking(spark):
+    """VERDICT r12 directive #2: the deterministic NB scorer is the
+    hash-evidence twin of the MLlib-LR quality classifier — same hashed
+    features, same Gopher weak labels — so its RANKING must carry the
+    same signal. On the vocabulary-signal corpus both must separate
+    good from bad with AUC ≥ 0.95, and the two models must agree on
+    ≥ 90% of (good, bad) orderings; on the real corpus NB must keep one
+    row per doc (token-less docs at score 0, never dropped) and rank
+    label-1 docs above label-0 on average, like the LR path."""
+    import itertools
+
+    from backend_fastapi_spark.operators.pipeline import (
+        nb_quality_scores,
+        quality_classifier_scores,
+    )
+    from tests.conftest import SF_SMOKE
+
+    good_vocab = [f"word{i}" for i in range(40)]
+    rows = []
+    for d in range(120):
+        if d % 2 == 0:
+            toks = [good_vocab[(d + j) % 40] for j in range(30)]
+        else:
+            toks = [f"buy{d % 7}"] * 30
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    nb = {r.doc_id: r for r in nb_quality_scores(df).collect()}
+    lr = {r.doc_id: r for r in quality_classifier_scores(df).collect()}
+    assert len(nb) == 120 and len(lr) == 120
+    assert all(nb[d].label == lr[d].label for d in nb)
+
+    good = [d for d in nb if nb[d].label == 1]
+    bad = [d for d in nb if nb[d].label == 0]
+    pairs = list(itertools.product(good, bad))
+    nb_wins = sum(
+        (nb[g].score_fp > nb[b].score_fp)
+        + 0.5 * (nb[g].score_fp == nb[b].score_fp)
+        for g, b in pairs
+    )
+    assert nb_wins / len(pairs) >= 0.95  # NB separates like LR
+    agree = sum(
+        ((nb[g].score_fp > nb[b].score_fp) == (lr[g].p_good > lr[b].p_good))
+        for g, b in pairs
+    )
+    assert agree / len(pairs) >= 0.90  # the twins order pairs alike
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    scored = nb_quality_scores(docs).collect()
+    assert len(scored) == docs.count()
+    g = [r.score_fp for r in scored if r.label == 1]
+    b = [r.score_fp for r in scored if r.label == 0]
+    assert g and b
+    assert sum(g) / len(g) > sum(b) / len(b)
+
+
 def test_dsir_weights_favor_target_domain(spark):
     """DSIR sanity: the mean importance weight of target-domain ('en')
     docs must exceed the non-target mean — the target slice defines the

@@ -121,9 +121,34 @@ def test_update_verified_script_round_parsing():
         capture_output=True, text=True, check=True,
     )
     assert "_LAST_GREEN = {" in out.stdout
+    assert "_ROWS_ONLY_LAST_EXERCISED = {" in out.stdout
     # every emitted name is registered and every round is sane
-    body = out.stdout.split("{", 1)[1].rsplit("}", 1)[0]
-    for line in body.strip().splitlines():
-        name, rnd = line.strip().rstrip(",").split(": ")
-        assert name.strip('"') in Q.REGISTRY
-        assert 1 <= int(rnd) <= 99
+    for block in out.stdout.split(" = {")[1:]:
+        body = block.split("}", 1)[0]
+        for line in body.strip().splitlines():
+            name, rnd = line.strip().rstrip(",").split(": ")
+            assert name.strip('"') in Q.REGISTRY
+            assert 1 <= int(rnd) <= 99
+
+
+def test_rows_only_rotate_with_fresh_greens_by_recency():
+    # VERDICT r12 #1: rows-only-by-design queries must NOT head the sweep
+    # as permanent no_oracle rows — they interleave with fresh greens by
+    # exercise recency, so the budget-capped prefix prefers the oldest
+    # evidence regardless of kind.
+    pos = _tiers()
+    ro = {n: r for n, r in Q._ROWS_ONLY_LAST_EXERCISED.items()
+          if Q._LAST_GREEN.get(n) is None}
+    fresh = {n: Q._LAST_GREEN[n] for n in Q.REGISTRY
+             if Q._LAST_GREEN.get(n, 0) >= Q._DATA_GEN_ROUND}
+    for n, r in ro.items():
+        # every fresh green with strictly older evidence sorts before it
+        for g, gr in fresh.items():
+            if gr < r:
+                assert pos[g] < pos[n], (g, gr, n, r)
+            elif gr > r:
+                assert pos[g] > pos[n], (g, gr, n, r)
+    # combined tier-5 stream is non-decreasing in evidence round
+    merged = sorted({**fresh, **ro}, key=lambda n: pos[n])
+    rounds = [({**fresh, **ro})[n] for n in merged]
+    assert rounds == sorted(rounds)
