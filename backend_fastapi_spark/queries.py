@@ -947,13 +947,15 @@ def q_embedding_near_dup_rp_sized(spark: SparkSession, sf_dir: str) -> DataFrame
     the 4×8 form that is exactly right at oracle scale degenerates at
     100× — measured at sf10 (200 k vectors, r12 full-run sidecar): 4×8
     = 256 buckets/table took 222.6 s, while this 2^12-bucket sizing ran
-    the same corpus in ~27 s (SCALING.md r7 table) — and the sf10
-    headline should time the plan a production corpus would run. More
-    planes cut per-table collision probability for true pairs; the
-    extra tables restore recall (the classic LSH budget; the planted
-    cos≥0.95 regime is test-asserted for this exact configuration in
-    tests/test_vector.py). Precision stays exactly 1: every emitted
-    pair passes the exact fixed-point verify."""
+    the same corpus in ~27 s (SCALING.md r7 table), cut again to ~15 s
+    by the r13 bucket-local BLAS verify (VERDICT r12 directive #5,
+    SCALING.md r13) — and the sf10 headline should time the plan a
+    production corpus would run. More planes cut per-table collision
+    probability for true pairs; the extra tables restore recall (the
+    classic LSH budget; the planted cos≥0.95 regime is test-asserted
+    for this exact configuration in tests/test_vector.py). Precision
+    stays exactly 1: every emitted pair passes the exact fixed-point
+    verify."""
     from backend_fastapi_spark.operators.lsh import rp_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
