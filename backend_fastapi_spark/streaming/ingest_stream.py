@@ -181,7 +181,10 @@ def stream_postings_append(
     SEARCH inside the window fails loudly on the ``_COMPACT_IN_PROGRESS``
     marker (the staging-recoverable protocol) rather than reading a
     half-rewritten base; a crash mid-compaction resumes from the staged
-    snapshot on the retried trigger.
+    snapshot at the START of the retried trigger — before its append,
+    because the compaction marker makes ``postings_append`` itself fail
+    loudly (without the pre-append recovery the stream would wedge:
+    every retry dies in the append and never reaches the resume).
 
     Exactly-once under crash-retry (ADVICE r12 high): the compaction
     EXCLUDES this trigger's own just-appended segment — its batch token
@@ -218,6 +221,28 @@ def stream_postings_append(
 
     def add(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        own = f"batch={batch_id}"
+        if auto_compact:
+            # Finish an interrupted compaction BEFORE appending: the
+            # _COMPACT_IN_PROGRESS marker makes postings_append fail
+            # loudly, so a crash (or caught failure) mid-compaction
+            # would otherwise wedge the stream — every retried trigger
+            # dies in the append, never reaching the compaction resume.
+            # compact_postings re-enters idempotently: with a staged
+            # manifest it replays exactly that manifest (which never
+            # contains a token the checkpoint hasn't committed — the
+            # crashed attempt excluded its own); with only the marker it
+            # finishes the bookkeeping. Covered by
+            # test_stream_recovers_interrupted_compaction_before_append.
+            from backend_fastapi_spark.operators.retrieval import (
+                COMPACT_MARKER,
+                _hpath,
+            )
+
+            marker = _hpath(spark, f"{index_path}/{COMPACT_MARKER}")
+            fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(marker):
+                compact_postings(spark, index_path, exclude_segments=(own,))
         postings_append(
             spark,
             index_path,
@@ -226,7 +251,6 @@ def stream_postings_append(
             text_col=text_col,
             id_col=id_col,
         )
-        own = f"batch={batch_id}"
         eligible = [
             s for s in _live_posting_segments(spark, index_path)
             if s.rstrip("/").rsplit("/", 1)[-1] != own

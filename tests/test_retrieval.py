@@ -524,6 +524,93 @@ def test_stream_postings_append_auto_compacts_at_cap(spark, tmp_path):
     assert grown == fresh and len(fresh) > 0
 
 
+def test_stream_recovers_interrupted_compaction_before_append(
+    spark, tmp_path
+):
+    """A process crash mid-compaction leaves _COMPACT_IN_PROGRESS up,
+    and postings_append fails loudly on it — so the restarted stream
+    must finish the compaction BEFORE its first append or every retried
+    trigger dies in the append and the stream wedges forever. This
+    plants exactly that crash state (staged manifest naming batch=1,
+    marker raised, a post-snapshot batch=2 still live), then starts the
+    stream: trigger 0 must recover (absorb the manifest, keep batch=2),
+    append its own segments, and leave the grown index ranking exactly
+    like from-scratch BM25 over the union."""
+    import os
+
+    from backend_fastapi_spark.sources.parquet import read_table
+    from backend_fastapi_spark.streaming.ingest_stream import (
+        stream_postings_append,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "pidx")
+    RT.write_postings_index(docs.filter("doc_id % 4 = 0"), path)
+    RT.postings_append(
+        spark, path, docs.filter("doc_id % 4 = 1"), batch_token=1
+    )
+    # stage the crashed compaction exactly as compact_postings step 1
+    # would have (manifest = batch=1 only), then the post-snapshot
+    # append, then the marker — the step-3 crash state
+    staging = f"{path}/compact_staging"
+    post = spark.read.parquet(f"{path}/postings").unionByName(
+        spark.read.parquet(f"{path}/delta/batch=1/postings")
+    )
+    stats = spark.read.parquet(f"{path}/stats").unionByName(
+        spark.read.parquet(f"{path}/delta/batch=1/stats")
+    )
+    post.repartition("bucket").write.partitionBy("bucket").parquet(
+        f"{staging}/postings"
+    )
+    (
+        stats.groupBy()
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("dlen_sum").cast("long").alias("dlen_sum"),
+        )
+        .select(F.lit("base").alias("segment"), "n_docs", "dlen_sum")
+        .coalesce(1)
+        .write.parquet(f"{staging}/stats")
+    )
+    with open(f"{staging}/_STAGED", "w") as fh:
+        fh.write("batch=1")
+    RT.postings_append(
+        spark, path, docs.filter("doc_id % 4 = 2"), batch_token=2
+    )
+    open(f"{path}/_COMPACT_IN_PROGRESS", "w").close()
+
+    # the restarted stream: one 2-row trigger of new docs
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    new = docs.filter("doc_id % 4 = 3").orderBy("doc_id").limit(2)
+    new.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_postings_append(stream, path, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert not os.path.exists(f"{path}/_COMPACT_IN_PROGRESS")
+    assert not os.path.exists(f"{path}/delta/batch=1")  # absorbed
+    assert os.path.exists(f"{path}/delta/batch=2")  # post-snapshot: live
+    new_ids = {r["doc_id"] for r in new.collect()}
+    union = docs.filter(
+        (F.col("doc_id") % 4 != 3) | F.col("doc_id").isin(new_ids)
+    )
+    terms = ["vector", "hash"]
+    grown = sorted(
+        map(tuple, RT.bm25_search_persisted(spark, path, terms).collect())
+    )
+    fresh = sorted(map(tuple, RT.bm25_topk(union, terms, k=10).collect()))
+    assert grown == fresh and len(fresh) > 0
+
+
 def test_compact_exclusion_keeps_crash_retry_exactly_once(spark, tmp_path):
     """ADVICE r12 (high): the streaming trigger compacts with its own
     not-yet-checkpointed segment EXCLUDED, so the crash window (die
