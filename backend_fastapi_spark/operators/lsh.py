@@ -348,6 +348,9 @@ def rp_near_dup_pairs(
     from backend_fastapi_spark.operators.util import materialize
 
     planes = rp_planes(dim, n_tables, n_planes)
+    # Materialize the quantized corpus: read twice (the signature pass
+    # and the signature-row array attach) — lineage recomputation would
+    # scan+quantize the raw vectors once per read.
     base = materialize(
         df.select(F.col(id_col).alias("_id"), _quantize(vec_col).alias("_q"))
     )
