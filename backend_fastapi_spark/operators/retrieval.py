@@ -779,6 +779,252 @@ def bm25_search_persisted(
     )
 
 
+def champion_postings(
+    post: DataFrame,
+    r: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-term top-``r`` posting rows by precomputed BM25 impact —
+    impact-ordered champion lists (static index pruning: Manning,
+    Raghavan & Schütze, IIR §7.1.3; Anh & Moffat's impact-ordered
+    indexes). Input is a :func:`postings` frame over the FULL corpus;
+    output is (id, term, impact) with ≤ ``r`` rows per term, where
+    ``impact`` is the term's complete BM25 contribution for that doc
+    (idf from TRUE corpus df, tf/dlen normalization — everything the
+    per-term score needs is known at build time), rounded 1e-6 like
+    every ranked score in the registry.
+
+    Because the per-term BM25 score is FULLY precomputable, keeping the
+    top-``r`` rows by (impact desc, id asc) preserves the exact per-term
+    ranking prefix: single-term top-k over the champion list equals
+    top-k over the full posting list for every k ≤ r — pruning with a
+    proof, not a heuristic (tests/test_retrieval.py::
+    test_champion_topk_exact_up_to_r). Multi-term SUM queries become
+    approximate (a doc scoring below rank r on every query term is
+    invisible), the documented champion-list trade.
+
+    Plan shape: the postings frame's existing shuffle, one broadcast
+    each of the df table and the 1-row stats, one per-term window —
+    at 100 TB the window partitions on ``term`` (vocabulary-sized
+    parallelism) and emits ≤ r·|vocab| rows total."""
+    stats = _corpus_stats(post, id_col)
+    df_tbl = post.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    scored = (
+        post.join(df_tbl, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "term",
+            _round6(
+                _bm25_term_score(
+                    F.col("tf").cast("double"),
+                    F.col("df").cast("double"),
+                    F.col("dlen").cast("double"),
+                    F.col("n_docs"),
+                    F.col("avglen"),
+                )
+            ).alias("impact"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("impact").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= r)
+        .drop("_rn")
+    )
+
+
+def write_champion_index(
+    docs: DataFrame,
+    path: str,
+    r: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "error",
+) -> None:
+    """Persist an impact-ordered champion index — the BOUNDED-probe form
+    of the lexical path: where :func:`write_postings_index` makes a
+    search pay O(df) rows per query term (df grows with the corpus —
+    a stopword-ish term at 100 TB has a posting list in the billions),
+    the champion layout caps every term's list at ``r`` rows, so probe
+    cost is O(|terms|·r) FOREVER, independent of corpus growth. The
+    price: per-term top-k is exact only for k ≤ r, and multi-term sums
+    are approximate (see :func:`champion_postings`).
+
+    Layout under ``path``:
+
+    - ``postings/`` — (id, term, impact) hive-partitioned by
+      ``bucket = md5(term) % 32`` (the :func:`write_postings_index`
+      partition-pruning layout), repartitioned by bucket before the
+      write so each bucket directory is one task's files. The stored
+      ``impact`` is the COMPLETE per-term BM25 score (idf, tf and
+      length normalization frozen at build) — tf/dlen/df are not
+      stored at all, which is the other champion win: three long
+      columns drop from every posting row.
+    - ``meta/`` — one (segment, r, n_docs, dlen_sum) row: ``r`` is the
+      search-time exactness bound (``bm25_search_champion`` raises on
+      k > r instead of silently truncating); n_docs/dlen_sum keep the
+      full-corpus provenance a rebuild audit needs.
+
+    WRITE-ONCE, no delta path by design: a champion list is a global
+    top-``r`` — a new document can displace an incumbent anywhere in
+    the vocabulary, so incremental growth serves from the FULL postings
+    index (:func:`postings_append`) and re-derives the champion index
+    on its rebuild cadence, exactly like the IVF retrain handoff.
+    ``mode="overwrite"`` runs under the same ``_EPOCH_IN_PROGRESS``
+    loud-crash marker as the full index.
+
+    Reference serving role: the keyword-search path
+    (tools/tool_definitions.py:12, utils/helpers.py:46-60) at corpora
+    where full posting lists no longer bound per-query latency."""
+    if mode not in ("error", "overwrite"):
+        raise ValueError(
+            "write_champion_index mode must be 'error' or 'overwrite', "
+            f"got {mode!r} — the champion layout has no append path "
+            "(a new doc can displace any incumbent); rebuild instead"
+        )
+    if r < 1:
+        raise ValueError(f"champion r must be >= 1, got {r}")
+    spark = docs.sparkSession
+    post = postings(docs, text_col, id_col)
+    champ = champion_postings(post, r, id_col).withColumn(
+        "bucket", term_bucket(F.col("term"))
+    )
+    epoch = None
+    if mode == "overwrite":
+        epoch = _hpath(spark, f"{path}/{EPOCH_MARKER}")
+        fs = epoch.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.create(epoch, True).close()
+    (
+        champ.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode(mode)
+        .parquet(f"{path}/postings")
+    )
+    # meta derives n_docs/dlen_sum from the PRE-pruning postings (the
+    # champion rows no longer carry dlen); computed as one aggregate on
+    # the same frame the champion pass already shuffled
+    stats = _corpus_stats(post, id_col)
+    (
+        stats.select(
+            F.lit("base").alias("segment"),
+            F.lit(r).cast("long").alias("r"),
+            "n_docs",
+            "dlen_sum",
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{path}/meta")
+    )
+    if epoch is not None:
+        fs.delete(epoch, False)
+
+
+def _champion_meta(spark, path: str) -> dict:
+    """Read the 1-row champion meta → {"r", "n_docs", "dlen_sum"};
+    loud-fails on an interrupted overwrite first."""
+    marker = _hpath(spark, f"{path}/{EPOCH_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        raise RuntimeError(
+            f"champion index at {path} has an interrupted overwrite "
+            f"({EPOCH_MARKER} present) — rebuild it with "
+            "write_champion_index(mode='overwrite') before using it"
+        )
+    row = spark.read.parquet(f"{path}/meta").head()
+    return {"r": int(row["r"]), "n_docs": int(row["n_docs"]),
+            "dlen_sum": int(row["dlen_sum"])}
+
+
+def bm25_search_champion(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k per query term over a :func:`write_champion_index` layout →
+    (term, doc_id, bm25) — value-identical to :func:`bm25_topk` on the
+    build corpus for every k ≤ r (the champion exactness bound; raises
+    on k > r rather than silently truncating). Scale shape: the scan
+    touches only the query terms' bucket partitions and each term
+    contributes ≤ r rows, so the probe is O(|terms|·r) rows and
+    |terms|/32 of an index whose total size is ≤ r·|vocab| rows —
+    corpus-size-independent per-query cost, the property the full
+    postings index cannot offer on high-df terms."""
+    meta = _champion_meta(spark, path)
+    if k > meta["r"]:
+        raise ValueError(
+            f"k={k} exceeds the champion index's exactness bound "
+            f"r={meta['r']} — per-term top-k beyond r is silently "
+            "lossy; rebuild with a larger r or search the full index"
+        )
+    buckets = sorted({py_term_bucket(t) for t in terms})
+    hits = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select(id_col, "term", "impact")
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("impact").desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("term", F.col(id_col), F.col("impact").alias("bm25"))
+    )
+
+
+def bm25_champion_score(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-term BM25 over the champion index → top-k (doc_id, kw):
+    per-doc decimal-accumulated sum of the stored impacts across the
+    query's terms — :func:`bm25_score_query`'s shape served from the
+    pruned layout. APPROXIMATE by the champion contract: a doc outside
+    every query term's top-r champions scores 0 (invisible), and a doc
+    inside some lists sums only those lists' impacts — the standard
+    champion-list trade (IIR §7.1.3), bought for an O(|terms|·r)-row
+    probe. The approximation is bounded in tests/test_retrieval.py::
+    test_champion_sum_recall (subset-sum upper bound; exact when the
+    winners dominate every term's list); the final top-k rank runs
+    over ≤ |terms|·r summed rows (a bounded single-partition window,
+    like the fusion stages)."""
+    meta = _champion_meta(spark, path)
+    if k > meta["r"]:
+        raise ValueError(
+            f"k={k} exceeds champion r={meta['r']} — beyond r even the "
+            "single-term prefix is lossy; rebuild with a larger r"
+        )
+    buckets = sorted({py_term_bucket(t) for t in terms})
+    hits = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select(id_col, "impact")
+    )
+    summed = (
+        hits.withColumn("_s", F.col("impact").cast("decimal(30,12)"))
+        .groupBy(id_col)
+        .agg(_round6(F.sum("_s").cast("double")).alias("kw"))
+    )
+    w = Window.orderBy(F.col("kw").desc(), F.col(id_col).asc())
+    return (
+        summed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "kw")
+    )
+
+
 def mmr_topk(
     corpus: DataFrame,
     queries: DataFrame,

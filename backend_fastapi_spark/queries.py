@@ -4523,6 +4523,123 @@ def q_bm25_postings_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _champion_base() -> str:
+    # Both-engines-read-the-persisted-files discipline (the
+    # bm25_search_persisted precedent): the oracle re-ranks the EXACT
+    # champion rows the Spark query wrote at the driver's sf0.01.
+    return f"{_INDEX_ROOT}/sf0.01/champion_index"
+
+
+def _build_champion(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from backend_fastapi_spark.operators.retrieval import (
+        write_champion_index,
+    )
+
+    base_dir = os.path.join(
+        _INDEX_ROOT,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "champion_index",
+    )
+    _build_once(
+        "champion_index",
+        sf_dir,
+        lambda: write_champion_index(
+            _t(spark, sf_dir, "documents"), base_dir, r=32,
+            mode="overwrite",
+        ),
+        index_dirs=(base_dir,),
+    )
+    return base_dir
+
+
+@register(
+    "bm25_champion_topk",
+    oracle=f"""
+    WITH post AS (
+      SELECT doc_id, term, impact
+      FROM read_parquet('{_champion_base()}/postings/*/*.parquet',
+                        hive_partitioning = 1)),
+    terms(term) AS (VALUES ('vector'), ('stream'), ('window'), ('hash')),
+    hits AS (SELECT p.* FROM post p JOIN terms USING (term)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY impact DESC, doc_id ASC) AS rn
+      FROM hits)
+    SELECT term, doc_id, impact AS bm25 FROM ranked WHERE rn <= 10
+    """,
+)
+def q_bm25_champion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered champion lists (static index pruning — IIR §7.1.3 /
+    Anh & Moffat), hash-green end to end: write the per-term top-32
+    postings by PRECOMPUTED BM25 impact once
+    (`retrieval.write_champion_index` — same md5-bucket hive layout as
+    the full postings index, but each row is just (doc_id, term,
+    impact): tf/dlen/df frozen into the stored score at build), then
+    answer the same four-term query as `bm25_keyword_topk` from ≤ 32
+    rows per term (`bm25_search_champion`). Exact for k ≤ r by
+    construction — the per-term BM25 ranking is fully decided at build
+    time, so the champion prefix IS the ranking prefix (value-equality
+    vs the full index asserted in tests/test_retrieval.py::
+    test_champion_topk_exact_up_to_r). What this row certifies is the
+    LAYOUT: both engines re-rank the same persisted impact rows. At
+    100 TB the probe is O(|terms|·r) rows regardless of df — the
+    bounded-latency form of the reference's keyword search
+    (tools/tool_definitions.py:12) that the O(df) full index cannot
+    offer on high-df terms."""
+    from backend_fastapi_spark.operators.retrieval import (
+        bm25_search_champion,
+    )
+
+    base_dir = _build_champion(spark, sf_dir)
+    return bm25_search_champion(
+        spark, base_dir, terms=["vector", "stream", "window", "hash"], k=10
+    )
+
+
+@register(
+    "bm25_champion_sum_topk",
+    oracle=f"""
+    WITH post AS (
+      SELECT doc_id, term, impact
+      FROM read_parquet('{_champion_base()}/postings/*/*.parquet',
+                        hive_partitioning = 1)),
+    terms(term) AS (VALUES ('vector'), ('stream'), ('window'), ('hash')),
+    hits AS (SELECT p.* FROM post p JOIN terms USING (term)),
+    summed AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(impact AS DECIMAL(30,12))) AS DOUBLE)
+                   * 1e6) / 1e6 AS kw
+      FROM hits GROUP BY doc_id),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY kw DESC, doc_id ASC) AS rn
+      FROM summed)
+    SELECT doc_id, kw FROM ranked WHERE rn <= 10
+    """,
+)
+def q_bm25_champion_sum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term BM25 from the champion index (`bm25_champion_score`):
+    per-doc decimal-accumulated sum of the stored per-term impacts,
+    top-10 with the registry tie-break — `bm25_score_query`'s serving
+    shape at the O(|terms|·r)-row probe cost. APPROXIMATE by the
+    champion contract (docs outside every term's top-r are invisible;
+    the approximation is bounded in tests/test_retrieval.py::
+    test_champion_sum_recall) — but DETERMINISTIC given the persisted
+    index, so the oracle certifies the summation/ranking exactly: both
+    engines sum the same persisted impact rows in exact decimal. The
+    final rank is a single-partition window over ≤ |terms|·r summed
+    rows — bounded, the fusion-stage discipline."""
+    from backend_fastapi_spark.operators.retrieval import (
+        bm25_champion_score,
+    )
+
+    base_dir = _build_champion(spark, sf_dir)
+    return bm25_champion_score(
+        spark, base_dir, terms=["vector", "stream", "window", "hash"], k=10
+    )
+
+
 @register(
     "hybrid_rrf_topk",
     oracle=f"""

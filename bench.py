@@ -1036,6 +1036,96 @@ def postings_scale_stanza(spark, sf_dir: str, n_append_batches: int = 17,
     return out
 
 
+def champion_scale_stanza(spark, sf_dir: str, r: int = 64) -> dict:
+    """Champion lists vs the full postings index at sf10 doc scale
+    (round 13): the bounded-probe claim with numbers — a champion
+    search reads <= r rows per term regardless of df, so its probed
+    bytes and warm seconds should be df-independent where the full
+    index's grow with the corpus. Measures, same corpus, same session:
+
+    (a) both layouts' write cost + on-disk footprint (champion stores
+        (doc_id, term, impact) only — tf/dlen drop from every row, and
+        each term keeps <= r rows);
+    (b) warm top-10 search seconds + probed bucket bytes for 1/4/16
+        terms on each layout;
+    (c) value equality of the per-term top-10 between the two layouts
+        (the exactness theorem, spot-checked at scale)."""
+    import shutil
+    import tempfile
+
+    from backend_fastapi_spark.operators.retrieval import (
+        bm25_search_champion, bm25_search_persisted, py_term_bucket,
+        write_champion_index, write_postings_index)
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    def tree_bytes(p: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="bench_champion_")
+    full, champ = f"{root}/full", f"{root}/champ"
+    terms16 = ["vector", "stream", "window", "hash", "join", "row",
+               "batch", "scan", "customer", "column", "filter", "small",
+               "slow", "merge", "order", "line"]
+    out: dict = {"n_docs": docs.count(), "r": r}
+    try:
+        t0 = time.perf_counter()
+        write_postings_index(docs, full, mode="overwrite")
+        out["full_write_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        write_champion_index(docs, champ, r=r, mode="overwrite")
+        out["champion_write_s"] = round(time.perf_counter() - t0, 3)
+        fb = tree_bytes(f"{full}/postings")
+        cb = tree_bytes(f"{champ}/postings")
+        out["full_index_mb"] = round(fb / 1e6, 2)
+        out["champion_index_mb"] = round(cb / 1e6, 2)
+        out["footprint_ratio"] = round(cb / max(fb, 1), 4)
+
+        def warm(fn) -> float:
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().collect()
+                times.append(round(time.perf_counter() - t0, 3))
+            return times[1]
+
+        out["search_vs_terms"] = {}
+        for n_terms in (1, 4, 16):
+            ts = terms16[:n_terms]
+            buckets = sorted({py_term_bucket(t) for t in ts})
+            probed_full = sum(
+                tree_bytes(f"{full}/postings/bucket={b}") for b in buckets)
+            probed_champ = sum(
+                tree_bytes(f"{champ}/postings/bucket={b}") for b in buckets)
+            out["search_vs_terms"][str(n_terms)] = {
+                "full_warm_s": warm(
+                    lambda: bm25_search_persisted(spark, full, ts, k=10)),
+                "champion_warm_s": warm(
+                    lambda: bm25_search_champion(spark, champ, ts, k=10)),
+                "full_probed_mb": round(probed_full / 1e6, 2),
+                "champion_probed_mb": round(probed_champ / 1e6, 2),
+            }
+            print(f"# champion-scale {n_terms} terms: "
+                  f"{out['search_vs_terms'][str(n_terms)]}", file=sys.stderr)
+
+        # (c) exactness spot check at scale — per-term top-10 identical
+        a = sorted(map(tuple, bm25_search_champion(
+            spark, champ, terms16[:4], k=10).collect()))
+        b = sorted(map(tuple, bm25_search_persisted(
+            spark, full, terms16[:4], k=10).collect()))
+        out["topk_matches_full"] = bool(a == b)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def zorder_scale_stanza(spark, sf_dir: str, n_files: int = 128) -> dict:
     """Z-order skipping at realistic row-group counts (VERDICT r09
     directive #3): the hash-green ``zorder_skipping`` audit runs at
@@ -1660,7 +1750,9 @@ def main() -> None:
              "dsir_importance_weights",
              # r12: the retrieval family's 10x growth, per-round
              "bm25_keyword_topk", "hybrid_rrf_topk", "mmr_diversified_topk",
-             "hybrid_rag_end_to_end"],
+             "hybrid_rag_end_to_end",
+             # r13: the bounded-probe lexical path's 10x growth
+             "bm25_champion_topk"],
             bench_round(),
         )
         time_set(
@@ -1699,7 +1791,9 @@ def main() -> None:
              "embedding_near_dup", "ngram_jaccard_dupes",
              # r12: the retrieval family's 100x growth
              "bm25_keyword_topk", "hybrid_rrf_topk", "mmr_diversified_topk",
-             "hybrid_rag_end_to_end"],
+             "hybrid_rag_end_to_end",
+             # r13: the bounded-probe lexical path's 100x growth
+             "bm25_champion_topk"],
             bench_round(),
         )
         time_set(
@@ -1804,6 +1898,8 @@ def main() -> None:
                 "text_ann_sq8": text_ann_sq8_stanza(spark, sf10_dir)}),
             ("sf10_postings", 180.0, lambda: {
                 "sf10_postings": postings_scale_stanza(spark, sf10_dir)}),
+            ("sf10_champion", 150.0, lambda: {
+                "sf10_champion": champion_scale_stanza(spark, sf10_dir)}),
             ("sf10_cc_distributed", 180.0, lambda: {
                 "sf10_cc_distributed": cc_distributed_stanza(
                     spark, sf10_dir)}),

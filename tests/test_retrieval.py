@@ -680,3 +680,135 @@ def test_mmr_guards_fixed_point_overflow(spark):
     )
     with pytest.raises(Exception, match="fixed-point envelope"):
         RT.mmr_topk(corpus, queries, shortlist=3, select=2).collect()
+
+
+# ---------------------------------------------------------------------------
+# Champion lists (impact-ordered static index pruning)
+# ---------------------------------------------------------------------------
+
+
+def test_champion_topk_exact_up_to_r(spark, tmp_path):
+    """The exactness theorem: per-term BM25 is fully decided at build
+    time, so the champion prefix IS the ranking prefix — top-k from the
+    pruned index equals the from-scratch full ranking for every k <= r."""
+    from backend_fastapi_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "cidx")
+    RT.write_champion_index(docs, path, r=32)
+    terms = ["vector", "stream", "window", "hash"]
+    for k in (1, 10, 32):
+        got = sorted(map(tuple, RT.bm25_search_champion(
+            spark, path, terms, k=k).collect()))
+        fresh = sorted(map(tuple, RT.bm25_topk(docs, terms, k=k).collect()))
+        assert got == fresh and len(got) > 0, f"k={k}"
+
+
+def test_champion_search_prunes_and_caps(spark, tmp_path):
+    import glob
+
+    from backend_fastapi_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "cidx")
+    RT.write_champion_index(docs, path, r=8)
+
+    # the pruning is REAL: every term's stored list is capped at r,
+    # even though the query terms' true df is in the hundreds here
+    per_term = (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("term").count().agg(F.max("count")).head()[0]
+    )
+    assert per_term <= 8
+
+    # bucket partition pruning reaches the plan, and each bucket dir is
+    # one task's output (no tasks x buckets small-file explosion)
+    got = RT.bm25_search_champion(spark, path, ["vector", "hash"], k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    for d in glob.glob(f"{path}/postings/bucket=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+
+    # k > r must raise (silent truncation would be a lossy ranking
+    # served as exact), for both search shapes
+    with pytest.raises(ValueError, match="exceeds"):
+        RT.bm25_search_champion(spark, path, ["vector"], k=9)
+    with pytest.raises(ValueError, match="exceeds"):
+        RT.bm25_champion_score(spark, path, ["vector"], k=9)
+
+
+def test_champion_sum_recall(spark, tmp_path):
+    """Multi-term sums over champion lists are approximate by contract.
+    Two provable properties are pinned (a recall FLOOR on the smoke
+    corpus would be data-dependent: its synthetic tf distribution is
+    near-uniform — champion lists' documented worst case, measured
+    recall@10 ~0.1-0.4 at r=16-64 — while real corpora are Zipfian):
+
+    1. subset-sum bound on the smoke corpus: each doc's champion kw
+       sums a SUBSET of its exact per-term impacts (impacts are
+       non-negative: Lucene idf >= 0), so kw_champion <= kw_exact up to
+       |terms| half-ulps — the champion sum adds impacts FROZEN
+       (1e-6-rounded) at build, the exact query rounds once at the end;
+    2. on a corpus where the true winners dominate every query term's
+       list, champion recall is exactly 1.0 — derivable by eye."""
+    from backend_fastapi_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "cidx")
+    RT.write_champion_index(docs, path, r=32)
+    terms = ["vector", "stream", "window", "hash"]
+
+    exact = {
+        r["doc_id"]: r["kw"]
+        for r in RT.bm25_score_query(docs, terms).collect()
+    }
+    champ_top = RT.bm25_champion_score(spark, path, terms, k=10).collect()
+    assert len(champ_top) == 10
+    for r in champ_top:
+        assert r["kw"] <= exact[r["doc_id"]] + len(terms) * 1e-6
+
+    # hand corpus: d0/d1 out-tf everyone on BOTH terms, so they sit in
+    # both champion lists at r=2 and the champion top-2 sum is exact
+    hand = _docs(
+        spark,
+        [
+            (0, "cat cat cat dog dog dog"),
+            (1, "cat cat dog dog"),
+            (2, "cat pad pad pad pad pad"),
+            (3, "dog pad pad pad pad pad"),
+            (4, "pad pad"),
+        ],
+    )
+    hpath = str(tmp_path / "hidx")
+    RT.write_champion_index(hand, hpath, r=2)
+    got = RT.bm25_champion_score(spark, hpath, ["cat", "dog"], k=2).collect()
+    hexact = {
+        r["doc_id"]: r["kw"]
+        for r in RT.bm25_score_query(hand, ["cat", "dog"]).collect()
+    }
+    top2 = sorted(hexact.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["doc_id"],) for r in got] == [(d,) for d, _ in top2]
+    for r in got:  # both terms champion-covered → the sum is the exact sum
+        assert r["kw"] == pytest.approx(hexact[r["doc_id"]], abs=2e-6)
+
+
+def test_champion_write_guards(spark, tmp_path):
+    docs = _docs(spark, [(0, "cat dog"), (1, "cat cat")])
+    path = str(tmp_path / "cidx")
+    with pytest.raises(ValueError, match="mode"):
+        RT.write_champion_index(docs, path, mode="append")
+    with pytest.raises(ValueError, match="r must be"):
+        RT.write_champion_index(docs, path, r=0)
+    # interrupted overwrite: the epoch marker must fail searches loudly
+    RT.write_champion_index(docs, path, r=4)
+    marker = RT._hpath(spark, f"{path}/{RT.EPOCH_MARKER}")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(marker, True).close()
+    with pytest.raises(RuntimeError, match="interrupted"):
+        RT.bm25_search_champion(spark, path, ["cat"], k=1)
+    fs.delete(marker, False)
+    out = RT.bm25_search_champion(spark, path, ["cat"], k=2).collect()
+    assert {r["doc_id"] for r in out} == {0, 1}
