@@ -940,6 +940,47 @@ def _champion_meta(spark, path: str) -> dict:
             "dlen_sum": int(row["dlen_sum"])}
 
 
+CHAMPION_REBUILD_GROWTH = 0.1  # rebuild once the corpus grew 10% past it
+
+
+def champion_staleness(
+    spark, champion_path: str, full_index_path: str,
+    growth_threshold: float = CHAMPION_REBUILD_GROWTH,
+) -> dict:
+    """How far the serving corpus has grown past a champion snapshot —
+    the maintenance probe completing the champion protocol
+    (:func:`write_champion_index` is write-once; growth lands in the
+    FULL postings index via :func:`postings_append`, and this decides
+    when the champion rebuild is due, the ivf.delta_stats /
+    :func:`postings_maintenance_action` discipline).
+
+    Compares the champion meta's build-time ``n_docs`` against the full
+    index's CURRENT doc count (base + committed delta stats rows — the
+    mergeable integers, a bounded 2-scalar read, no postings scanned).
+    Returns ``{"n_docs_at_build", "n_docs_now", "growth_frac",
+    "action"}`` where ``action`` is ``"rebuild"`` once growth exceeds
+    ``growth_threshold`` (new docs are invisible to champion probes —
+    past the threshold the bounded-probe answers drift too far from the
+    live corpus) else ``None``. Searches stay available throughout: a
+    stale champion index is APPROXIMATE-OLDER, never corrupt, so the
+    rebuild is advisory — run ``write_champion_index(mode="overwrite")``
+    on the full corpus (its epoch marker keeps the swap loud-crash-safe)."""
+    meta = _champion_meta(spark, champion_path)
+    _check_postings_epoch(spark, full_index_path)
+    stats = spark.read.parquet(f"{full_index_path}/stats")
+    for s in _live_posting_segments(spark, full_index_path):
+        stats = stats.unionByName(spark.read.parquet(f"{s}/stats"))
+    now = int(stats.agg(F.sum("n_docs")).head()[0] or 0)
+    at_build = meta["n_docs"]
+    growth = (now - at_build) / at_build if at_build else float("inf")
+    return {
+        "n_docs_at_build": at_build,
+        "n_docs_now": now,
+        "growth_frac": round(growth, 6),
+        "action": "rebuild" if growth > growth_threshold else None,
+    }
+
+
 def bm25_search_champion(
     spark,
     path: str,

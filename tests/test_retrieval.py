@@ -812,3 +812,34 @@ def test_champion_write_guards(spark, tmp_path):
     fs.delete(marker, False)
     out = RT.bm25_search_champion(spark, path, ["cat"], k=2).collect()
     assert {r["doc_id"] for r in out} == {0, 1}
+
+
+def test_champion_staleness_advises_rebuild(spark, tmp_path):
+    """The champion maintenance probe: growth lands in the FULL index
+    via postings_append; champion_staleness reads only the mergeable
+    stats scalars and advises rebuild past the growth threshold."""
+    from backend_fastapi_spark.sources.parquet import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    full = str(tmp_path / "full")
+    champ = str(tmp_path / "champ")
+    base = docs.filter("doc_id % 10 != 0")  # 90% of the corpus
+    RT.write_postings_index(base, full)
+    RT.write_champion_index(base, champ, r=16)
+
+    fresh = RT.champion_staleness(spark, champ, full)
+    assert fresh["action"] is None and fresh["growth_frac"] == 0.0
+
+    # ~11% growth via the full index's append path -> rebuild due
+    RT.postings_append(spark, full, docs.filter("doc_id % 10 = 0"),
+                       batch_token=0)
+    stale = RT.champion_staleness(spark, champ, full)
+    assert stale["action"] == "rebuild"
+    assert stale["n_docs_now"] > stale["n_docs_at_build"]
+    assert stale["growth_frac"] == pytest.approx(1 / 9, abs=0.02)
+
+    # a higher threshold keeps the same growth advisory-quiet
+    assert RT.champion_staleness(
+        spark, champ, full, growth_threshold=0.5
+    )["action"] is None
