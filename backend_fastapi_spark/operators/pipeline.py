@@ -529,3 +529,163 @@ def dsir_weights(
     if top_k is not None:
         out = out.limit(top_k)
     return out.select(id_col, target_col, "n_toks", "score_fp")
+
+
+def ccnet_ppl_buckets(
+    docs: DataFrame,
+    ref_col: str = "lang",
+    ref_val: str = "en",
+    n_buckets: int = 4096,
+    n_bins: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score every document by its cross-entropy under a reference language
+    model, then split the corpus into head / middle / tail thirds —
+    the published recipe for tiering web-crawl text by LM quality before
+    training. Deterministic twin of the production KenLM form, exactly
+    the :func:`dsir_weights` substitution: the reference LM is a hashed
+    unigram multinomial fit on the ``ref_col == ref_val`` slice (the
+    curated-domain proxy standing in for KenLM-on-Wikipedia), add-one
+    smoothing, int64 fixed-point logs — hash-checkable end to end.
+
+    Pipeline, all integer-exact past the one rounded ln:
+
+    1. per-bucket reference log-prob ``logp_fp = round(1e6·ln((nt+1) /
+       (Nt+B)))`` over the corpus's observed buckets (``nt`` from the
+       reference slice, 0 for buckets it never emits);
+    2. per-doc cross-entropy ``ce_fp = -Σ cnt·logp_fp ≥ 0`` and the
+       per-token mean ``ce_tok_fp = (ce_fp·1000) div n_toks`` (a
+       1e9-scaled nats/token — integer division, both engines truncate
+       identically on the non-negative domain);
+    3. tercile thresholds from a FIXED-WIDTH HISTOGRAM of
+       ``ce_tok_fp`` (``n_bins`` bins over the observed [min, max]),
+       cumulative counts on the ≤ n_bins-row bin table, thresholds at
+       ``ceil(n/3)`` / ``ceil(2n/3)`` — bin-granular rather than exact
+       thirds, which is what keeps the split computable as aggregates
+       at 100 TB (no global row_number over the corpus: CCNet itself
+       uses fixed perplexity cutoffs for the same reason);
+    4. assign ``head`` (lowest perplexity) / ``middle`` / ``tail``.
+
+    Token-less documents (nothing survives the ASCII normalization)
+    carry NULL ``ce_tok_fp`` and land in ``tail`` by the
+    when-in-doubt-low-quality convention; they are excluded from the
+    model, histogram, and thresholds.
+
+    Plan shape at 100 TB: the wide shuffles are the (doc, bucket) token
+    counts and the per-doc sum — both with map-side partials; the LM is
+    an ``n_buckets``-row broadcast, the histogram an ``n_bins``-row
+    aggregate, the thresholds one broadcast row. The global cumsum
+    window runs over the BIN table (≤ n_bins rows, post-aggregate — the
+    plan-gate-sanctioned shape), never the corpus.
+
+    Returns (doc_id, n_toks, ce_tok_fp, ppl_bucket) for every document.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.col(ref_col),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.regexp_replace(F.col(text_col), "[^ -~]", " ")),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    tb = toks.select(
+        id_col,
+        ref_col,
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    corpus_buckets = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("nc"))
+    ref = (
+        tb.filter(F.col(ref_col) == ref_val)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    nt_tot = ref.agg(F.sum("nt").alias("all_nt"))
+    # same double-op order as the SQL twin: divide, then ln, then round
+    p_t = (F.coalesce(F.col("nt"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("all_nt").cast("double") + F.lit(float(n_buckets))
+    )
+    lm = (
+        corpus_buckets.join(ref, "bucket", "left")
+        .crossJoin(F.broadcast(nt_tot))
+        .select(
+            "bucket",
+            F.round(F.lit(1e6) * F.log(p_t)).cast("long").alias("logp_fp"),
+        )
+    )
+    cnt = tb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        cnt.join(F.broadcast(lm), "bucket")
+        .groupBy(id_col)
+        .agg(
+            (-F.sum(F.col("cnt") * F.col("logp_fp"))).alias("ce_fp"),
+            F.sum("cnt").alias("n_toks"),
+        )
+        .select(
+            id_col,
+            "n_toks",
+            F.expr("(ce_fp * 1000) div n_toks").alias("ce_tok_fp"),
+        )
+    )
+    rng = scored.agg(
+        F.min("ce_tok_fp").alias("mn"),
+        F.max("ce_tok_fp").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        id_col,
+        "n_toks",
+        "ce_tok_fp",
+        F.expr(
+            "(ce_tok_fp - mn) div ((mx - mn) div "
+            f"{n_bins} + 1)"
+        ).alias("bin"),
+    )
+    bins = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("bn"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select("bin", F.sum("bn").over(w).alias("cum"))
+    thresholds = (
+        cum.crossJoin(F.broadcast(rng.select("n")))
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("bin"))
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("bin")
+                )
+            ).alias("t2"),
+        )
+    )
+    assigned = binned.crossJoin(F.broadcast(thresholds)).select(
+        id_col,
+        "n_toks",
+        "ce_tok_fp",
+        F.when(F.col("bin") <= F.col("t1"), F.lit("head"))
+        .when(F.col("bin") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    # token-less docs: not in `scored` at all (no posting rows) — emit
+    # them explicitly with the documented tail convention
+    empty = (
+        docs.select(id_col)
+        .join(assigned.select(id_col), id_col, "left_anti")
+        .select(
+            id_col,
+            F.lit(0).cast("long").alias("n_toks"),
+            F.lit(None).cast("long").alias("ce_tok_fp"),
+            F.lit("tail").alias("ppl_bucket"),
+        )
+    )
+    return assigned.unionByName(empty)

@@ -7442,6 +7442,78 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "ccnet_ppl_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_filter(
+               string_split(lower(regexp_replace(text, '[^ -~]', ' ', 'g')), ' '),
+               t -> t <> '')) AS tok
+      FROM documents),
+    tb AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS bucket
+           FROM toks),
+    cb AS (SELECT bucket, count(*) AS nc FROM tb GROUP BY bucket),
+    ref AS (SELECT bucket, count(*) AS nt
+            FROM tb WHERE lang = 'en' GROUP BY bucket),
+    tot AS (SELECT sum(nt) AS all_nt FROM ref),
+    lm AS (SELECT c.bucket,
+             CAST(ROUND(1e6 * ln(
+               (CAST(coalesce(r.nt, 0) AS DOUBLE) + 1.0)
+                 / (CAST(all_nt AS DOUBLE) + 4096.0))) AS BIGINT) AS logp_fp
+           FROM cb c LEFT JOIN ref r USING (bucket), tot),
+    cnt AS (SELECT doc_id, bucket, count(*) AS cnt
+            FROM tb GROUP BY doc_id, bucket),
+    scored AS (SELECT c.doc_id,
+                      CAST(-sum(c.cnt * l.logp_fp) AS BIGINT) AS ce_fp,
+                      CAST(sum(c.cnt) AS BIGINT) AS n_toks
+               FROM cnt c JOIN lm l USING (bucket) GROUP BY c.doc_id),
+    sc2 AS (SELECT doc_id, n_toks,
+                   CAST((ce_fp * 1000) // n_toks AS BIGINT) AS ce_tok_fp
+            FROM scored),
+    rng AS (SELECT MIN(ce_tok_fp) AS mn, MAX(ce_tok_fp) AS mx,
+                   COUNT(*) AS n FROM sc2),
+    binned AS (SELECT doc_id, n_toks, ce_tok_fp,
+                 CAST((ce_tok_fp - mn) // ((mx - mn) // 512 + 1) AS BIGINT)
+                   AS bin
+               FROM sc2, rng),
+    bins AS (SELECT bin, count(*) AS bn FROM binned GROUP BY bin),
+    cum AS (SELECT bin,
+              SUM(bn) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+            FROM bins),
+    thr AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN bin END) AS t1,
+                   MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN bin END) AS t2
+            FROM cum, rng),
+    assigned AS (
+      SELECT doc_id, n_toks, ce_tok_fp,
+             CASE WHEN bin <= t1 THEN 'head'
+                  WHEN bin <= t2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM binned, thr)
+    SELECT doc_id, n_toks, ce_tok_fp, ppl_bucket FROM assigned
+    UNION ALL
+    SELECT d.doc_id, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), 'tail'
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM assigned)
+    """,
+)
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020) over
+    the documents corpus — the LM-quality tiering step of the published
+    web-crawl curation recipe, joining the quality-scoring family
+    (quality_nb_scores, dsir_importance_weights) with the third
+    published selection signal: cross-entropy under a reference LM
+    (here the deterministic hashed-unigram stand-in for
+    KenLM-on-Wikipedia, the dsir substitution). Hash-checked end to
+    end: LM fit, per-doc fixed-point cross-entropy, histogram-derived
+    tercile thresholds, and the final head/middle/tail assignment
+    (operators/pipeline.py::ccnet_ppl_buckets — the scale rationale for
+    the bin-granular thresholds lives there)."""
+    from backend_fastapi_spark.operators.pipeline import ccnet_ppl_buckets
+
+    return ccnet_ppl_buckets(_t(spark, sf_dir, "documents"))
+
+
 def _c4_span_cte(input_cte: str, n: int = 3) -> str:
     """Span-dedup CTE chain over any (doc_id, text) relation named by
     ``input_cte`` — shared by c4_span_dedup and the composed web

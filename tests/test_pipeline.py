@@ -445,3 +445,53 @@ def test_dsir_weights_favor_target_domain(spark):
         for r in dsir_weights(docs.repartition(13), top_k=20).collect()
     ]
     assert head == head_rp and len(head) == 20
+
+
+def test_ccnet_ppl_buckets_tiers_are_ordered_and_cover(spark):
+    """CCNet tiers: (a) every doc assigned exactly once; (b) the tiers
+    are ORDERED in cross-entropy (bins are ce-ordered and thresholds are
+    bin boundaries, so head.max_ce <= middle.min_ce <= middle.max_ce <=
+    tail.min_ce — equal-ce docs share a bin and can never straddle);
+    (c) tier sizes are thirds up to bin granularity; (d) the assignment
+    is partitioning-invariant."""
+    from backend_fastapi_spark.operators.pipeline import ccnet_ppl_buckets
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    n = docs.count()
+    rows = ccnet_ppl_buckets(docs).collect()
+    assert len(rows) == n
+    by = {}
+    for r in rows:
+        by.setdefault(r["ppl_bucket"], []).append(r["ce_tok_fp"])
+    assert set(by) == {"head", "middle", "tail"}
+    scored_tail = [v for v in by["tail"] if v is not None]
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(scored_tail)
+    for tier in ("head", "middle", "tail"):
+        assert n / 3 - 60 <= len(by[tier]) <= n / 3 + 60, tier
+
+    again = ccnet_ppl_buckets(docs.repartition(13)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ccnet_ppl_buckets_tokenless_doc_goes_to_tail(spark):
+    from backend_fastapi_spark.operators.pipeline import ccnet_ppl_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "the quick brown fox jumps over the lazy dog"),
+            (1, "en", "the quick brown fox"),
+            (2, "en", "zzz qqq xxx vvv kkk jjj"),
+            (3, "ko", "안녕하세요"),  # no ASCII tokens
+            (4, "en", "the the the the"),
+            (5, "en", "lazy dog jumps"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in ccnet_ppl_buckets(docs).collect()}
+    assert len(out) == 6
+    r3 = out[3]
+    assert (r3["ppl_bucket"], r3["n_toks"], r3["ce_tok_fp"]) == ("tail", 0, None)
+    # reference-slice-typical tokens score LOWER cross-entropy than
+    # tokens the reference slice never emits
+    assert out[0]["ce_tok_fp"] < out[2]["ce_tok_fp"]
