@@ -574,12 +574,18 @@ def ccnet_ppl_buckets(
     when-in-doubt-low-quality convention; they are excluded from the
     model, histogram, and thresholds.
 
-    Plan shape at 100 TB: the wide shuffles are the (doc, bucket) token
-    counts and the per-doc sum — both with map-side partials; the LM is
-    an ``n_buckets``-row broadcast, the histogram an ``n_bins``-row
-    aggregate, the thresholds one broadcast row. The global cumsum
-    window runs over the BIN table (≤ n_bins rows, post-aggregate — the
-    plan-gate-sanctioned shape), never the corpus.
+    Plan shape at 100 TB: the corpus is tokenized ONCE — the (doc,
+    bucket) count table is the cached shared substrate (the
+    dedup.shingle_table discipline) feeding the model fit (two
+    4096-key fold-up aggregates) and the per-doc scoring, and the
+    cached per-doc score table feeds the range/histogram/assignment
+    consumers (without the caches the lineage replays the corpus scan
+    per consumer — 4 scans in the uncached plan). The wide shuffles
+    are the token counts and the per-doc sum, both with map-side
+    partials; the LM is an ``n_buckets``-row broadcast, the histogram
+    an ``n_bins``-row aggregate, the thresholds one broadcast row. The
+    global cumsum window runs over the BIN table (≤ n_bins rows,
+    post-aggregate — the plan-gate-sanctioned shape), never the corpus.
 
     Returns (doc_id, n_toks, ce_tok_fp, ppl_bucket) for every document.
     """
@@ -604,11 +610,23 @@ def ccnet_ppl_buckets(
             % n_buckets
         ).alias("bucket"),
     )
-    corpus_buckets = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("nc"))
+    # ONE tokenize pass + ONE token-level shuffle: the (doc, bucket)
+    # count table is the shared substrate (ref_col rides along — it is
+    # functionally dependent on the doc id); the model's bucket counts
+    # fold from it with 4096-key aggregates instead of re-exploding the
+    # corpus per consumer. .cache() is the dedup.shingle_table
+    # discipline — this substrate feeds the model fit, the per-doc
+    # scoring, and (via `scored`) three threshold consumers.
+    per = (
+        tb.groupBy(id_col, ref_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    corpus_buckets = per.groupBy("bucket").agg(F.sum("cnt").alias("nc"))
     ref = (
-        tb.filter(F.col(ref_col) == ref_val)
+        per.filter(F.col(ref_col) == ref_val)
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("nt"))
+        .agg(F.sum("cnt").alias("nt"))
     )
     nt_tot = ref.agg(F.sum("nt").alias("all_nt"))
     # same double-op order as the SQL twin: divide, then ln, then round
@@ -623,7 +641,10 @@ def ccnet_ppl_buckets(
             F.round(F.lit(1e6) * F.log(p_t)).cast("long").alias("logp_fp"),
         )
     )
-    cnt = tb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = per.select(id_col, "bucket", "cnt")
+    # .cache(): `scored` is read by the range aggregate, the histogram,
+    # and the final assignment — without it each consumer would replay
+    # the whole tokenize+fit lineage (the plan showed 4 corpus scans)
     scored = (
         cnt.join(F.broadcast(lm), "bucket")
         .groupBy(id_col)
@@ -636,6 +657,7 @@ def ccnet_ppl_buckets(
             "n_toks",
             F.expr("(ce_fp * 1000) div n_toks").alias("ce_tok_fp"),
         )
+        .cache()
     )
     rng = scored.agg(
         F.min("ce_tok_fp").alias("mn"),

@@ -1752,7 +1752,7 @@ def main() -> None:
              "bm25_keyword_topk", "hybrid_rrf_topk", "mmr_diversified_topk",
              "hybrid_rag_end_to_end",
              # r13: the bounded-probe lexical path's 10x growth
-             "bm25_champion_topk"],
+             "bm25_champion_topk", "ccnet_ppl_buckets"],
             bench_round(),
         )
         time_set(
@@ -1793,7 +1793,7 @@ def main() -> None:
              "bm25_keyword_topk", "hybrid_rrf_topk", "mmr_diversified_topk",
              "hybrid_rag_end_to_end",
              # r13: the bounded-probe lexical path's 100x growth
-             "bm25_champion_topk"],
+             "bm25_champion_topk", "ccnet_ppl_buckets"],
             bench_round(),
         )
         time_set(
