@@ -711,3 +711,100 @@ def ccnet_ppl_buckets(
         )
     )
     return assigned.unionByName(empty)
+
+
+# --- Training-shard export (WebDataset/MDS-style sharded corpus dump) ----
+#
+# Reference boundary: the reference serves documents row-at-a-time from its
+# store (internal_db_service.py's fetch paths); it has no bulk-export
+# surface. A training pipeline needs one: deterministic assignment of every
+# document to one of N shards, a verifiable per-shard manifest, and a
+# writer that lays the shards out as one directory per shard. All three are
+# hash-derived (no RNG state), so a re-export after an append lands every
+# pre-existing doc in the same shard with the same intra-shard order.
+
+
+def assign_training_shards(
+    df: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Add a ``shard`` column: ``int(md5(id)[:8], 16) % n_shards``.
+
+    Hash-uniform, so shards balance to ~1/n_shards of rows each without a
+    global sort; partitioning-independent and rerun-stable. 100 TB posture:
+    one string hash + one modulo per row, narrow (no shuffle) — the shuffle
+    happens only in the writer, keyed on the shard id.
+    """
+    if n_shards < 1:
+        raise ValueError(f"assign_training_shards: n_shards={n_shards} < 1")
+    shard = (
+        F.conv(F.substring(md5_of_id(id_col), 1, 8), 16, 10).cast("long")
+        % n_shards
+    ).cast("int")
+    return df.withColumn("shard", shard)
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest: doc count, whitespace-token count, payload
+    bytes, and an order-independent content checksum (sum of the 32-bit
+    md5 prefix of each payload) — enough to verify an export end-to-end
+    without re-reading payloads row-by-row.
+
+    The checksum is a SUM of per-doc 32-bit values: commutative, so it is
+    stable under any partitioning/merge order; int64 headroom holds to
+    ~2^31 docs per shard, far past any real shard size (shards are sized
+    in the millions of docs).
+    """
+    out = assign_training_shards(df, n_shards, id_col)
+    toks = F.size(F.split(F.lower(F.col(text_col)), " ")).cast("long")
+    h32 = F.conv(
+        F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+            F.sum(F.octet_length(F.col(text_col)).cast("long")).alias(
+                "n_bytes"
+            ),
+            F.sum(h32).alias("content_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    mode: str = "error",
+) -> None:
+    """Write ``df`` as a sharded training corpus: ``path/shard=K/`` parquet
+    per shard, deterministic membership (``assign_training_shards``) and
+    deterministic intra-shard order (sorted by ``id_col``), so two exports
+    of the same corpus are byte-identical modulo parquet metadata.
+
+    Plan shape: exactly one shuffle — ``repartition(n_shards, shard)``
+    co-locates each shard in one task so each shard directory gets one
+    file in sorted order. At 100 TB raise ``n_shards`` (the standard
+    export is thousands of shards of ~a few GB); the plan is unchanged —
+    the shuffle is keyed on the shard id and each task streams one shard.
+    """
+    if mode not in ("error", "overwrite"):
+        raise ValueError(
+            f"write_training_shards: mode={mode!r} not in ('error', 'overwrite')"
+        )
+    out = assign_training_shards(df, n_shards, id_col)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -5786,6 +5786,43 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_shard_manifest",
+    oracle="""
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 16 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+                AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT))
+                AS BIGINT) AS n_bytes,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus shard export, manifest side: deterministic md5-mod
+    assignment of every document to one of 16 shards plus per-shard doc /
+    token / byte totals and an order-independent content checksum — the
+    verification artifact for a WebDataset/MDS-style sharded dump (the
+    writer itself is ``PL.write_training_shards``, roundtrip-tested in
+    tests/test_pipeline.py). The reference has no bulk-export surface
+    (it serves docs row-at-a-time, internal_db_service.py); this is the
+    pretraining-pipeline addition the brief asks for.
+
+    Plan shape: narrow hash per row, then ONE keyed aggregation with
+    map-side partials (16 groups). At 100 TB the shard count rises but
+    the plan is unchanged; the checksum is a commutative sum so it is
+    partitioning-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    return PL.shard_manifest(docs, n_shards=16).select(
+        "shard", "n_docs", "n_tokens", "n_bytes", "content_sum"
+    )
+
+
+@register(
     "multimodal_feature_stats",
     oracle="""
     WITH media AS (
