@@ -808,3 +808,47 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def append_training_shards(
+    df: DataFrame,
+    path: str,
+    batch_token: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental shard export: write one batch of new documents under
+    ``path/batch=<token>/shard=K/``, leaving every prior batch untouched.
+
+    Idempotence is the batch directory itself: a retried trigger with the
+    same ``batch_token`` rewrites ONLY its own ``batch=<token>`` subtree
+    (mode=overwrite on that path), so a crash-retry can never duplicate
+    rows into the export — the same discipline the postings/IVF delta
+    segments use, without needing a marker file because the token IS the
+    directory. Shard membership is the same md5-mod hash as the one-shot
+    writer, so a doc lands in the same shard whether exported in bulk or
+    by append, and the manifest checksums merge commutatively across
+    batches (SUM of per-doc 32-bit values) — growth never rescans old
+    batches.
+    """
+    token = str(batch_token)
+    if not token or any(c in token for c in "/\\= "):
+        raise ValueError(
+            f"append_training_shards: batch_token {batch_token!r} must be a "
+            "non-empty path-safe string (no '/', '\\', '=', or spaces)"
+        )
+    out = assign_training_shards(df, n_shards, id_col)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/batch={token}")
+    )
+
+
+def read_training_shards(spark, path: str) -> DataFrame:
+    """Read an incremental shard export back as one DataFrame with
+    ``batch`` and ``shard`` partition columns recovered from the
+    directory layout."""
+    return spark.read.option("basePath", path).parquet(f"{path}/batch=*")

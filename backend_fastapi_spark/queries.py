@@ -5823,6 +5823,64 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_export_audit",
+    oracle="""
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 16 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id % 2) AS n_batches,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def q_shard_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental shard export certified from the persisted files: batch
+    0001 appends the even docs, batch 0002 the odd docs, then batch 0002
+    is RETRIED with the same token (the crash-retry case — it must
+    rewrite only its own ``batch=0002`` subtree, never duplicate). The
+    Spark side then reads the export back from disk and manifests it
+    per shard (doc count, distinct batches touched, commutative content
+    checksum); the oracle computes THE SAME numbers from the source
+    table alone (batch membership == doc parity by construction), so a
+    hash match proves the export's on-disk layout reproduces the corpus
+    exactly once per doc with hash-stable shard membership — the
+    exactly-once discipline of the postings/IVF delta segments applied
+    to the bulk-export surface."""
+    import os
+
+    from backend_fastapi_spark.operators.pipeline import (
+        append_training_shards,
+        read_training_shards,
+    )
+
+    base = os.path.join(
+        _INDEX_ROOT,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "shard_export",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    append_training_shards(docs.filter(F.col("doc_id") % 2 == 0), base, "0001")
+    append_training_shards(docs.filter(F.col("doc_id") % 2 == 1), base, "0002")
+    # crash-retry of the second trigger: same token, same rows
+    append_training_shards(docs.filter(F.col("doc_id") % 2 == 1), base, "0002")
+    back = read_training_shards(spark, base)
+    h32 = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long")
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("batch").alias("n_batches"),
+            F.sum(h32).alias("content_sum"),
+        )
+        .orderBy("shard")
+        .select("shard", "n_docs", "n_batches", "content_sum")
+    )
+
+
+@register(
     "multimodal_feature_stats",
     oracle="""
     WITH media AS (

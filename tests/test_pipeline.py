@@ -558,3 +558,58 @@ def test_training_shards_mode_and_bounds_guards(spark, tmp_path):
     # intra-shard order is deterministic: shard column range-checked
     got = assign_training_shards(docs, 4).select("shard").collect()
     assert all(0 <= r["shard"] < 4 for r in got)
+
+
+def test_append_training_shards_idempotent_and_merge_law(spark, tmp_path):
+    """Two appended batches + a crash-retry of the second == the union:
+    same shard membership as a one-shot export, and the per-shard
+    manifest of the export equals the manifest computed on the union
+    (the commutative-checksum merge law)."""
+    from backend_fastapi_spark.operators.pipeline import (
+        append_training_shards,
+        read_training_shards,
+        shard_manifest,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    out = str(tmp_path / "export")
+
+    append_training_shards(b1, out, "0001", n_shards=4)
+    append_training_shards(b2, out, "0002", n_shards=4)
+    # crash-retry: same token rewrites only its own batch dir
+    append_training_shards(b2, out, "0002", n_shards=4)
+
+    back = read_training_shards(spark, out)
+    assert back.count() == docs.count()
+    assert sorted(
+        r["batch"] for r in back.select("batch").distinct().collect()
+    ) == [1, 2]
+
+    m_export = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["n_bytes"], r["content_sum"])
+        for r in shard_manifest(
+            back.drop("shard", "batch"), n_shards=4
+        ).collect()
+    }
+    m_union = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["n_bytes"], r["content_sum"])
+        for r in shard_manifest(docs, n_shards=4).collect()
+    }
+    assert m_export == m_union
+
+    # shard membership matches the one-shot writer's assignment
+    from backend_fastapi_spark.operators.pipeline import assign_training_shards
+
+    one_shot = {
+        r["doc_id"]: r["shard"]
+        for r in assign_training_shards(docs, 4).select("doc_id", "shard").collect()
+    }
+    appended = {r["doc_id"]: r["shard"] for r in back.select("doc_id", "shard").collect()}
+    assert appended == one_shot
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="batch_token"):
+        append_training_shards(b1, out, "bad/token", n_shards=4)
