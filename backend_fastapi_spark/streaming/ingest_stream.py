@@ -491,3 +491,50 @@ def curate_batch(
     finally:
         rows.unpersist()
 
+
+
+def stream_shard_export(
+    docs_stream: DataFrame,
+    export_path: str,
+    checkpoint_path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Continuously GROW a sharded training-corpus export from a document
+    stream — the streaming form of the bulk-export surface
+    (``operators/pipeline.py::append_training_shards``).
+
+    Each micro-batch lands under ``batch=<batch_id>/shard=K/``: the
+    micro-batch id is the idempotence token, and an at-least-once
+    foreachBatch retry rewrites exactly its own batch subtree (mode
+    overwrite on that path), so the export holds every streamed doc
+    exactly once without markers, manifests, or overlap checks — the
+    token IS the directory. Shard membership is the same md5-mod hash as
+    the one-shot writer, so a doc shards identically whether exported in
+    bulk or streamed, and per-shard manifest checksums merge
+    commutatively across batch directories (growth never rescans old
+    batches). Unlike the postings/IVF sinks there is nothing to compact:
+    training readers consume ``batch=*/shard=K/`` per shard, and a
+    too-many-small-files cleanup is a plain offline rewrite of old batch
+    dirs into one (the layout stays valid throughout because readers
+    glob directories, not a manifest)."""
+    from backend_fastapi_spark.operators.pipeline import (
+        append_training_shards,
+    )
+
+    def add(batch_df: DataFrame, batch_id: int) -> None:
+        append_training_shards(
+            batch_df,
+            export_path,
+            batch_token=str(batch_id),
+            n_shards=n_shards,
+            id_col=id_col,
+        )
+
+    # no outputMode: foreachBatch ignores it (ADVICE r11) — delivery
+    # semantics are the batch-token idempotence above
+    return (
+        docs_stream.writeStream.foreachBatch(add)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )

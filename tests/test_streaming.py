@@ -1074,3 +1074,77 @@ def test_rebuild_resumes_from_staging_and_keeps_sq8(spark, tmp_path):
     assert back.count() == n_total
     assert {"scale_fx", "code"} <= set(back.columns)  # SQ8 layout kept
     assert back.filter(F.col("vec_id") >= 1_000_000).count() == 10
+
+
+def test_stream_shard_export_exactly_once_and_batch_parity(spark):
+    """Streamed shard export == bulk export of the same docs: identical
+    shard membership, per-shard manifests equal, and a second identical
+    run over a FRESH checkpoint but the same export dir (the replayed-
+    token worst case) leaves the manifest unchanged."""
+    from backend_fastapi_spark.operators.pipeline import (
+        assign_training_shards,
+        read_training_shards,
+        shard_manifest,
+    )
+    from backend_fastapi_spark.sources.parquet import read_table
+    from backend_fastapi_spark.streaming.ingest_stream import (
+        stream_shard_export,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="shexp_src_")
+    out = tempfile.mkdtemp(prefix="shexp_out_")
+    chk1 = tempfile.mkdtemp(prefix="shexp_ck1_")
+    chk2 = tempfile.mkdtemp(prefix="shexp_ck2_")
+    try:
+        docs.filter("doc_id % 2 = 0").repartition(1).write.parquet(f"{src}/a")
+        docs.filter("doc_id % 2 = 1").repartition(1).write.parquet(f"{src}/b")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_shard_export(stream, out, chk1, n_shards=4)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        back = read_training_shards(spark, out)
+        assert back.count() == docs.count()
+
+        manifest = lambda df: {  # noqa: E731
+            r["shard"]: (r["n_docs"], r["n_tokens"], r["n_bytes"], r["content_sum"])
+            for r in shard_manifest(df, n_shards=4).collect()
+        }
+        assert manifest(back.drop("shard", "batch")) == manifest(docs)
+
+        streamed = {r["doc_id"]: r["shard"] for r in back.select("doc_id", "shard").collect()}
+        bulk = {
+            r["doc_id"]: r["shard"]
+            for r in assign_training_shards(docs, 4).select("doc_id", "shard").collect()
+        }
+        assert streamed == bulk
+
+        # replayed tokens: a fresh checkpoint re-delivers batches 0..N with
+        # the SAME ids over the same export dir — each rewrites only its
+        # own batch subtree, so the manifest is unchanged
+        stream2 = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q2 = stream_shard_export(stream2, out, chk2, n_shards=4)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        back2 = read_training_shards(spark, out)
+        assert manifest(back2.drop("shard", "batch")) == manifest(docs)
+        assert back2.count() == docs.count()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(chk1, ignore_errors=True)
+        shutil.rmtree(chk2, ignore_errors=True)
