@@ -1126,6 +1126,72 @@ def champion_scale_stanza(spark, sf_dir: str, r: int = 64) -> dict:
     return out
 
 
+def shard_export_stanza(spark, sf_dir: str, n_shards: int = 64) -> dict:
+    """Training-shard export at sf10 doc scale (round 13): the bulk-export
+    surface's 100 TB claims with numbers, same corpus, same session:
+
+    (a) one-shot export of the corpus to n_shards sorted shard dirs —
+        wall cost of the single shard-keyed shuffle + write, on-disk MB;
+    (b) incremental append of a ~1% batch — must price O(batch), not
+        O(corpus) (the batch=token subtree never touches prior batches);
+    (c) manifest from the persisted files — doc-count conservation vs
+        the source and hash-balance (max shard / ideal share).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from backend_fastapi_spark.operators.pipeline import (
+        append_training_shards, shard_manifest, write_training_shards)
+    from backend_fastapi_spark.sources.parquet import read_table
+
+    def tree_bytes(p: str) -> int:
+        total = 0
+        for root_, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root_, f))
+                except OSError:
+                    pass
+        return total
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    base = docs.filter(F.col("doc_id") % 100 != 0)
+    batch = docs.filter(F.col("doc_id") % 100 == 0)
+    root = tempfile.mkdtemp(prefix="bench_shard_export_")
+    bulk, inc = f"{root}/bulk", f"{root}/inc"
+    out: dict = {"n_docs": n_docs, "n_shards": n_shards}
+    try:
+        t0 = time.perf_counter()
+        write_training_shards(docs, bulk, n_shards=n_shards)
+        out["bulk_write_s"] = round(time.perf_counter() - t0, 3)
+        out["bulk_mb"] = round(tree_bytes(bulk) / 1e6, 2)
+
+        t0 = time.perf_counter()
+        append_training_shards(base, inc, "0001", n_shards=n_shards)
+        out["base_append_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        append_training_shards(batch, inc, "0002", n_shards=n_shards)
+        out["small_batch_append_s"] = round(time.perf_counter() - t0, 3)
+        out["small_batch_rows"] = batch.count()
+
+        t0 = time.perf_counter()
+        m = shard_manifest(
+            spark.read.parquet(bulk).drop("shard"), n_shards=n_shards
+        ).collect()
+        out["manifest_s"] = round(time.perf_counter() - t0, 3)
+        counts = [r["n_docs"] for r in m]
+        out["manifest_docs_total"] = int(sum(counts))
+        out["rows_conserved"] = bool(sum(counts) == n_docs)
+        out["shard_balance_max_over_ideal"] = round(
+            max(counts) / (n_docs / n_shards), 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def zorder_scale_stanza(spark, sf_dir: str, n_files: int = 128) -> dict:
     """Z-order skipping at realistic row-group counts (VERDICT r09
     directive #3): the hash-green ``zorder_skipping`` audit runs at
@@ -1900,6 +1966,8 @@ def main() -> None:
                 "sf10_postings": postings_scale_stanza(spark, sf10_dir)}),
             ("sf10_champion", 150.0, lambda: {
                 "sf10_champion": champion_scale_stanza(spark, sf10_dir)}),
+            ("sf10_shard_export", 40.0, lambda: {
+                "sf10_shard_export": shard_export_stanza(spark, sf10_dir)}),
             ("sf10_cc_distributed", 180.0, lambda: {
                 "sf10_cc_distributed": cc_distributed_stanza(
                     spark, sf10_dir)}),
