@@ -888,6 +888,141 @@ def _medoid_probe(queries: DataFrame, med, nprobe: int) -> DataFrame:
     )
 
 
+def _medoid_probe_adaptive(
+    queries: DataFrame,
+    med,
+    nprobe_max: int,
+    alpha_num: int,
+    alpha_den: int,
+) -> DataFrame:
+    """(q_id, _pq, cluster): the ADAPTIVE probe set — clusters whose
+    centroid distance is within alpha (= alpha_num/alpha_den) of the
+    nearest centroid's, capped at the nprobe_max closest. The FAISS-style
+    fixed nprobe pays the worst case on every query; the ratio test
+    probes 1 list when the coarse assignment is decisive (d_min well
+    separated) and widens toward nprobe_max only when centroids tie —
+    probed bytes track query difficulty instead of the global knob.
+
+    All-integer comparison (``d·alpha_den <= d_min·alpha_num``),
+    evaluated in decimal(38,0) so ANY alpha is overflow-proof (d ≤
+    2.6e14 per _l2_i64_lit; an int64 product would cliff past
+    alpha_num ≈ 2^15 — the probe-everything test uses 1e6). The values
+    are integers throughout, so the decision is exact, and for the
+    registered constants (3/2) the product also fits int64 — which is
+    what the DuckDB oracle computes, keeping the two engines'
+    inequality bit-identical. The rank-1 cluster always satisfies the
+    test (alpha ≥ 1), so the probe set is never empty; d_min = 0 (query
+    IS a centroid) degenerates to exact-match clusters only — the
+    correct limit."""
+    if alpha_num < alpha_den:
+        raise ValueError(
+            f"adaptive probe: alpha = {alpha_num}/{alpha_den} must be >= 1"
+        )
+    if nprobe_max < 1:
+        raise ValueError(f"adaptive probe: nprobe_max={nprobe_max} < 1")
+
+    def argmin_struct(qv):
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _l2_i64_lit(qv, cv).alias("d"),
+                        F.lit(c).cast("int").alias("cluster"),
+                    )
+                    for c, cv in med
+                ]
+            )
+        )
+
+    arr = argmin_struct(F.col("_pq"))
+    dmin = arr[0]["d"].cast("decimal(38,0)")
+    kept = F.filter(
+        F.slice(arr, 1, nprobe_max),
+        lambda s: s["d"].cast("decimal(38,0)") * F.lit(alpha_den)
+        <= dmin * F.lit(alpha_num),
+    )
+    return (
+        queries.select(
+            F.col("q_id"), _quantize(F.col("q_embedding")).alias("_pq")
+        )
+        .select("q_id", "_pq", F.explode(kept).alias("_probe"))
+        .select("q_id", "_pq", F.col("_probe")["cluster"].alias("cluster"))
+    )
+
+
+def _rerank_over_probe(
+    df: DataFrame,
+    probe: DataFrame,
+    med,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF tail: Arrow-matmul coarse assignment of the corpus,
+    broadcast the |Q|-row probe set, score only probed lists, per-query
+    top-k with total tie-break — the body ivf_deterministic_topk and
+    ivf_adaptive_topk have in common (the probe DEFINITION is the only
+    difference between them)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("_qv")
+    )
+    assigned = _assign_arrow(base, med, id_col)
+    cand = assigned.join(F.broadcast(probe), "cluster").filter(
+        ~F.col(id_col).cast("string").eqNullSafe(F.col("q_id").cast("string"))
+    )
+    scored = cand.select(
+        "q_id",
+        id_col,
+        "cluster",
+        F.aggregate(
+            F.zip_with("_qv", "_pq", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_i64"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_i64").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col, "cluster", "score_i64")
+    )
+
+
+def ivf_adaptive_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_clusters: int = 16,
+    nprobe_max: int = 8,
+    alpha_num: int = 3,
+    alpha_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    med: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """IVF search with an ADAPTIVE probe set (ratio test, see
+    _medoid_probe_adaptive) instead of a fixed nprobe: per query, probe
+    the clusters within alpha of the nearest centroid distance, never
+    more than nprobe_max. Same deterministic substrate as
+    ivf_deterministic_topk (md5-medoid or trained centroids, int64
+    fixed-point, total tie-breaks) so the whole plan — including the
+    per-query probe-set decision — is hash-checkable against a DuckDB
+    oracle. Plan shape is identical to the fixed-nprobe path; only the
+    |Q|-row probe side changes, so the 100 TB cost model (corpus scanned
+    once, probed fraction of lists re-ranked) carries over with the
+    probed fraction now query-adaptive."""
+    if med is None:
+        med = deterministic_medoids(df, k_clusters, id_col, vec_col)
+    probe = _medoid_probe_adaptive(
+        queries, med, nprobe_max, alpha_num, alpha_den
+    )
+    return _rerank_over_probe(df, probe, med, k, id_col, vec_col)
+
+
 def ivf_deterministic_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -917,45 +1052,18 @@ def ivf_deterministic_topk(
     candidates already pruned to nprobe/k_clusters of the corpus.
 
     ``queries`` must carry (q_id, q_embedding) like vector.knn_exact.
-    """
-    from pyspark.sql import Window
 
+    Self-exclusion (in _rerank_over_probe) compares the STRING forms:
+    with mixed id types (string query ids vs int corpus ids — the case
+    knn_exact also guards) a raw != would coerce one side to NULL and
+    the filter would silently drop EVERY candidate. Identical-type ids
+    compare identically as strings apart from cross-type coincidences,
+    which cannot be 'self' anyway.
+    """
     if med is None:
         med = deterministic_medoids(df, k_clusters, id_col, vec_col)
-
-    base = df.select(
-        F.col(id_col), _quantize(F.col(vec_col)).alias("_qv")
-    )
-    assigned = _assign_arrow(base, med, id_col)
     probe = _medoid_probe(queries, med, nprobe)
-
-    # self-exclusion compares the STRING forms: with mixed id types
-    # (string query ids vs int corpus ids — the case knn_exact also
-    # guards) a raw != would coerce one side to NULL and the filter
-    # would silently drop EVERY candidate. Identical-type ids compare
-    # identically as strings apart from cross-type coincidences, which
-    # cannot be 'self' anyway.
-    cand = assigned.join(F.broadcast(probe), "cluster").filter(
-        ~F.col(id_col).cast("string").eqNullSafe(F.col("q_id").cast("string"))
-    )
-    scored = cand.select(
-        "q_id",
-        id_col,
-        "cluster",
-        F.aggregate(
-            F.zip_with("_qv", "_pq", lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("score_i64"),
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("score_i64").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("q_id", id_col, "cluster", "score_i64")
-    )
+    return _rerank_over_probe(df, probe, med, k, id_col, vec_col)
 
 
 def ivf_search(

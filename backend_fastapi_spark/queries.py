@@ -6877,6 +6877,96 @@ def q_ann_ivf_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_adaptive_oracle_sql(
+    n_queries: int = 3,
+    k: int = 10,
+    k_clusters: int = 16,
+    nprobe_max: int = 8,
+    alpha_num: int = 3,
+    alpha_den: int = 2,
+) -> str:
+    """DuckDB twin of ivf_adaptive_topk: the _ivf_det_oracle_sql CTE
+    chain with the probe CTE swapped for the ratio test — probe every
+    cluster within alpha (= alpha_num/alpha_den) of the per-query
+    minimum centroid distance, capped at the nprobe_max closest. The
+    comparison is the IDENTICAL integer inequality the Spark side
+    evaluates (d·alpha_den <= d_min·alpha_num), so the per-query probe
+    DECISION — not just the re-rank — is hash-checked."""
+    from backend_fastapi_spark.operators.vector import FIXED_SCALE
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE)*{FIXED_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings),
+    med AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INTEGER) AS cluster,
+             qv AS cv
+      FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {k_clusters}),
+    dist AS (
+      SELECT a.vec_id, m.cluster,
+             CAST(list_sum(list_transform(list_zip(a.qv, m.cv),
+               x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS d
+      FROM q a, med m),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist) WHERE rn = 1),
+    probe AS (
+      SELECT q_id, cluster FROM (
+        SELECT vec_id AS q_id, cluster, d,
+               MIN(d) OVER (PARTITION BY vec_id) AS dmin,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist WHERE vec_id < {n_queries})
+      WHERE rn <= {nprobe_max}
+        AND d * {alpha_den} <= dmin * {alpha_num}),
+    scored AS (
+      SELECT p.q_id, a.vec_id, a.cluster,
+             CAST(list_sum(list_transform(list_zip(qq.qv, vv.qv),
+               x -> x[1]*x[2])) AS BIGINT) AS score_i64
+      FROM assign a
+      JOIN probe p USING (cluster)
+      JOIN q qq ON qq.vec_id = p.q_id
+      JOIN q vv ON vv.vec_id = a.vec_id
+      WHERE a.vec_id <> p.q_id)
+    SELECT q_id, vec_id, cluster, score_i64 FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score_i64 DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= {k}
+    """
+
+
+@register("ann_ivf_adaptive", oracle=_ivf_adaptive_oracle_sql())
+def q_ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/V3: IVF search with an ADAPTIVE probe set — instead of the
+    fixed-nprobe global knob (every query pays the worst case), probe
+    the clusters whose centroid distance is within alpha = 3/2 of the
+    per-query nearest, capped at 8: probed lists (and therefore probed
+    bytes) track query difficulty. Decisive queries touch 1 list;
+    centroid-tied queries widen toward the cap. The ratio test is an
+    all-integer inequality on the same int64 fixed-point distances as
+    ann_ivf_deterministic, so the driver hash-checks the probe DECISION
+    itself, not just the re-rank — the adaptive counterpart completing
+    the fixed-probe/SQ8/PQ IVF family (operators/ivf.py:
+    _medoid_probe_adaptive)."""
+    from backend_fastapi_spark.operators.ivf import ivf_adaptive_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_adaptive_topk(
+        emb,
+        _query_vectors(spark, sf_dir, 3),
+        k=10,
+        k_clusters=16,
+        nprobe_max=8,
+        alpha_num=3,
+        alpha_den=2,
+    )
+
+
 def _ivf_sq8_oracle_sql(
     n_queries: int = 3, k: int = 10, k_clusters: int = 16, nprobe: int = 2,
     rerank: int = 4,

@@ -1057,3 +1057,86 @@ def test_epoch_marker_detects_interrupted_overwrite(spark, tmp_path):
     write_ivf_index(assigned, centroids, path)
     assert not os.path.exists(f"{path}/_EPOCH_IN_PROGRESS")
     assert read_ivf_lists(spark, path).count() == base.count()
+
+
+def test_ivf_adaptive_probe_rule_and_envelope(spark):
+    """The adaptive probe: (a) alpha -> infinity with nprobe_max =
+    k_clusters equals exact kNN (probes everything); (b) the probe set
+    obeys the ratio rule exactly — every probed cluster satisfies
+    d*alpha_den <= d_min*alpha_num and sits in the nprobe_max closest;
+    (c) adaptive at alpha=3/2 dominates fixed nprobe=1 (its probe set
+    is a superset of the rank-1 cluster); (d) guards raise on alpha < 1
+    and nprobe_max < 1."""
+    import pytest as _pytest
+
+    from backend_fastapi_spark.operators.ivf import (
+        _medoid_probe_adaptive,
+        deterministic_medoids,
+        ivf_adaptive_topk,
+        ivf_deterministic_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+
+    # (a) probe-everything == exact kNN (ids and scores)
+    exact = {
+        (r.q_id, r.vec_id): r.score_i64
+        for r in V.knn_exact(emb, queries, k=10).collect()
+    }
+    allp = ivf_adaptive_topk(
+        emb, queries, k=10, k_clusters=8, nprobe_max=8,
+        alpha_num=10**6, alpha_den=1,
+    ).collect()
+    assert {(r.q_id, r.vec_id): r.score_i64 for r in allp} == exact
+
+    # (b) the probe set obeys the integer ratio rule verbatim
+    med = deterministic_medoids(emb, 8)
+    probed = _medoid_probe_adaptive(queries, med, 4, 3, 2).collect()
+    from backend_fastapi_spark.operators.ivf import _l2_i64_lit, _quantize
+
+    dists = (
+        queries.select("q_id", _quantize(F.col("q_embedding")).alias("_pq"))
+        .select(
+            "q_id",
+            *[
+                _l2_i64_lit(F.col("_pq"), cv).alias(f"d{c}")
+                for c, cv in med
+            ],
+        )
+        .collect()
+    )
+    for row in dists:
+        ds = sorted((row[f"d{c}"], c) for c, _ in med)
+        dmin = ds[0][0]
+        expect = {
+            c for i, (d, c) in enumerate(ds) if i < 4 and d * 2 <= dmin * 3
+        }
+        got = {r.cluster for r in probed if r.q_id == row.q_id}
+        assert got == expect and len(got) >= 1
+
+    # (c) dominates fixed nprobe=1: per-query top-k scores are >= pointwise
+    fixed1 = ivf_deterministic_topk(
+        emb, queries, k=10, k_clusters=8, nprobe=1
+    ).collect()
+    adapt = ivf_adaptive_topk(
+        emb, queries, k=10, k_clusters=8, nprobe_max=4
+    ).collect()
+    by_q_fixed: dict = {}
+    for r in fixed1:
+        by_q_fixed.setdefault(r.q_id, []).append(r.score_i64)
+    by_q_adapt: dict = {}
+    for r in adapt:
+        by_q_adapt.setdefault(r.q_id, []).append(r.score_i64)
+    for q_id, fs in by_q_fixed.items():
+        a = sorted(by_q_adapt[q_id], reverse=True)
+        f = sorted(fs, reverse=True)
+        assert all(x >= y for x, y in zip(a, f))
+
+    # (d) guards
+    with _pytest.raises(ValueError, match="alpha"):
+        _medoid_probe_adaptive(queries, med, 4, 1, 2)
+    with _pytest.raises(ValueError, match="nprobe_max"):
+        _medoid_probe_adaptive(queries, med, 0, 3, 2)
