@@ -674,6 +674,62 @@ def ivf_search_persisted(
     return ivf_search_over(lists, probe, queries, k=k, corpus_id=corpus_id)
 
 
+def ivf_search_persisted_adaptive(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe_max: int = 8,
+    alpha_num: int = 3,
+    alpha_den: int = 2,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted IVF index with the ADAPTIVE probe rule
+    (_medoid_probe_adaptive's ratio test on the production MLlib-KMeans
+    index): per query, probe the centroids within alpha of its nearest
+    centroid distance, never more than nprobe_max — so partition-pruned
+    IO tracks query difficulty instead of a global nprobe knob. The
+    probe side is a |Q|·nprobe_max-row frame (centroid distances from
+    knn_exact metric='l2', where score_i64 IS the squared distance);
+    everything downstream is ivf_search_persisted's plan: isin() on the
+    cluster partition column prunes before any IO, then one pruned
+    re-rank."""
+    from pyspark.sql import Window
+
+    from backend_fastapi_spark.operators.vector import knn_exact
+
+    if alpha_num < alpha_den:
+        raise ValueError(
+            f"adaptive probe: alpha = {alpha_num}/{alpha_den} must be >= 1"
+        )
+    if nprobe_max < 1:
+        raise ValueError(f"adaptive probe: nprobe_max={nprobe_max} < 1")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cand = knn_exact(
+        centroids.withColumnRenamed("centroid", "embedding"),
+        queries,
+        k=nprobe_max,
+        corpus_id="cluster",
+        metric="l2",
+        exclude_self=False,
+    )
+    dmin = F.min("score_i64").over(Window.partitionBy("q_id"))
+    probe = (
+        cand.withColumn("_dmin", dmin)
+        .filter(
+            F.col("score_i64").cast("decimal(38,0)") * F.lit(alpha_den)
+            <= F.col("_dmin").cast("decimal(38,0)") * F.lit(alpha_num)
+        )
+        .select("q_id", "cluster")
+    )
+    probed = [
+        int(r["cluster"])
+        for r in probe.select("cluster").distinct().collect()
+    ]
+    lists = read_ivf_lists(spark, path).filter(F.col("cluster").isin(probed))
+    return ivf_search_over(lists, probe, queries, k=k, corpus_id=corpus_id)
+
+
 def ivf_search_over(
     pruned_lists: DataFrame,
     probe: DataFrame,

@@ -373,6 +373,59 @@ def ivf_probe_stanza(spark, sf_dir: str, k_clusters: int | None = None,
             }
             print(f"# ivf-probe nprobe={nprobe}: {dt:.3f}s recall@10={rec} "
                   f"rows/q={int(per_q)}", file=sys.stderr)
+
+        # Adaptive probe (round 13): the ratio test (alpha=3/2, capped
+        # at nprobe_max) on the SAME persisted index — probed rows per
+        # query should undercut the fixed-nprobe point of comparable
+        # recall, because decisive queries stop at 1 list.
+        from backend_fastapi_spark.operators.ivf import (
+            ivf_search_persisted_adaptive)
+        from backend_fastapi_spark.operators.vector import (
+            knn_exact as _knn)
+
+        for nprobe_max in (8, 32):
+            t0 = time.perf_counter()
+            got = ivf_search_persisted_adaptive(
+                spark, path, queries, k=k, nprobe_max=nprobe_max,
+                alpha_num=3, alpha_den=2,
+            ).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            hits = sum(1 for r in got if (r["q_id"], r["vec_id"]) in exact)
+            rec = round(hits / max(len(exact), 1), 4)
+            cand = _knn(
+                spark.read.parquet(f"{path}/centroids").withColumnRenamed(
+                    "centroid", "embedding"),
+                queries, k=nprobe_max, corpus_id="cluster", metric="l2",
+                exclude_self=False,
+            )
+            from pyspark.sql import Window as _W
+            dmin = F.min("score_i64").over(_W.partitionBy("q_id"))
+            probe_df = (
+                cand.withColumn("_dmin", dmin)
+                .filter(F.col("score_i64").cast("decimal(38,0)") * 2
+                        <= F.col("_dmin").cast("decimal(38,0)") * 3)
+                .select("q_id", "cluster")
+            )
+            sizes = (
+                spark.read.parquet(f"{path}/lists")
+                .groupBy("cluster").count()
+            )
+            stats = (
+                probe_df.join(sizes, "cluster")
+                .groupBy("q_id")
+                .agg(F.sum("count").alias("rows"),
+                     F.count(F.lit(1)).alias("nprobed"))
+                .agg(F.avg("rows"), F.avg("nprobed")).collect()[0]
+            )
+            out["probe"][f"adaptive_max{nprobe_max}"] = {
+                "sec": dt, "recall_at_10": rec,
+                "rows_scored_per_query": int(stats[0]),
+                "scan_frac_per_query": round(stats[0] / max(n_vec, 1), 4),
+                "avg_lists_probed_per_query": round(float(stats[1]), 2),
+            }
+            print(f"# ivf-probe adaptive(max={nprobe_max}): {dt:.3f}s "
+                  f"recall@10={rec} rows/q={int(stats[0])} "
+                  f"lists/q={float(stats[1]):.1f}", file=sys.stderr)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

@@ -1140,3 +1140,54 @@ def test_ivf_adaptive_probe_rule_and_envelope(spark):
         _medoid_probe_adaptive(queries, med, 4, 1, 2)
     with _pytest.raises(ValueError, match="nprobe_max"):
         _medoid_probe_adaptive(queries, med, 0, 3, 2)
+
+
+def test_ivf_search_persisted_adaptive_matches_fixed_at_cap(spark, tmp_path):
+    """Production-path adaptive search: (a) with alpha wide open it
+    equals fixed nprobe=nprobe_max on the same persisted index (same
+    ids, same scores); (b) at alpha=3/2 its per-query probe set is a
+    subset of the nprobe_max nearest and always contains the nearest
+    centroid's cluster (results dominate fixed nprobe=1); (c) guards."""
+    import pytest as _pytest
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_search_persisted,
+        ivf_search_persisted_adaptive,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    assigned, centroids = build_ivf(emb, k_clusters=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    queries = spark.createDataFrame(q.collect(), q.schema)
+
+    fixed = sorted(map(tuple, ivf_search_persisted(
+        spark, path, queries, k=5, nprobe=4).collect()))
+    wide = sorted(map(tuple, ivf_search_persisted_adaptive(
+        spark, path, queries, k=5, nprobe_max=4,
+        alpha_num=10**6, alpha_den=1).collect()))
+    assert wide == fixed and len(fixed) > 0
+
+    # alpha=3/2 dominates fixed nprobe=1 pointwise on sorted scores
+    n1 = ivf_search_persisted(spark, path, queries, k=5, nprobe=1).collect()
+    ad = ivf_search_persisted_adaptive(
+        spark, path, queries, k=5, nprobe_max=4).collect()
+    by_q = lambda rows: {  # noqa: E731
+        q_id: sorted((r.score_i64 for r in rows if r.q_id == q_id),
+                     reverse=True)
+        for q_id in {r.q_id for r in rows}
+    }
+    f1, fa = by_q(n1), by_q(ad)
+    for q_id, scores in f1.items():
+        assert all(x >= y for x, y in zip(fa[q_id], scores))
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ivf_search_persisted_adaptive(
+            spark, path, queries, alpha_num=1, alpha_den=2)
+    with _pytest.raises(ValueError, match="nprobe_max"):
+        ivf_search_persisted_adaptive(spark, path, queries, nprobe_max=0)
