@@ -852,3 +852,90 @@ def read_training_shards(spark, path: str) -> DataFrame:
     ``batch`` and ``shard`` partition columns recovered from the
     directory layout."""
     return spark.read.option("basePath", path).parquet(f"{path}/batch=*")
+
+
+def mixture_plan(
+    df: DataFrame,
+    token_budget: int,
+    max_epochs: int = 3,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture planning: allocate a pretraining token budget
+    across domains by square-root temperature weighting (the tau=0.5
+    point of the multilingual-sampling family — same w = sqrt(n) weights
+    as ``temperature_sample``, applied to TOKENS instead of docs), with
+    a per-domain epoch cap so no small domain is repeated past
+    ``max_epochs`` passes. The planning step that precedes the sampling
+    step: given the plan row for a domain, ``temperature_sample`` /
+    ``weighted_sample_docs`` realize it.
+
+    Everything is integer arithmetic on int64 fixed-point sqrt weights
+    (ROUND(sqrt(n_tokens)·1e6) — IEEE sqrt is correctly rounded, so both
+    engines quantize identically; products go through decimal(38,0) /
+    HUGEINT so a 1e11-token budget times a 1e13 weight cannot overflow),
+    making the whole plan hash-checkable. Returns one row per domain:
+    (group, n_docs, n_tokens, share_ppm, alloc_tokens,
+    capped_alloc_tokens, epochs_ppm). ``sum(capped_alloc_tokens) <=
+    token_budget`` by construction; the gap is the unallocated remainder
+    the caller may redistribute (one closed-form pass — full
+    water-filling is iterative and deliberately out of scope).
+
+    Plan shape: one keyed aggregation over the corpus (map-side partial
+    sums), then scalar totals broadcast back onto the ≤|domains|-row
+    frame — corpus touched once regardless of budget or domain count.
+    """
+    if token_budget < 1:
+        raise ValueError(f"mixture_plan: token_budget={token_budget} < 1")
+    if max_epochs < 1:
+        raise ValueError(f"mixture_plan: max_epochs={max_epochs} < 1")
+    toks = F.size(F.split(F.lower(F.col(text_col)), " ")).cast("long")
+    stats = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "w_i64",
+            F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+            .cast("long"),
+        )
+    )
+    tot = stats.agg(F.sum("w_i64").alias("w_total"))
+    dec = "decimal(38,0)"
+    alloc = F.floor(
+        F.lit(int(token_budget)).cast(dec)
+        * F.col("w_i64").cast(dec)
+        / F.col("w_total").cast(dec)
+    ).cast("long")
+    share = F.floor(
+        F.col("w_i64").cast(dec)
+        * F.lit(1000000).cast(dec)
+        / F.col("w_total").cast(dec)
+    ).cast("long")
+    capped = F.least(
+        F.col("alloc_tokens"),
+        F.lit(int(max_epochs)) * F.col("n_tokens"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn("share_ppm", share)
+        .withColumn("alloc_tokens", alloc)
+        .withColumn("capped_alloc_tokens", capped)
+        .withColumn(
+            "epochs_ppm",
+            F.floor(
+                F.col("capped_alloc_tokens").cast(dec)
+                * F.lit(1000000).cast(dec)
+                / F.col("n_tokens").cast(dec)
+            ).cast("long"),
+        )
+        .select(
+            group_col, "n_docs", "n_tokens", "share_ppm",
+            "alloc_tokens", "capped_alloc_tokens", "epochs_ppm",
+        )
+        .orderBy(group_col)
+    )

@@ -5823,6 +5823,50 @@ def q_training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pretrain_mixture_plan",
+    oracle="""
+    WITH stats AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+                  AS BIGINT) AS n_tokens
+      FROM documents WHERE lang IS NOT NULL
+      GROUP BY lang HAVING SUM(len(string_split(lower(text), ' '))) > 0),
+    w AS (
+      SELECT *, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE))*1000000) AS BIGINT)
+                AS w_i64
+      FROM stats),
+    tot AS (SELECT SUM(w_i64) AS w_total FROM w)
+    SELECT lang, n_docs, n_tokens,
+           CAST(CAST(w_i64 AS HUGEINT) * 1000000 // w_total AS BIGINT)
+             AS share_ppm,
+           CAST(CAST(2000000 AS HUGEINT) * w_i64 // w_total AS BIGINT)
+             AS alloc_tokens,
+           LEAST(CAST(CAST(2000000 AS HUGEINT) * w_i64 // w_total AS BIGINT),
+                 3 * n_tokens) AS capped_alloc_tokens,
+           CAST(CAST(LEAST(
+                  CAST(CAST(2000000 AS HUGEINT) * w_i64 // w_total AS BIGINT),
+                  3 * n_tokens) AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+             AS epochs_ppm
+    FROM w, tot
+    ORDER BY lang
+    """,
+)
+def q_pretrain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (PL.mixture_plan): allocate a
+    2M-token pretraining budget across languages by sqrt-temperature
+    weights with a 3-epoch cap per domain — the planning step the
+    sampling family (temperature_sample, weighted_sample_docs) then
+    realizes. All-integer arithmetic on int64 fixed-point sqrt weights
+    (HUGEINT/decimal(38,0) products), so the allocation itself — shares,
+    token grants, epoch counts — is hash-checked, not just the input
+    stats. One corpus aggregation + scalar-total broadcast onto the
+    |langs|-row frame."""
+    docs = _t(spark, sf_dir, "documents")
+    return PL.mixture_plan(docs, token_budget=2_000_000, max_epochs=3)
+
+
+@register(
     "shard_export_audit",
     oracle="""
     SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -613,3 +613,37 @@ def test_append_training_shards_idempotent_and_merge_law(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="batch_token"):
         append_training_shards(b1, out, "bad/token", n_shards=4)
+
+
+def test_mixture_plan_invariants(spark):
+    """The plan's accounting holds: allocations never exceed the budget,
+    every domain obeys the epoch cap, shares sum to ~1e6 ppm, the big
+    domain's share is damped below its raw token share (sqrt
+    temperature), and guards raise."""
+    import pytest as _pytest
+
+    from backend_fastapi_spark.operators.pipeline import mixture_plan
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    plan = {r["lang"]: r.asDict() for r in mixture_plan(
+        docs, token_budget=2_000_000, max_epochs=3).collect()}
+
+    total_tokens = sum(r["n_tokens"] for r in plan.values())
+    assert sum(r["capped_alloc_tokens"] for r in plan.values()) <= 2_000_000
+    assert sum(r["alloc_tokens"] for r in plan.values()) <= 2_000_000
+    assert 999_000 <= sum(r["share_ppm"] for r in plan.values()) <= 1_000_000
+    for r in plan.values():
+        assert r["capped_alloc_tokens"] <= 3 * r["n_tokens"]
+        assert r["epochs_ppm"] <= 3_000_000
+        # sqrt damping: share vs raw token share — bigger-than-average
+        # domains get LESS than proportional, smaller get MORE
+        raw_ppm = r["n_tokens"] * 1_000_000 // total_tokens
+        if raw_ppm > 1_000_000 // len(plan):
+            assert r["share_ppm"] < raw_ppm
+        else:
+            assert r["share_ppm"] >= raw_ppm
+
+    with _pytest.raises(ValueError, match="token_budget"):
+        mixture_plan(docs, token_budget=0)
+    with _pytest.raises(ValueError, match="max_epochs"):
+        mixture_plan(docs, token_budget=10, max_epochs=0)
