@@ -5905,6 +5905,12 @@ def q_shard_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(sf_dir.rstrip("/")) or "sf",
         "shard_export",
     )
+    # hermetic: a stale export from an older corpus generation (or an
+    # abandoned token scheme) would otherwise leak batch=* dirs into the
+    # read-back glob
+    import shutil as _shutil
+
+    _shutil.rmtree(base, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents")
     append_training_shards(docs.filter(F.col("doc_id") % 2 == 0), base, "0001")
     append_training_shards(docs.filter(F.col("doc_id") % 2 == 1), base, "0002")
