@@ -63,6 +63,45 @@ def shingle_table(
     )
 
 
+def grouped_pairs(
+    df: DataFrame, key_col: str, id_col: str, out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> DataFrame:
+    """All ordered id pairs (a < b) sharing a ``key_col`` value — one row
+    per (key, pair) occurrence, ready for a pair-count aggregation.
+
+    One shuffle: groupBy(key) collects each collision group's ids, sorts
+    them, and emits the C(g,2) pairs with array expressions inside the
+    group — the self-join this replaces shuffled the (id, key) table
+    TWICE (both equi-join sides) and sorted both for the merge.
+
+    Precondition: (id, key) rows are distinct and group sizes are
+    BOUNDED (callers cap key document-frequency first — the collected
+    list lives in one aggregation buffer, so an unbounded hot key must
+    be pruned before, not after, this group-by; the join form remains
+    the right tool for uncapped universes)."""
+    ids = F.array_sort(F.collect_list(F.col(id_col)))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                # elements strictly after position i (slice is 1-based;
+                # over-length is clamped): sorted + distinct ids make
+                # every emitted struct satisfy a < b with no filter
+                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
+            ),
+        )
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(ids.alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
+        .select(f"_p.{out_a}", f"_p.{out_b}")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -108,14 +147,33 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if max_shingle_df is not None:
+        # Group-local pair generation (capped universe only): ONE shuffle
+        # of the shingle table into per-shingle doc lists — bounded at
+        # max_shingle_df rows per group by the anti-join above — then the
+        # ordered pairs are emitted INSIDE each group. The previous
+        # self-join shuffled the (id, shingle) table twice (both equi-join
+        # sides) and sorted both for the merge; pair multiplicity per
+        # shingle is identical (sorted distinct ids, i < j), so n_inter is
+        # unchanged. Same discipline as the RP verify's bucket-local
+        # matmul: never materialize the collision pair via a join when the
+        # collision group already holds everything the pair needs.
+        inter = grouped_pairs(sh, "shingle", id_col).groupBy(
+            "id_a", "id_b"
+        ).agg(F.count(F.lit(1)).alias("n_inter"))
+    else:
+        # Uncapped universe: group sizes are unbounded (one hot shingle
+        # could hold millions of ids in a single aggregation buffer), so
+        # keep the skew-tolerant equi-join — AQE splits oversized join
+        # partitions; a collect_list cannot be split.
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

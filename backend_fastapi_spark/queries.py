@@ -1783,10 +1783,12 @@ def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp")
     )
     pruned = e.join(F.broadcast(common), "fp", "left_anti")
+    # Group-local pair generation (operators/dedup.py::grouped_pairs):
+    # fingerprint groups are bounded at _WINNOW_MAXDF rows by the
+    # anti-join, so one shuffle into per-fp doc lists replaces the
+    # self-join's two shuffles of the exploded fingerprint table.
     return (
-        pruned.select(F.col("doc_id").alias("id_a"), "fp")
-        .join(pruned.select(F.col("doc_id").alias("id_b"), "fp"), "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        D.grouped_pairs(pruned, "fp", "doc_id")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
