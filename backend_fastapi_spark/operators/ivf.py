@@ -645,6 +645,87 @@ def rebuild_ivf_index(
     return {"n_vectors": n, "k_clusters": k, "sq8": sq8}
 
 
+# Driver-side centroid-probe fast path: the centroid table is
+# k_clusters ≈ √n rows (the same bounded contract that already lets
+# every persisted search collect the probed cluster ids), and the
+# queries side is driver-small by knn_exact's own contract — so when
+# |centroids|·|Q| is small, the nprobe decision is a tiny exact matmul
+# better done off two collects than as a 6-job distributed kNN
+# (queries collect + mapInPandas scoring + window + payload-restore
+# joins + epilogue sort + the distinct-clusters collect). Above the
+# bound the distributed kNN remains the path — the choice is keyed on
+# problem size, not local core count.
+_PROBE_DRIVER_MAX_PAIRS = 4_000_000
+
+
+def _centroid_probe(
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_id: str = "q_id",
+    query_vec_col: str = "q_embedding",
+) -> list | None:
+    """Per-query k nearest centroids by exact fixed-point squared-L2 —
+    bit-identical to ``knn_exact(metric='l2', exclude_self=False)``:
+    quantization happens in Spark expressions (the same ``_fx``
+    rounding), the integer arithmetic runs in float64 (every value
+    < 2^53, exact), and the tie-break is (distance asc, cluster asc).
+    Returns [(q_id, cluster, dist_i64), ...] ranked per query, or None
+    when the pair count exceeds ``_PROBE_DRIVER_MAX_PAIRS`` or either
+    side is empty (caller falls back to the distributed kNN)."""
+    import numpy as np
+
+    from backend_fastapi_spark.operators.vector import _fx
+
+    c_rows = centroids.select(
+        F.col("cluster"),
+        F.transform(F.col("centroid"), lambda x: _fx(x).cast("double")).alias(
+            "_cv"
+        ),
+    ).collect()
+    q_rows = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.transform(F.col(query_vec_col), lambda x: _fx(x).cast("double")).alias(
+            "_qv"
+        ),
+    ).collect()
+    if not c_rows or not q_rows:
+        return None
+    if len(c_rows) * len(q_rows) > _PROBE_DRIVER_MAX_PAIRS:
+        return None
+    cids = np.asarray([r["cluster"] for r in c_rows])
+    cm = np.stack([np.asarray(r["_cv"], dtype=np.float64) for r in c_rows])
+    qm = np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in q_rows])
+    d = (
+        (cm * cm).sum(axis=1)[:, None]
+        + (qm * qm).sum(axis=1)[None, :]
+        - 2.0 * (cm @ qm.T)
+    )
+    out = []
+    for j, r in enumerate(q_rows):
+        col = d[:, j]
+        perm = np.lexsort((cids, col))[:k]
+        out.extend((r["_qid"], int(cids[p]), int(col[p])) for p in perm)
+    return out
+
+
+def _probe_frames(
+    spark, centroids: DataFrame, queries: DataFrame, rows: list
+) -> tuple[DataFrame, list[int]]:
+    """(probe DataFrame (q_id, cluster), sorted distinct cluster ids)
+    from _centroid_probe rows — a local relation, no extra jobs."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", queries.schema["q_id"].dataType),
+            T.StructField("cluster", centroids.schema["cluster"].dataType),
+        ]
+    )
+    probe = spark.createDataFrame([(q, c) for q, c, _ in rows], schema)
+    return probe, sorted({int(c) for _, c, _ in rows})
+
+
 def ivf_search_persisted(
     spark,
     path: str,
@@ -661,15 +742,22 @@ def ivf_search_persisted(
     from backend_fastapi_spark.operators.vector import knn_exact
 
     centroids = spark.read.parquet(f"{path}/centroids")
-    probe = knn_exact(
-        centroids.withColumnRenamed("centroid", "embedding"),
-        queries,
-        k=nprobe,
-        corpus_id="cluster",
-        metric="l2",
-        exclude_self=False,
-    ).select("q_id", "cluster")
-    probed = [int(r["cluster"]) for r in probe.select("cluster").distinct().collect()]
+    rows = _centroid_probe(centroids, queries, nprobe)
+    if rows is not None:
+        probe, probed = _probe_frames(spark, centroids, queries, rows)
+    else:
+        probe = knn_exact(
+            centroids.withColumnRenamed("centroid", "embedding"),
+            queries,
+            k=nprobe,
+            corpus_id="cluster",
+            metric="l2",
+            exclude_self=False,
+        ).select("q_id", "cluster")
+        probed = [
+            int(r["cluster"])
+            for r in probe.select("cluster").distinct().collect()
+        ]
     lists = read_ivf_lists(spark, path).filter(F.col("cluster").isin(probed))
     return ivf_search_over(lists, probe, queries, k=k, corpus_id=corpus_id)
 
@@ -705,27 +793,41 @@ def ivf_search_persisted_adaptive(
     if nprobe_max < 1:
         raise ValueError(f"adaptive probe: nprobe_max={nprobe_max} < 1")
     centroids = spark.read.parquet(f"{path}/centroids")
-    cand = knn_exact(
-        centroids.withColumnRenamed("centroid", "embedding"),
-        queries,
-        k=nprobe_max,
-        corpus_id="cluster",
-        metric="l2",
-        exclude_self=False,
-    )
-    dmin = F.min("score_i64").over(Window.partitionBy("q_id"))
-    probe = (
-        cand.withColumn("_dmin", dmin)
-        .filter(
-            F.col("score_i64").cast("decimal(38,0)") * F.lit(alpha_den)
-            <= F.col("_dmin").cast("decimal(38,0)") * F.lit(alpha_num)
+    rows = _centroid_probe(centroids, queries, nprobe_max)
+    if rows is not None:
+        # the ratio test on exact ints, in Python — same integer
+        # comparison the decimal(38,0) filter below runs
+        dmin: dict = {}
+        for q, _c, d in rows:
+            if q not in dmin or d < dmin[q]:
+                dmin[q] = d
+        kept = [
+            (q, c, d) for q, c, d in rows
+            if d * alpha_den <= dmin[q] * alpha_num
+        ]
+        probe, probed = _probe_frames(spark, centroids, queries, kept)
+    else:
+        cand = knn_exact(
+            centroids.withColumnRenamed("centroid", "embedding"),
+            queries,
+            k=nprobe_max,
+            corpus_id="cluster",
+            metric="l2",
+            exclude_self=False,
         )
-        .select("q_id", "cluster")
-    )
-    probed = [
-        int(r["cluster"])
-        for r in probe.select("cluster").distinct().collect()
-    ]
+        dmin_c = F.min("score_i64").over(Window.partitionBy("q_id"))
+        probe = (
+            cand.withColumn("_dmin", dmin_c)
+            .filter(
+                F.col("score_i64").cast("decimal(38,0)") * F.lit(alpha_den)
+                <= F.col("_dmin").cast("decimal(38,0)") * F.lit(alpha_num)
+            )
+            .select("q_id", "cluster")
+        )
+        probed = [
+            int(r["cluster"])
+            for r in probe.select("cluster").distinct().collect()
+        ]
     lists = read_ivf_lists(spark, path).filter(F.col("cluster").isin(probed))
     return ivf_search_over(lists, probe, queries, k=k, corpus_id=corpus_id)
 
@@ -1320,15 +1422,22 @@ def ivf_sq8_search_persisted(
     )
 
     centroids = spark.read.parquet(f"{path}/centroids")
-    probe = knn_exact(
-        centroids.withColumnRenamed("centroid", "embedding"),
-        queries,
-        k=nprobe,
-        corpus_id="cluster",
-        metric="l2",
-        exclude_self=False,
-    ).select("q_id", "cluster")
-    probed = [int(r["cluster"]) for r in probe.select("cluster").distinct().collect()]
+    rows = _centroid_probe(centroids, queries, nprobe)
+    if rows is not None:
+        probe, probed = _probe_frames(spark, centroids, queries, rows)
+    else:
+        probe = knn_exact(
+            centroids.withColumnRenamed("centroid", "embedding"),
+            queries,
+            k=nprobe,
+            corpus_id="cluster",
+            metric="l2",
+            exclude_self=False,
+        ).select("q_id", "cluster")
+        probed = [
+            int(r["cluster"])
+            for r in probe.select("cluster").distinct().collect()
+        ]
 
     qcodes = sq8_codes(queries, id_col="q_id", vec_col="q_embedding").select(
         "q_id",

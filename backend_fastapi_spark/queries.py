@@ -3985,29 +3985,19 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 separate self-joins + union: same collision set (a pair agreeing
     # on band k meets at key (k, v)), 1/4 the join stages and one shuffle
     # of the 4n-row exploded sig table instead of four of the n-row one.
+    # The keyed explode CARRIES the full 4-band signature on every row
+    # (4 extra ints), so the collision join yields both pair signatures
+    # directly and the exact Hamming verify runs INLINE on the join
+    # output — the previous form re-joined the pair set against sigs
+    # twice (two more joins + scans) just to fetch the bands back.
+    # Hamming is a function of the pair, so distinct-after-verify equals
+    # the previous distinct-before-verify row set, over fewer rows.
     keyed = sigs.select(
         "doc_id",
+        *[F.col(f"band{k}") for k in range(_SIMHASH_BANDS)],
         F.posexplode(
             F.array(*[F.col(f"band{k}") for k in range(_SIMHASH_BANDS)])
         ).alias("band_idx", "band_val"),
-    )
-    cands = (
-        keyed.select(F.col("doc_id").alias("id_a"), "band_idx", "band_val")
-        .join(
-            keyed.select(F.col("doc_id").alias("id_b"), "band_idx", "band_val"),
-            ["band_idx", "band_val"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-
-    sig_a = sigs.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"band{k}").alias(f"a{k}") for k in range(_SIMHASH_BANDS)],
-    )
-    sig_b = sigs.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"band{k}").alias(f"b{k}") for k in range(_SIMHASH_BANDS)],
     )
     hamming = sum(
         [
@@ -4019,12 +4009,23 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     ).cast("long")
     return (
-        cands.distinct()
-        .join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        keyed.select(
+            F.col("doc_id").alias("id_a"), "band_idx", "band_val",
+            *[F.col(f"band{k}").alias(f"a{k}") for k in range(_SIMHASH_BANDS)],
+        )
+        .join(
+            keyed.select(
+                F.col("doc_id").alias("id_b"), "band_idx", "band_val",
+                *[F.col(f"band{k}").alias(f"b{k}")
+                  for k in range(_SIMHASH_BANDS)],
+            ),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
