@@ -370,14 +370,12 @@ def rp_near_dup_pairs(
     id_ddl = base.schema["_id"].dataType.simpleString()
     thr = float(threshold_i64)
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        empty = pd.DataFrame({"id_a": pdf["_id"][:0], "id_b": pdf["_id"][:0],
-                              "score_i64": np.array([], dtype=np.int64)})
+    def score_group(ids: "np.ndarray", m: "np.ndarray", sink: list) -> None:
+        """Exact Gram verify of ONE (table, bucket) group — appends
+        (id_a, id_b, score) arrays for above-threshold i<j pairs."""
+        n = len(ids)
         if n < 2:
-            return empty
-        ids = pdf["_id"].to_numpy()
-        m = np.stack(pdf["_q"].to_numpy()).astype(np.float64)
+            return
         maxabs = float(np.abs(m).max(initial=0.0))
         if m.shape[1] * maxabs * maxabs >= 2.0**53:
             raise ValueError(
@@ -390,7 +388,6 @@ def rp_near_dup_pairs(
         # id-ascending order so emitted pairs are (smaller, larger)
         order = np.argsort(ids, kind="stable")
         ids, m = ids[order], m[order]
-        out_a, out_b, out_s = [], [], []
         # strip the Gram product so one skewed mega-bucket (every vector
         # hashing together) stays bounded at ~160 MB of float64 per strip
         strip = max(1, min(4096, 20_000_000 // n))
@@ -402,18 +399,66 @@ def rp_near_dup_pairs(
             keep = cj > ri + i0
             ri, cj = ri[keep], cj[keep]
             if ri.size:
-                out_a.append(ids[ri + i0])
-                out_b.append(ids[cj])
-                out_s.append(g[ri, cj].astype(np.int64))
-        if not out_a:
-            return empty
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
-             "score_i64": np.concatenate(out_s)}
-        )
+                sink.append((ids[ri + i0], ids[cj], g[ri, cj].astype(np.int64)))
 
-    scored = grouped.groupBy("t", "bucket").applyInPandas(
-        score_bucket, schema=f"id_a {id_ddl}, id_b {id_ddl}, score_i64 long"
+    def score_batches(pdfs):
+        """mapInPandas over (t, bucket)-clustered rows: per-group work is
+        pure numpy on slices, ONE Python invocation per Arrow batch.
+        The previous applyInPandas form paid ~1 ms of pandas group-apply
+        machinery per GROUP — with 2^planes buckets per table most
+        groups hold a handful of rows, and group count (not data volume)
+        dominated the stage (measured sf0.1: 9.9 s for 12 k rows in
+        ~11 k groups; this form: one call per ~10k-row batch). A batch
+        boundary can split a group, so the trailing group of each batch
+        is carried into the next; rows of one group are contiguous
+        because the input is repartitioned by (t, bucket) and sorted
+        within partitions."""
+        carry = None
+        sink: list = []
+
+        def flush(pdf: pd.DataFrame) -> None:
+            # group boundaries where (t, bucket) changes
+            t = pdf["t"].to_numpy()
+            b = pdf["bucket"].to_numpy()
+            brk = np.nonzero((t[1:] != t[:-1]) | (b[1:] != b[:-1]))[0] + 1
+            starts = np.concatenate(([0], brk))
+            ends = np.concatenate((brk, [len(pdf)]))
+            ids = pdf["_id"].to_numpy()
+            m = np.stack(pdf["_q"].to_numpy()).astype(np.float64)
+            for s, e in zip(starts, ends):
+                score_group(ids[s:e], m[s:e], sink)
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            t = pdf["t"].to_numpy()
+            b = pdf["bucket"].to_numpy()
+            # hold back the last group — it may continue in the next batch
+            last_start = int(
+                np.nonzero((t != t[-1]) | (b != b[-1]))[0][-1] + 1
+            ) if ((t != t[-1]) | (b != b[-1])).any() else 0
+            carry = pdf.iloc[last_start:]
+            if last_start:
+                flush(pdf.iloc[:last_start])
+            if sink:
+                a, bb, s = (np.concatenate(x) for x in zip(*sink))
+                sink.clear()
+                yield pd.DataFrame({"id_a": a, "id_b": bb, "score_i64": s})
+        if carry is not None and len(carry):
+            flush(carry)
+        if sink:
+            a, bb, s = (np.concatenate(x) for x in zip(*sink))
+            yield pd.DataFrame({"id_a": a, "id_b": bb, "score_i64": s})
+
+    scored = (
+        grouped.repartition("t", "bucket")
+        .sortWithinPartitions("t", "bucket")
+        .mapInPandas(
+            score_batches,
+            schema=f"id_a {id_ddl}, id_b {id_ddl}, score_i64 long",
+        )
     )
     # a pair colliding in k tables is emitted k times with the SAME exact
     # score — distinct on the full row is the cross-table dedup

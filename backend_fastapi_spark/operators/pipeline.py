@@ -395,9 +395,20 @@ def nb_quality_scores(
             % n_buckets
         ).alias("bucket"),
     ).join(lab, id_col)
-    cls = tb.groupBy("bucket").agg(
-        F.sum("label").alias("n1"),
-        (F.count(F.lit(1)) - F.sum("label")).alias("n0"),
+    # ONE tokenize pass + ONE token-level shuffle (the ccnet_ppl_buckets
+    # discipline): per-(doc, label, bucket) counts are the shared
+    # substrate; the class bucket counts fold from it instead of
+    # re-running the explode + per-token md5 a second time for the
+    # per-doc count pass below. Same integers: sum(label·cnt) over the
+    # collapsed rows equals sum(label) over the token rows.
+    per = (
+        tb.groupBy(id_col, "label", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    cls = per.groupBy("bucket").agg(
+        F.sum(F.col("label") * F.col("cnt")).alias("n1"),
+        (F.sum("cnt") - F.sum(F.col("label") * F.col("cnt"))).alias("n0"),
     )
     tot = cls.agg(
         F.sum("n1").alias("all_n1"), F.sum("n0").alias("all_n0")
@@ -414,7 +425,7 @@ def nb_quality_scores(
         "bucket",
         F.round(F.lit(1e6) * F.log(p1 / p0)).cast("long").alias("llr_fp"),
     )
-    cnt = tb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = per.select(id_col, "bucket", "cnt")
     scored = (
         cnt.join(F.broadcast(llr), "bucket")
         .groupBy(id_col)
@@ -488,11 +499,22 @@ def dsir_weights(
             % n_buckets
         ).alias("bucket"),
     )
-    src = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ns"))
+    # ONE tokenize pass + ONE token-level shuffle (the ccnet_ppl_buckets
+    # discipline, backported): the (doc, target, bucket) count table is
+    # the shared substrate — source/target bucket counts fold from it
+    # with n_buckets-key aggregates instead of re-running the explode +
+    # per-token md5 over the corpus once per consumer (the previous
+    # src/tgt/cnt subtrees each re-exploded: 3 corpus tokenizations).
+    per = (
+        tb.groupBy(id_col, target_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    src = per.groupBy("bucket").agg(F.sum("cnt").alias("ns"))
     tgt = (
-        tb.filter(F.col(target_col) == target_val)
+        per.filter(F.col(target_col) == target_val)
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("nt"))
+        .agg(F.sum("cnt").alias("nt"))
     )
     ns_tot = src.agg(F.sum("ns").alias("all_ns"))
     nt_tot = tgt.agg(F.sum("nt").alias("all_nt"))
@@ -515,7 +537,7 @@ def dsir_weights(
             .alias("lr_fp"),
         )
     )
-    cnt = tb.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = per.select(id_col, "bucket", "cnt")
     scored = (
         cnt.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
