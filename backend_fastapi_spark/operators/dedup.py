@@ -74,13 +74,17 @@ def grouped_pairs(
     them, and emits the C(g,2) pairs with array expressions inside the
     group — the self-join this replaces shuffled the (id, key) table
     TWICE (both equi-join sides) and sorted both for the merge.
+    ``collect_set`` (not collect_list) gathers the ids, so a duplicated
+    (id, key) row cannot emit an (x, x) self-pair or inflate pair
+    multiplicity — it degrades to the join form's distinct semantics
+    instead of corrupting counts (ADVICE r13).
 
-    Precondition: (id, key) rows are distinct and group sizes are
-    BOUNDED (callers cap key document-frequency first — the collected
-    list lives in one aggregation buffer, so an unbounded hot key must
-    be pruned before, not after, this group-by; the join form remains
-    the right tool for uncapped universes)."""
-    ids = F.array_sort(F.collect_list(F.col(id_col)))
+    Precondition: group sizes are BOUNDED (callers cap key document-
+    frequency first — the collected set lives in one aggregation buffer,
+    so an unbounded hot key must be pruned before, not after, this
+    group-by; the join form remains the right tool for uncapped
+    universes)."""
+    ids = F.array_sort(F.collect_set(F.col(id_col)))
     pair_structs = F.flatten(
         F.transform(
             F.col("_ids"),
@@ -100,6 +104,31 @@ def grouped_pairs(
         .select(F.explode(pair_structs).alias("_p"))
         .select(f"_p.{out_a}", f"_p.{out_b}")
     )
+
+
+# Crossover for the CAPPED pair stage's physical form (r14, paired warm
+# A/B on a quiet host, min-of-N): below ~a few MB of raw input the
+# exploded shingle table is broadcast-small, AQE turns the self-join
+# into a map-side BroadcastHashJoin (no wide exchange at all) and the
+# grouped form's full shuffle is pure extra cost (sf0.1, 0.6 MB docs:
+# join 1.72 s vs grouped 1.85 s). Past the broadcast scale the join
+# pays two sorted exchanges of the exploded table and grouped wins
+# (sf1, 6.9 MB: 1.21x; sf10, 83 MB: 2.34x). The choice keys on the
+# OPTIMIZER'S size estimate of the raw input — problem size, never
+# core count — and unknown sizes take the scale-safe grouped path.
+GROUPED_PAIRS_MIN_INPUT_BYTES = 4 << 20
+
+
+def _est_input_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df`` (driver-side plan
+    statistic — no job). Unknown/huge on failure, so callers keyed on
+    'small enough to broadcast' fall back to the at-scale path."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62
 
 
 def ngram_jaccard_pairs(
@@ -147,17 +176,21 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_shingle_df is not None:
-        # Group-local pair generation (capped universe only): ONE shuffle
-        # of the shingle table into per-shingle doc lists — bounded at
-        # max_shingle_df rows per group by the anti-join above — then the
-        # ordered pairs are emitted INSIDE each group. The previous
-        # self-join shuffled the (id, shingle) table twice (both equi-join
-        # sides) and sorted both for the merge; pair multiplicity per
-        # shingle is identical (sorted distinct ids, i < j), so n_inter is
-        # unchanged. Same discipline as the RP verify's bucket-local
-        # matmul: never materialize the collision pair via a join when the
-        # collision group already holds everything the pair needs.
+    if (
+        max_shingle_df is not None
+        and _est_input_bytes(df) >= GROUPED_PAIRS_MIN_INPUT_BYTES
+    ):
+        # Group-local pair generation (capped universe, at-scale input):
+        # ONE shuffle of the shingle table into per-shingle doc lists —
+        # bounded at max_shingle_df rows per group by the anti-join above
+        # — then the ordered pairs are emitted INSIDE each group. The
+        # self-join form shuffles the (id, shingle) table twice (both
+        # equi-join sides) and sorts both for the merge; pair
+        # multiplicity per shingle is identical (sorted distinct ids,
+        # i < j), so n_inter is unchanged. Same discipline as the RP
+        # verify's bucket-local matmul: never materialize the collision
+        # pair via a join when the collision group already holds
+        # everything the pair needs.
         inter = grouped_pairs(sh, "shingle", id_col).groupBy(
             "id_a", "id_b"
         ).agg(F.count(F.lit(1)).alias("n_inter"))
@@ -165,7 +198,10 @@ def ngram_jaccard_pairs(
         # Uncapped universe: group sizes are unbounded (one hot shingle
         # could hold millions of ids in a single aggregation buffer), so
         # keep the skew-tolerant equi-join — AQE splits oversized join
-        # partitions; a collect_list cannot be split.
+        # partitions; a collect_list cannot be split. Broadcast-small
+        # CAPPED inputs also land here (size-keyed: the whole join then
+        # runs map-side with no wide exchange, measured faster than the
+        # grouped form's full shuffle at that scale).
         a = sh.select(F.col(id_col).alias("id_a"), "shingle")
         b = sh.select(F.col(id_col).alias("id_b"), "shingle")
         inter = (
