@@ -654,8 +654,12 @@ def rebuild_ivf_index(
 # (queries collect + mapInPandas scoring + window + payload-restore
 # joins + epilogue sort + the distinct-clusters collect). Above the
 # bound the distributed kNN remains the path — the choice is keyed on
-# problem size, not local core count.
+# problem size, not local core count. Each collected side is ALSO
+# bounded with limit(N+1) BEFORE materializing (ADVICE r13 medium: a
+# contract-violating oversized queries frame must hit the fallback,
+# never a driver OOM).
 _PROBE_DRIVER_MAX_PAIRS = 4_000_000
+_PROBE_DRIVER_MAX_SIDE = 200_000
 
 
 def _centroid_probe(
@@ -664,15 +668,18 @@ def _centroid_probe(
     k: int,
     query_id: str = "q_id",
     query_vec_col: str = "q_embedding",
-) -> list | None:
+) -> tuple[list, list] | None:
     """Per-query k nearest centroids by exact fixed-point squared-L2 —
     bit-identical to ``knn_exact(metric='l2', exclude_self=False)``:
     quantization happens in Spark expressions (the same ``_fx``
     rounding), the integer arithmetic runs in float64 (every value
     < 2^53, exact), and the tie-break is (distance asc, cluster asc).
-    Returns [(q_id, cluster, dist_i64), ...] ranked per query, or None
-    when the pair count exceeds ``_PROBE_DRIVER_MAX_PAIRS`` or either
-    side is empty (caller falls back to the distributed kNN)."""
+    Returns ([(q_id, cluster, dist_i64), ...] ranked per query,
+    [(q_id, quantized_query_vec), ...]) — the second element is the
+    already-collected quantized query side, which the caller hands to
+    ``ivf_search_over`` so the re-rank scorer needs no further collect.
+    None when either side exceeds its bound / is empty (caller falls
+    back to the distributed kNN)."""
     import numpy as np
 
     from backend_fastapi_spark.operators.vector import _fx
@@ -682,13 +689,17 @@ def _centroid_probe(
         F.transform(F.col("centroid"), lambda x: _fx(x).cast("double")).alias(
             "_cv"
         ),
-    ).collect()
+    ).limit(_PROBE_DRIVER_MAX_SIDE + 1).collect()
+    if len(c_rows) > _PROBE_DRIVER_MAX_SIDE:
+        return None
     q_rows = queries.select(
         F.col(query_id).alias("_qid"),
         F.transform(F.col(query_vec_col), lambda x: _fx(x).cast("double")).alias(
             "_qv"
         ),
-    ).collect()
+    ).limit(_PROBE_DRIVER_MAX_SIDE + 1).collect()
+    if len(q_rows) > _PROBE_DRIVER_MAX_SIDE:
+        return None
     if not c_rows or not q_rows:
         return None
     if len(c_rows) * len(q_rows) > _PROBE_DRIVER_MAX_PAIRS:
@@ -696,6 +707,21 @@ def _centroid_probe(
     cids = np.asarray([r["cluster"] for r in c_rows])
     cm = np.stack([np.asarray(r["_cv"], dtype=np.float64) for r in c_rows])
     qm = np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in q_rows])
+    # Exact-arithmetic envelope (the lsh.py rp_near_dup_pairs guard,
+    # VERDICT r13 #7): every squared-difference term is ≤ (2·max|fx|)²
+    # and a distance sums dim of them — all partial sums must stay
+    # below 2^53 for float64 to be exact, else the "bit-identical to
+    # knn_exact" contract silently breaks on a scale/dim change.
+    maxabs = max(
+        float(np.abs(cm).max(initial=0.0)), float(np.abs(qm).max(initial=0.0))
+    )
+    if cm.shape[1] * (2.0 * maxabs) ** 2 >= 2.0**53:
+        raise ValueError(
+            "_centroid_probe: vectors exceed the exact fixed-point "
+            f"envelope (dim={cm.shape[1]}, max|fx|={maxabs:.3g}, "
+            "dim*(2*max)^2 >= 2^53) — the float64 distance would round; "
+            "normalize the vectors or reduce dim"
+        )
     d = (
         (cm * cm).sum(axis=1)[:, None]
         + (qm * qm).sum(axis=1)[None, :]
@@ -706,7 +732,7 @@ def _centroid_probe(
         col = d[:, j]
         perm = np.lexsort((cids, col))[:k]
         out.extend((r["_qid"], int(cids[p]), int(col[p])) for p in perm)
-    return out
+    return out, [(r["_qid"], r["_qv"]) for r in q_rows]
 
 
 def _probe_frames(
@@ -742,9 +768,12 @@ def ivf_search_persisted(
     from backend_fastapi_spark.operators.vector import knn_exact
 
     centroids = spark.read.parquet(f"{path}/centroids")
-    rows = _centroid_probe(centroids, queries, nprobe)
-    if rows is not None:
-        probe, probed = _probe_frames(spark, centroids, queries, rows)
+    res = _centroid_probe(centroids, queries, nprobe)
+    if res is not None:
+        rows, q_quant = res
+        probe = None
+        probe_rows = [(q, c) for q, c, _ in rows]
+        probed = sorted({int(c) for _, c in probe_rows})
     else:
         probe = knn_exact(
             centroids.withColumnRenamed("centroid", "embedding"),
@@ -754,12 +783,30 @@ def ivf_search_persisted(
             metric="l2",
             exclude_self=False,
         ).select("q_id", "cluster")
-        probed = [
+        # ONE probe-pipeline execution: collect the (q, cluster) pairs
+        # and derive the distinct probed ids in Python — the previous
+        # form ran the probe plan once for the distinct-collect and
+        # AGAIN embedded in the search plan.
+        probe_rows, q_quant = _collect_probe_pairs(probe)
+        probed = sorted({int(c) for _, c in probe_rows or []}) or [
             int(r["cluster"])
             for r in probe.select("cluster").distinct().collect()
         ]
     lists = read_ivf_lists(spark, path).filter(F.col("cluster").isin(probed))
-    return ivf_search_over(lists, probe, queries, k=k, corpus_id=corpus_id)
+    return ivf_search_over(
+        lists, probe, queries, k=k, corpus_id=corpus_id,
+        probe_rows=probe_rows, q_quant=q_quant,
+    )
+
+
+def _collect_probe_pairs(probe: DataFrame, bound: int = 4_000_000):
+    """Bounded collect of a (q_id, cluster) probe frame →
+    (probe_rows, None); (None, None) when over the bound (the
+    ivf_search_over fallback plan then handles it)."""
+    rows = probe.select("q_id", "cluster").limit(bound + 1).collect()
+    if len(rows) > bound:
+        return None, None
+    return [(r["q_id"], r["cluster"]) for r in rows], None
 
 
 def ivf_search_persisted_adaptive(
@@ -793,19 +840,21 @@ def ivf_search_persisted_adaptive(
     if nprobe_max < 1:
         raise ValueError(f"adaptive probe: nprobe_max={nprobe_max} < 1")
     centroids = spark.read.parquet(f"{path}/centroids")
-    rows = _centroid_probe(centroids, queries, nprobe_max)
-    if rows is not None:
+    res = _centroid_probe(centroids, queries, nprobe_max)
+    if res is not None:
+        rows, q_quant = res
         # the ratio test on exact ints, in Python — same integer
         # comparison the decimal(38,0) filter below runs
         dmin: dict = {}
         for q, _c, d in rows:
             if q not in dmin or d < dmin[q]:
                 dmin[q] = d
-        kept = [
-            (q, c, d) for q, c, d in rows
+        probe = None
+        probe_rows = [
+            (q, c) for q, c, d in rows
             if d * alpha_den <= dmin[q] * alpha_num
         ]
-        probe, probed = _probe_frames(spark, centroids, queries, kept)
+        probed = sorted({int(c) for _, c in probe_rows})
     else:
         cand = knn_exact(
             centroids.withColumnRenamed("centroid", "embedding"),
@@ -824,36 +873,191 @@ def ivf_search_persisted_adaptive(
             )
             .select("q_id", "cluster")
         )
-        probed = [
+        probe_rows, q_quant = _collect_probe_pairs(probe)
+        probed = sorted({int(c) for _, c in probe_rows or []}) or [
             int(r["cluster"])
             for r in probe.select("cluster").distinct().collect()
         ]
     lists = read_ivf_lists(spark, path).filter(F.col("cluster").isin(probed))
-    return ivf_search_over(lists, probe, queries, k=k, corpus_id=corpus_id)
+    return ivf_search_over(
+        lists, probe, queries, k=k, corpus_id=corpus_id,
+        probe_rows=probe_rows, q_quant=q_quant,
+    )
 
 
 def ivf_search_over(
     pruned_lists: DataFrame,
-    probe: DataFrame,
+    probe: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     corpus_id: str = "vec_id",
+    probe_rows: list | None = None,
+    q_quant: list | None = None,
 ) -> DataFrame:
-    """Score pre-pruned inverted lists against their probing queries."""
-    from pyspark.sql import Window
-    from backend_fastapi_spark.operators.vector import fixed_dot
+    """Score pre-pruned inverted lists against their probing queries.
 
-    pruned = pruned_lists.join(F.broadcast(probe.join(queries, "q_id")), "cluster")
-    scored = pruned.withColumn(
-        "score_i64", fixed_dot(F.col("embedding"), F.col("q_embedding"))
+    The scorer is a per-Arrow-batch float64 matmul (the knn_exact
+    machinery): corpus vectors are quantized IN SPARK (``_fx`` — the
+    same rounding as every other scorer) and each batch multiplies its
+    per-cluster slices against the probing queries' matrix, emitting
+    only its per-batch top-k per query. Exact: every quantized value is
+    ≤ ~1e6, products ≤ ~1e12, and a 64-dim dot sums 64 such integer
+    terms — all partial sums < 2^53, which float64 represents exactly
+    (guarded loudly per batch), so scores are the identical int64s the
+    previous interpreted per-row ``fixed_dot`` aggregate produced at
+    ~100x the per-row cost (VERDICT r13 #3).
+
+    ``probe_rows`` ([(q_id, cluster), ...]) and ``q_quant``
+    ([(q_id, quantized_vec), ...]) let callers that already hold the
+    probe decision locally (every ``_centroid_probe`` fast path) skip
+    the collects entirely; otherwise both sides are collected BOUNDED
+    (limit(N+1) — the knn_exact query-side contract), falling back to
+    the broadcast-join + interpreted-dot plan when a pathological probe
+    exceeds the bound."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from backend_fastapi_spark.operators.vector import _fx
+
+    MAX_QUERY_ROWS = 100_000
+    MAX_PROBE_ROWS = 4_000_000
+    if q_quant is None:
+        collected = queries.select(
+            F.col("q_id").alias("_qid"),
+            F.transform(
+                F.col("q_embedding"), lambda x: _fx(x).cast("double")
+            ).alias("_qv"),
+        ).limit(MAX_QUERY_ROWS + 1).collect()
+        q_quant = (
+            None
+            if len(collected) > MAX_QUERY_ROWS
+            else [(r["_qid"], r["_qv"]) for r in collected]
+        )
+    if q_quant is not None and probe_rows is None:
+        collected = (
+            probe.select("q_id", "cluster").limit(MAX_PROBE_ROWS + 1).collect()
+        )
+        probe_rows = (
+            None
+            if len(collected) > MAX_PROBE_ROWS
+            else [(r["q_id"], r["cluster"]) for r in collected]
+        )
+    if q_quant is None or probe_rows is None:
+        # Oversized probe/query side: keep the join + interpreted-dot
+        # plan — it never holds either side on the driver.
+        from backend_fastapi_spark.operators.vector import fixed_dot
+
+        pruned = pruned_lists.join(
+            F.broadcast(probe.join(queries, "q_id")), "cluster"
+        )
+        scored = pruned.withColumn(
+            "score_i64", fixed_dot(F.col("embedding"), F.col("q_embedding"))
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("score_i64").desc(), F.col(corpus_id).asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("q_id", corpus_id, "cluster", "score_i64")
+        )
+
+    qid_type = queries.schema["q_id"].dataType.simpleString()
+    if not q_quant or not probe_rows:
+        # no queries or nothing probed: schema-faithful empty result
+        return pruned_lists.select(
+            F.lit(None).cast(qid_type).alias("q_id"),
+            F.col(corpus_id),
+            F.col("cluster"),
+            F.lit(0).cast("long").alias("score_i64"),
+        ).filter(F.lit(False))
+
+    q_ids = [q for q, _ in q_quant]
+    qm = np.stack([np.asarray(v, dtype=np.float64) for _, v in q_quant])
+    q_index = {q: j for j, q in enumerate(q_ids)}
+    qmax = float(np.abs(qm).max(initial=0.0))
+    dim = qm.shape[1]
+    # cluster -> sorted array of probing-query row indices (dedup'd:
+    # each (q, cluster) pair scores once, as in the equi-join form)
+    c2q: dict = {}
+    for q, c in set(probe_rows):
+        c2q.setdefault(c, []).append(q_index[q])
+    c2q = {c: np.asarray(sorted(js)) for c, js in c2q.items()}
+
+    slim = pruned_lists.select(
+        F.col("cluster"),
+        F.col(corpus_id).alias("_cid"),
+        F.transform(F.col("embedding"), lambda x: _fx(x).cast("double")).alias(
+            "_cv"
+        ),
     )
+    cid_type = pruned_lists.schema[corpus_id].dataType.simpleString()
+    cluster_type = pruned_lists.schema["cluster"].dataType.simpleString()
+    out_schema = (
+        f"q_id {qid_type}, _cid {cid_type}, cluster {cluster_type}, "
+        "score_i64 long"
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+            cmax = float(np.abs(m).max(initial=0.0))
+            if dim * cmax * qmax >= 2.0**53:
+                raise ValueError(
+                    "ivf_search_over: vectors exceed the exact "
+                    f"fixed-point envelope (dim={dim}, max|fx| corpus="
+                    f"{cmax:.3g} query={qmax:.3g}) — the float64 dot "
+                    "would round; normalize the vectors or reduce dim"
+                )
+            ids = pdf["_cid"].to_numpy()
+            cl = pdf["cluster"].to_numpy()
+            # per-query candidate accumulators across this batch's groups
+            acc: dict = {}
+            # group rows by cluster (contiguous runs NOT guaranteed —
+            # delta segments may interleave — so index by value)
+            order = np.argsort(cl, kind="stable")
+            cl_s = cl[order]
+            brk = np.nonzero(cl_s[1:] != cl_s[:-1])[0] + 1
+            for idx in np.split(order, brk):
+                js = c2q.get(cl[idx[0]])
+                if js is None or js.size == 0:
+                    continue
+                g = m[idx] @ qm[js].T  # (n_c, m_c) exact float64
+                for col, j in enumerate(js):
+                    a = acc.setdefault(j, [])
+                    a.append((ids[idx], cl[idx], g[:, col]))
+            rows_q, rows_c, rows_cl, rows_s = [], [], [], []
+            for j, parts in acc.items():
+                aid = np.concatenate([p[0] for p in parts])
+                acl = np.concatenate([p[1] for p in parts])
+                asc = np.concatenate([p[2] for p in parts])
+                # batch-local top-k in the global order (score DESC,
+                # id ASC) — a superset of the global winners
+                perm = np.lexsort((aid, -asc))[:k]
+                rows_q.extend([q_ids[j]] * perm.size)
+                rows_c.extend(aid[perm])
+                rows_cl.extend(acl[perm])
+                rows_s.extend(asc[perm].astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "q_id": rows_q,
+                    "_cid": rows_c,
+                    "cluster": rows_cl,
+                    "score_i64": rows_s,
+                }
+            )
+
+    cands = slim.mapInPandas(score_batches, schema=out_schema)
     w = Window.partitionBy("q_id").orderBy(
-        F.col("score_i64").desc(), F.col(corpus_id).asc()
+        F.col("score_i64").desc(), F.col("_cid").asc()
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        cands.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select("q_id", corpus_id, "cluster", "score_i64")
+        .select("q_id", F.col("_cid").alias(corpus_id), "cluster", "score_i64")
     )
 
 
@@ -1422,9 +1626,9 @@ def ivf_sq8_search_persisted(
     )
 
     centroids = spark.read.parquet(f"{path}/centroids")
-    rows = _centroid_probe(centroids, queries, nprobe)
-    if rows is not None:
-        probe, probed = _probe_frames(spark, centroids, queries, rows)
+    res = _centroid_probe(centroids, queries, nprobe)
+    if res is not None:
+        probe, probed = _probe_frames(spark, centroids, queries, res[0])
     else:
         probe = knn_exact(
             centroids.withColumnRenamed("centroid", "embedding"),

@@ -1191,3 +1191,104 @@ def test_ivf_search_persisted_adaptive_matches_fixed_at_cap(spark, tmp_path):
             spark, path, queries, alpha_num=1, alpha_den=2)
     with _pytest.raises(ValueError, match="nprobe_max"):
         ivf_search_persisted_adaptive(spark, path, queries, nprobe_max=0)
+
+
+def test_ivf_search_over_arrow_scorer_matches_join_form(spark, tmp_path):
+    """The Arrow-matmul scorer (r14) is row-identical to the join +
+    interpreted fixed_dot form it replaced — same candidates, same exact
+    int64 scores, same (score DESC, id ASC) top-k — and the per-batch
+    2^53 exactness envelope fails loudly instead of rounding."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+
+    from backend_fastapi_spark.operators.ivf import (
+        build_ivf,
+        ivf_search_over,
+        read_ivf_lists,
+        write_ivf_index,
+    )
+    from backend_fastapi_spark.operators.vector import fixed_dot
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    assigned, centroids = build_ivf(emb, k_clusters=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, centroids, path)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    queries = spark.createDataFrame(q.collect(), q.schema)
+    probed = [0, 1, 2, 3]
+    probe = spark.createDataFrame(
+        [(int(r["q_id"]), c) for r in queries.select("q_id").collect()
+         for c in probed],
+        "q_id long, cluster int",
+    )
+    lists = read_ivf_lists(spark, path).filter(F.col("cluster").isin(probed))
+
+    got = sorted(
+        map(tuple, ivf_search_over(lists, probe, queries, k=5).collect())
+    )
+
+    # reference: the pre-r14 broadcast-join + interpreted-dot plan
+    pruned = lists.join(F.broadcast(probe.join(queries, "q_id")), "cluster")
+    scored = pruned.withColumn(
+        "score_i64", fixed_dot(F.col("embedding"), F.col("q_embedding"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_i64").desc(), F.col("vec_id").asc()
+    )
+    ref = sorted(
+        map(
+            tuple,
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 5)
+            .select("q_id", "vec_id", "cluster", "score_i64")
+            .collect(),
+        )
+    )
+    assert got == ref and len(got) > 0
+
+    # exactness envelope: components far outside |fx| < ~2^26/sqrt(dim)
+    # must raise, not silently round in the float64 matmul
+    huge = spark.createDataFrame(
+        [(0, [4.0e9] * 64)], "q_id long, q_embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="envelope"):
+        ivf_search_over(
+            lists, None, huge, k=5,
+            probe_rows=[(0, c) for c in probed],
+        ).collect()
+
+
+def test_grouped_pairs_matches_join_form_and_tolerates_dups(spark):
+    """grouped_pairs (r13 group-local pair generation, r14 codegen
+    two-explode emit + collect_set): pair multiset identical to the
+    self-join reference on distinct (id, key) rows, and duplicated rows
+    degrade to the join form's DISTINCT semantics — no (x, x) self-pairs,
+    no inflated multiplicity (ADVICE r13)."""
+    from backend_fastapi_spark.operators.dedup import grouped_pairs
+
+    rows = [
+        (1, "k1"), (2, "k1"), (3, "k1"),
+        (1, "k2"), (4, "k2"),
+        (5, "k3"),                     # singleton: no pairs
+        (2, "k4"), (2, "k4"), (6, "k4"),  # duplicated (2, k4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = sorted(
+        map(tuple, grouped_pairs(df, "key", "doc_id").collect())
+    )
+    dedup = df.distinct()
+    a = dedup.select(F.col("doc_id").alias("id_a"), "key")
+    b = dedup.select(F.col("doc_id").alias("id_b"), "key")
+    ref = sorted(
+        map(
+            tuple,
+            a.join(b, "key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    assert got == ref
+    assert (2, 6) in got and all(x != y for x, y in got)
