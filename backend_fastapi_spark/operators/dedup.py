@@ -83,26 +83,32 @@ def grouped_pairs(
     frequency first — the collected set lives in one aggregation buffer,
     so an unbounded hot key must be pruned before, not after, this
     group-by; the join form remains the right tool for uncapped
-    universes)."""
+    universes).
+
+    The emit is two nested Generate nodes — posexplode the sorted set,
+    then explode the strictly-after slice (1-based; over-length is
+    clamped) — so every pair materializes in WHOLE-STAGE CODEGEN with
+    no struct allocation. The previous flatten(transform(transform(...
+    struct))) chain was a CodegenFallback higher-order function
+    evaluated per pair: at sf10's 126.6M pair rows it cost 17.3 s
+    against the two-explode form's 7.5 s for the identical stage (r14,
+    warm noop A/B; pair multiset byte-identical)."""
     ids = F.array_sort(F.collect_set(F.col(id_col)))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                # elements strictly after position i (slice is 1-based;
-                # over-length is clamped): sorted + distinct ids make
-                # every emitted struct satisfy a < b with no filter
-                F.slice(F.col("_ids"), i + F.lit(2), F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
-            ),
-        )
-    )
     return (
         df.groupBy(key_col)
         .agg(ids.alias("_ids"))
         .filter(F.size("_ids") >= 2)
-        .select(F.explode(pair_structs).alias("_p"))
-        .select(f"_p.{out_a}", f"_p.{out_b}")
+        .select(
+            F.posexplode("_ids").alias("_i", out_a),
+            F.col("_ids").alias("_rest"),
+        )
+        .select(
+            out_a,
+            F.explode(
+                F.slice(F.col("_rest"), F.col("_i") + F.lit(2),
+                        F.size(F.col("_rest")))
+            ).alias(out_b),
+        )
     )
 
 
@@ -251,13 +257,13 @@ def last_cc_stats() -> dict:
 CC_DRIVER_MAX_EDGES = 100_000
 
 
-def _cc_driver_union_find(e: DataFrame) -> DataFrame:
-    """Bounded-collect union-find: one job to collect ≤ CC_DRIVER_MAX_EDGES
-    edges, exact same (id, cluster_id=component-min) contract as the
-    distributed loop. At small edge counts the distributed loop's cost is
-    ALL fixed job overhead (2 shuffles + a checkpoint per round); this is
-    one collect + one createDataFrame."""
-    rows = e.collect()
+def _cc_driver_union_find(e: DataFrame, rows: list) -> DataFrame:
+    """Bounded-collect union-find over already-collected ``rows``
+    (≤ CC_DRIVER_MAX_EDGES edges) — exact same (id, cluster_id =
+    component-min) contract as the distributed loop. At small edge
+    counts the distributed loop's cost is ALL fixed job overhead
+    (2 shuffles + a checkpoint per round); this is pure driver work
+    plus one createDataFrame. ``e`` supplies only schema/session."""
     parent: dict = {}
 
     def find(x):
@@ -357,18 +363,27 @@ def connected_components(
             F.col("a").isNotNull() & F.col("b").isNotNull()
         )
     )
-    # e is checkpointed: this count reads materialized rows, no recompute.
-    n_edges = e.count()
     changed_hist: list[int] = []
     _CC_LOCAL.stats = {
-        "edges": n_edges, "vertices": None, "rounds": 0,
+        "edges": None, "vertices": None, "rounds": 0,
         "changed_per_round": changed_hist, "mode": "distributed",
     }
     stats = _CC_LOCAL.stats
     # driver_max_edges=0 disables the short-circuit entirely (tests use it
-    # to force the distributed loop, including on empty edge lists)
-    if 0 < driver_max_edges and n_edges <= driver_max_edges:
-        return _cc_driver_union_find(e)
+    # to force the distributed loop, including on empty edge lists).
+    # The short-circuit decision and the union-find input are ONE
+    # bounded limit-collect off the checkpointed rows (r14): the
+    # previous count-then-collect paid two driver jobs where small
+    # graphs — the common case — need one.
+    if 0 < driver_max_edges:
+        rows = e.limit(driver_max_edges + 1).collect()
+        if len(rows) <= driver_max_edges:
+            stats["edges"] = len(rows)
+            return _cc_driver_union_find(e, rows)
+        del rows
+    # e is checkpointed: this count reads materialized rows, no recompute.
+    n_edges = e.count()
+    stats["edges"] = n_edges
     both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         both.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
