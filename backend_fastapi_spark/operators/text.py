@@ -187,24 +187,30 @@ def winnow_fingerprint_table(
             for did, t in zip(pdf[id_col], pdf["_tx"]):
                 n = len(t) - k + 1  # >= w by the length filter
                 b = t.encode("utf-8")
+                # One digest-bytes join per doc + a strided big-endian
+                # view, instead of per-gram int.from_bytes + np.fromiter
+                # boxing (r14: 927 → 584 ns/gram microbenched, ~1.6x on
+                # the dominant winnow stage). Big-endian u64 of the
+                # first 8 digest bytes == the first-16-hex-chars prefix
+                # numerically (lexicographic order of equal-length
+                # lowercase hex == numeric order), unchanged.
                 if len(b) == len(t):  # ASCII: byte slice == char slice
-                    it = (
-                        int.from_bytes(md5(b[j:j + k]).digest()[:8], "big")
-                        for j in range(n)
-                    )
+                    digests = [md5(b[j:j + k]).digest() for j in range(n)]
                 else:
-                    it = (
-                        int.from_bytes(
-                            md5(t[j:j + k].encode("utf-8")).digest()[:8],
-                            "big",
-                        )
+                    digests = [
+                        md5(t[j:j + k].encode("utf-8")).digest()
                         for j in range(n)
-                    )
-                hs = np.fromiter(it, dtype=np.uint64, count=n)
-                mins = swv(hs, w).min(axis=1)
+                    ]
+                hs = np.ascontiguousarray(
+                    np.frombuffer(b"".join(digests), dtype=">u8")
+                    .reshape(n, 2)[:, 0]
+                ).astype(np.uint64)
+                mins = pd.unique(swv(hs, w).min(axis=1))
+                # all fingerprints hex-formatted in ONE .hex() call
+                hx = mins.astype(">u8").tobytes().hex()
                 ids.append(did)
                 n_kgrams.append(n)
-                fps.append([format(v, "016x") for v in pd.unique(mins)])
+                fps.append([hx[i:i + 16] for i in range(0, 16 * len(mins), 16)])
             yield pd.DataFrame(
                 {id_col: ids, "n_kgrams": n_kgrams, "fps": fps}
             )
