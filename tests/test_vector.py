@@ -608,3 +608,42 @@ def test_rp_sized_config_recall_on_planted_near_dups(spark):
     }
     assert got <= exact  # precision exactly 1
     assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_rp_verify_carry_spans_many_arrow_batches(spark):
+    """The RP verify's trailing-group carry (r13 mapInPandas port, r14
+    list-of-frames fix): with the Arrow batch size forced tiny, a
+    single (t, bucket) mega-group spans many batches and group
+    boundaries land mid-group everywhere — the output must equal the
+    default-batch-size run exactly."""
+    import numpy as np
+
+    from backend_fastapi_spark.operators.lsh import rp_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    # one dominant direction so most vectors share RP buckets: the
+    # mega-group case the carry exists for
+    base = rng.normal(scale=0.05, size=(300, 64)) + np.ones(64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(base)],
+        ["vec_id", "embedding"],
+    )
+    thr = int(0.9 * 1e12)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default = sorted(
+        map(tuple, rp_near_dup_pairs(df, threshold_i64=thr).collect())
+    )
+    assert len(default) > 100  # the clustering produced real groups
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")  # every group spans many batches
+        tiny = sorted(
+            map(tuple, rp_near_dup_pairs(df, threshold_i64=thr).collect())
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert tiny == default
