@@ -374,9 +374,14 @@ def connected_components(
     # The short-circuit decision and the union-find input are ONE
     # bounded limit-collect off the checkpointed rows (r14): the
     # previous count-then-collect paid two driver jobs where small
-    # graphs — the common case — need one.
+    # graphs — the common case — need one. coalesce(1) pins the collect
+    # to a single job: a bare limit().collect() runs executeTake's
+    # incremental partition ramp (1, 4, 16, ... — several jobs on a
+    # many-partition small table), while one task lazily chains the
+    # checkpointed blocks and stops consuming at the bound, so an
+    # over-bound graph costs one bounded sequential read, not a funnel.
     if 0 < driver_max_edges:
-        rows = e.limit(driver_max_edges + 1).collect()
+        rows = e.coalesce(1).limit(driver_max_edges + 1).collect()
         if len(rows) <= driver_max_edges:
             stats["edges"] = len(rows)
             return _cc_driver_union_find(e, rows)

@@ -23,6 +23,7 @@ from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from backend_fastapi_spark.operators.util import bounded_collect
 from backend_fastapi_spark.operators.vector import knn_exact
 
 # Fold segments own the ``batch=fold-<seq>`` namespace; the strict match
@@ -684,20 +685,26 @@ def _centroid_probe(
 
     from backend_fastapi_spark.operators.vector import _fx
 
-    c_rows = centroids.select(
-        F.col("cluster"),
-        F.transform(F.col("centroid"), lambda x: _fx(x).cast("double")).alias(
-            "_cv"
+    c_rows = bounded_collect(
+        centroids.select(
+            F.col("cluster"),
+            F.transform(
+                F.col("centroid"), lambda x: _fx(x).cast("double")
+            ).alias("_cv"),
         ),
-    ).limit(_PROBE_DRIVER_MAX_SIDE + 1).collect()
+        _PROBE_DRIVER_MAX_SIDE,
+    )
     if len(c_rows) > _PROBE_DRIVER_MAX_SIDE:
         return None
-    q_rows = queries.select(
-        F.col(query_id).alias("_qid"),
-        F.transform(F.col(query_vec_col), lambda x: _fx(x).cast("double")).alias(
-            "_qv"
+    q_rows = bounded_collect(
+        queries.select(
+            F.col(query_id).alias("_qid"),
+            F.transform(
+                F.col(query_vec_col), lambda x: _fx(x).cast("double")
+            ).alias("_qv"),
         ),
-    ).limit(_PROBE_DRIVER_MAX_SIDE + 1).collect()
+        _PROBE_DRIVER_MAX_SIDE,
+    )
     if len(q_rows) > _PROBE_DRIVER_MAX_SIDE:
         return None
     if not c_rows or not q_rows:
@@ -803,7 +810,7 @@ def _collect_probe_pairs(probe: DataFrame, bound: int = 4_000_000):
     """Bounded collect of a (q_id, cluster) probe frame →
     (probe_rows, None); (None, None) when over the bound (the
     ivf_search_over fallback plan then handles it)."""
-    rows = probe.select("q_id", "cluster").limit(bound + 1).collect()
+    rows = bounded_collect(probe.select("q_id", "cluster"), bound)
     if len(rows) > bound:
         return None, None
     return [(r["q_id"], r["cluster"]) for r in rows], None
@@ -923,20 +930,23 @@ def ivf_search_over(
     MAX_QUERY_ROWS = 100_000
     MAX_PROBE_ROWS = 4_000_000
     if q_quant is None:
-        collected = queries.select(
-            F.col("q_id").alias("_qid"),
-            F.transform(
-                F.col("q_embedding"), lambda x: _fx(x).cast("double")
-            ).alias("_qv"),
-        ).limit(MAX_QUERY_ROWS + 1).collect()
+        collected = bounded_collect(
+            queries.select(
+                F.col("q_id").alias("_qid"),
+                F.transform(
+                    F.col("q_embedding"), lambda x: _fx(x).cast("double")
+                ).alias("_qv"),
+            ),
+            MAX_QUERY_ROWS,
+        )
         q_quant = (
             None
             if len(collected) > MAX_QUERY_ROWS
             else [(r["_qid"], r["_qv"]) for r in collected]
         )
     if q_quant is not None and probe_rows is None:
-        collected = (
-            probe.select("q_id", "cluster").limit(MAX_PROBE_ROWS + 1).collect()
+        collected = bounded_collect(
+            probe.select("q_id", "cluster"), MAX_PROBE_ROWS
         )
         probe_rows = (
             None

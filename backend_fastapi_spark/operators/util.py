@@ -32,6 +32,19 @@ def ensure_parallelism(df: DataFrame, id_col: str | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def bounded_collect(df: DataFrame, bound: int) -> list:
+    """Collect at most ``bound`` + 1 rows as ONE job. A bare
+    ``limit(n).collect()`` runs executeTake's incremental partition ramp
+    (1, 4, 16, ... partitions — several driver round-trips for any
+    driver-small frame that never reaches its limit); ``coalesce(1)``
+    chains the input partitions into a single lazily-consumed task, so
+    the collect both stops reading at the bound and costs exactly one
+    job. Callers check ``len(rows) > bound`` to detect an over-bound
+    input. Use only where the collected side is driver-small by
+    contract — the single task reads sequentially."""
+    return df.coalesce(1).limit(bound + 1).collect()
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Cut lineage and materialize a small intermediate that multiple plan
     branches will re-read (e.g. MinHash/SimHash signatures read by every

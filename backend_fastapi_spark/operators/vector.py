@@ -152,12 +152,17 @@ def knn_exact(
     # to every other scorer) before crossing to numpy, so no Python-side
     # rounding can diverge.
     MAX_QUERY_ROWS = 100_000  # ~50 MB at 64 dims — broadcast-sized
-    q_quant = queries.select(
-        F.col(query_id).alias("_qid"),
-        F.transform(F.col(query_vec_col), lambda x: _fx(x).cast("double")).alias(
-            "_qv"
+    from backend_fastapi_spark.operators.util import bounded_collect
+
+    q_quant = bounded_collect(
+        queries.select(
+            F.col(query_id).alias("_qid"),
+            F.transform(
+                F.col(query_vec_col), lambda x: _fx(x).cast("double")
+            ).alias("_qv"),
         ),
-    ).limit(MAX_QUERY_ROWS + 1).collect()
+        MAX_QUERY_ROWS,
+    )
     if len(q_quant) > MAX_QUERY_ROWS:
         raise ValueError(
             f"knn_exact queries side exceeds {MAX_QUERY_ROWS} rows — it must "
@@ -610,10 +615,11 @@ def sq8_topk(
     decides the final ranking."""
     MAX_QUERY_ROWS = 100_000
     qcodes = sq8_codes(queries, id_col="q_id", vec_col="q_embedding")
-    qrows = (
-        qcodes.join(queries.select("q_id", "q_embedding"), "q_id")
-        .limit(MAX_QUERY_ROWS + 1)
-        .collect()
+    from backend_fastapi_spark.operators.util import bounded_collect
+
+    qrows = bounded_collect(
+        qcodes.join(queries.select("q_id", "q_embedding"), "q_id"),
+        MAX_QUERY_ROWS,
     )
     if len(qrows) > MAX_QUERY_ROWS:
         raise ValueError(
