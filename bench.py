@@ -215,7 +215,8 @@ def _plan_shuffle_stats(jplan) -> dict:
 
 
 def time_set(spark, names, sf_dir, runs, timings, cards, cc_stats, tag="",
-             warmup=True, shuffle_stats=None, loads=None, warmups=None):
+             warmup=True, shuffle_stats=None, loads=None, warmups=None,
+             job_counts=None):
     for name in names:
         spec = Q.REGISTRY.get(name)
         if spec is None:
@@ -232,7 +233,16 @@ def time_set(spark, names, sf_dir, runs, timings, cards, cc_stats, tag="",
                 warmups[name] = round(time.perf_counter() - t0, 3)
         best = float("inf")
         cdf = None
-        for _ in range(runs):  # min-of-N damps transient host noise
+        for i in range(runs):  # min-of-N damps transient host noise
+            # Spark jobs per timed execution (VERDICT r13 #8): every job
+            # is a driver round-trip — a barrier of scheduler latency the
+            # query pays at ANY scale — so the count is the structural
+            # "how many actions/collect gates does this plan hide"
+            # number. Measured on the last run via a per-run job group
+            # (construction-time collects/checkpoints land in the same
+            # group, so eager probe/CC work is counted too).
+            group = f"bench-{name}-{i}"
+            spark.sparkContext.setJobGroup(group, name)
             t0 = time.perf_counter()
             # same plan Dataset.count() runs (global agg + 1-row collect),
             # but keeping the handle lets the shuffle scrape read the
@@ -240,6 +250,15 @@ def time_set(spark, names, sf_dir, runs, timings, cards, cc_stats, tag="",
             cdf = spec.fn(spark, sf_dir).groupBy().count()
             rows = int(cdf.collect()[0][0])
             best = min(best, time.perf_counter() - t0)
+            if job_counts is not None and i == runs - 1:
+                try:
+                    ids = spark.sparkContext.statusTracker().getJobIdsForGroup(
+                        group
+                    )
+                    job_counts[name] = len(ids)
+                except Exception:
+                    pass
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
         timings[name] = round(best, 3)
         cards[name] = rows
         if loads is not None:
@@ -1475,6 +1494,89 @@ def stream_profile_stanza(spark, sf_dir: str, n_batches: int = 20) -> dict:
         shutil.rmtree(index_dir.rsplit("/", 1)[0], ignore_errors=True)
 
 
+SCALING_QUERIES = [
+    # shuffle/compute-heavy picks: queries whose sf1 cost is real work,
+    # not fixed job overhead — the set where core-count should show
+    "ngram_jaccard_dupes", "simhash_pairs", "minhash_lsh_candidates",
+    "user_context_star", "region_revenue", "winnow_near_dup",
+]
+
+
+def core_scaling_stanza(sf1_dir: str, cpu_points=(32, 8),
+                        sf10_dir: str | None = None) -> dict:
+    """Low-core-vs-32 scaling AT SF1 (VERDICT r13 #2): the sf0.1 headline
+    is job/stage-overhead-bound, so its 8-vs-32 ratios sit ≈1 and tell
+    nothing about parallelism; at sf1 the shuffle-heavy queries carry
+    real work and the ratio should track the core ratio. Each cpu point
+    runs in a FRESH subprocess session (master local[N] via
+    $SPARK_GRAFT_CPUS — the exact mechanism the driver's own low-core
+    rerun uses), warm min-of-2 per query, bench timing methodology.
+    ``sf10_dir`` adds one genuinely compute-bound 100x point
+    (winnow_near_dup — the Python-md5 fingerprint pass dominates) where
+    fixed overhead is negligible and the ratio isolates parallelism."""
+    import subprocess
+
+    def run_point(cpus: int, names: list, data_dir: str, runs: int) -> dict:
+        child = (
+            "import json, sys, time\n"
+            f"sys.path.insert(0, "
+            f"{os.path.dirname(os.path.abspath(__file__))!r})\n"
+            "from backend_fastapi_spark.core.session import get_spark\n"
+            "import backend_fastapi_spark.queries as Q\n"
+            "spark = get_spark('core_scaling')\n"
+            "out = {}\n"
+            f"for name in {names!r}:\n"
+            "    fn = Q.REGISTRY[name].fn\n"
+            f"    fn(spark, {data_dir!r}).count()\n"
+            "    best = 1e9\n"
+            f"    for _ in range({runs}):\n"
+            "        t0 = time.perf_counter()\n"
+            f"        fn(spark, {data_dir!r}).groupBy().count().collect()\n"
+            "        best = min(best, time.perf_counter() - t0)\n"
+            "    out[name] = round(best, 3)\n"
+            "print('SCALING_JSON ' + json.dumps(out))\n"
+        )
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        env.pop("SPARK_GRAFT_MASTER", None)
+        r = subprocess.run(
+            [sys.executable, "-c", child], env=env, capture_output=True,
+            text=True, timeout=900,
+        )
+        line = next(
+            (ln for ln in r.stdout.splitlines()
+             if ln.startswith("SCALING_JSON ")), None,
+        )
+        if line is None:
+            return {"error": (r.stderr or "no output")[-400:]}
+        got = json.loads(line[len("SCALING_JSON "):])
+        print(f"# core-scaling cpus={cpus} {data_dir}: {got}",
+              file=sys.stderr)
+        return got
+
+    def ratios(points: dict, names: list) -> dict | None:
+        lo, hi = str(min(cpu_points)), str(max(cpu_points))
+        if any(not isinstance(points.get(p), dict) or "error" in points[p]
+               for p in (lo, hi)):
+            return None
+        return {
+            q: round(points[lo][q] / points[hi][q], 2)
+            for q in names if points[hi].get(q) and points[lo].get(q)
+        }
+
+    points = {str(c): run_point(c, SCALING_QUERIES, sf1_dir, 2)
+              for c in cpu_points}
+    out = {"sf_dir": sf1_dir, "queries": SCALING_QUERIES, "points": points,
+           "ratio_low_over_high": ratios(points, SCALING_QUERIES)}
+    if sf10_dir:
+        p10 = {str(c): run_point(c, ["winnow_near_dup"], sf10_dir, 1)
+               for c in cpu_points}
+        out["sf10_point"] = {
+            "sf_dir": sf10_dir, "points": p10,
+            "ratio_low_over_high": ratios(p10, ["winnow_near_dup"]),
+        }
+    return out
+
+
 def bucketed_stanza(spark, sf_dir: str, n_buckets: int = 16) -> dict:
     """Bucketed-join saving in seconds (VERDICT r07 directive #6): write
     orders and lineitem bucketed on the join key at sf1, run the same
@@ -1716,15 +1818,21 @@ def main() -> None:
     # quartile now waits for quiet again (shorter per-quartile budget);
     # the sidecar records all four gate states.
     quartile_gates = []
+    job_counts: dict[str, int] = {}
     qsize = (len(HEADLINE) + 3) // 4
     for qi in range(0, len(HEADLINE), qsize):
         g = wait_for_quiet_host(max_wait_s=240.0)
         quartile_gates.append(g["loadavg_gate"])
         time_set(spark, HEADLINE[qi:qi + qsize], sf_dir, 3, timings, cards,
-                 cc_stats, shuffle_stats=shuffle_stats, loads=headline_loads)
+                 cc_stats, shuffle_stats=shuffle_stats, loads=headline_loads,
+                 job_counts=job_counts)
     context["headline_quartile_gates"] = quartile_gates
     context["shuffle_stats"] = shuffle_stats
     context["headline_loadavg"] = headline_loads
+    # jobs per timed execution (VERDICT r13 #8): each job is a fixed
+    # driver round-trip — the number that dominates 0.2-1 s queries at
+    # sf0.1 and becomes scheduler-latency floor at any scale
+    context["headline_job_counts"] = job_counts
 
     headline = {
         "metric": "headline_queries_total",
@@ -1732,6 +1840,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # cpus echoed so a scaling artifact (the driver's low-core rerun)
+        # is self-describing (VERDICT r13 #2)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     context["headline"] = headline
     flush()
@@ -1751,9 +1862,11 @@ def main() -> None:
 
     extra: dict[str, float] = {}
     extra_warm: dict[str, float] = {}
+    extra_jobs: dict[str, int] = {}
     time_set(spark, EXTRA, sf_dir, 2, extra, cards, cc_stats, tag="extra ",
-             warmups=extra_warm)
+             warmups=extra_warm, job_counts=extra_jobs)
     context["extra_queries"] = extra
+    context["extra_job_counts"] = extra_jobs
     # first-execution seconds: for the persisted-index extras this is
     # the one-time index WRITE (+first search) the timed min-of-2 no
     # longer pays (queries.py build-once cache, VERDICT r11 wrong #3)
@@ -1907,7 +2020,6 @@ def main() -> None:
             ["dedup_canonical_corpus", "dup_clusters", "dup_clusters_minhash",
              "incremental_dedup_batch", "corpus_curation_pipeline",
              "winnow_near_dup", "dsir_importance_weights",
-             "embedding_near_dup", "ngram_jaccard_dupes",
              # r12: the retrieval family's 100x growth
              "bm25_keyword_topk", "hybrid_rrf_topk", "mmr_diversified_topk",
              "hybrid_rag_end_to_end",
@@ -1915,6 +2027,11 @@ def main() -> None:
              "bm25_champion_topk", "ccnet_ppl_buckets"],
             bench_round(),
         )
+        # The two exact quadratic-OUTPUT oracle twins run EVERY round
+        # (pulled out of the rotation, VERDICT r13 #9): their fresh
+        # timings are what makes the unsubstituted headline total below
+        # honest rather than a stale carry-over.
+        sf10_run = ["embedding_near_dup", "ngram_jaccard_dupes"] + sf10_run
         time_set(
             spark, sf10_run,
             sf10_dir, 1, sf10_timings, sf10_cards, sf10_cc,
@@ -1966,6 +2083,17 @@ def main() -> None:
         out["sf10_shuffle_stats"] = sf10_shuffle
         out["sf10_headline_total"] = round(
             sum(v for k, v in sf10_timings.items() if k in sf10_headline), 3
+        )
+        # The UNSUBSTITUTED total, adjacent by construction (VERDICT r13
+        # #9): the substituted headline total swaps the two exact twins
+        # for their scale-path forms and is therefore flattering on its
+        # own; this key re-adds the exact twins' same-run extras timings
+        # so no reader can quote one number without the other.
+        out["sf10_headline_total_unsubstituted"] = round(
+            out["sf10_headline_total"]
+            + sum(sf10_timings.get(exact, 0.0) - sf10_timings.get(sub, 0.0)
+                  for exact, sub in sf10_subs.items()),
+            3,
         )
         out["sf10_cardinalities"] = sf10_cards
         out["sf10_cc_stats"] = sf10_cc
@@ -2032,6 +2160,10 @@ def main() -> None:
         ]
     if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF10"):
         stanzas += [
+            # fresh-subprocess sessions: does NOT use `spark`
+            ("sf1_core_scaling", 560.0, lambda: {
+                "sf1_core_scaling": core_scaling_stanza(
+                    sf1_dir, sf10_dir=sf10_dir if have_sf10 else None)}),
             ("sf1_stream_profile", 340.0, lambda: {
                 "sf1_stream_profile": stream_profile_stanza(spark, sf1_dir)}),
             ("sf1_bucketed_join", 30.0, lambda: {
